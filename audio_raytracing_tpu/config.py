@@ -1,0 +1,101 @@
+"""Central configuration for the TPU acoustic-raytracing framework.
+
+The reference (Sandalmoth/audio-raytracing) hardcodes every tunable as a
+comptime constant scattered across files (see SURVEY.md §5 "Config/flag
+system"). Here they are lifted into one frozen dataclass so every layer —
+tracing policy, DSP, IR pipeline, sharding — reads from a single source of
+truth.
+
+Provenance of the defaults (reference file:line):
+  - sample_rate 44100, block_size 128, speed_of_sound 350:
+    src/sound_system.zig:11-15, 31, 32
+  - raycast capacity 128: call sites src/main.zig:483, 561, 621, 648, 686-690
+  - finish grace 65536 samples (reverb tail): src/sound_system.zig:454-458
+  - specular exponent 16: src/main.zig:722
+  - air absorption 1e-5 and EQ band freqs {4, 64, 1024, 16384}:
+    src/sound_system.zig:229-238, 573
+  - tick rate 83 Hz: src/main.zig:13-16
+  - BIH leaf sizes {64,128,...}: src/raytracer.zig:17 (we use a flat arena,
+    so a single max_leaf_size applies)
+  - reverb wet/feedback coupling 0.5*atan(100*x): src/main.zig:785-786
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- audio format (reference: sound_system.zig:11-21, 31-32) ---
+    sample_rate: int = 44100
+    block_size: int = 128
+    speed_of_sound: float = 350.0
+
+    # --- voice lifecycle ---
+    finish_grace_samples: int = 65536  # reverb-tail grace past one-shot end
+    max_voices: int = 8  # static voice-table size for jit (padded, masked)
+
+    # --- tracing policy (reference: main.zig:522-788) ---
+    raycast_capacity: int = 128
+    specular_exponent: float = 16.0
+    backoff: float = 0.999  # hit point backed off toward ray origin
+    occlusion_colocated_eps: float = 1e-3  # |L-S|^2 below => no occlusion
+    reflection_dir_eps: float = 1e-3  # |dir|^2 below => skip visibility ray
+
+    # --- attenuation EQ (reference: sound_system.zig:229-238, 565-596) ---
+    air_absorption: float = 1e-5
+    eq_freqs: Tuple[float, float, float, float] = (4.0, 64.0, 1024.0, 16384.0)
+
+    # --- reverb environment coupling (reference: main.zig:785-786) ---
+    reverb_coupling_scale: float = 0.5
+    reverb_coupling_rate: float = 100.0
+
+    # --- upstream quirks: replicate-or-fix, made explicit (SURVEY.md §7) ---
+    # main.zig:580-584 assigns (not accumulates) the paired-distance reverb
+    # estimate, so only the final opposite pair survives the /14 mean.
+    quirk_capped_mean_overwrite: bool = True
+    # main.zig:745 bins z reflections on `ld[0] > 2` where symmetry says
+    # `ld[2] > 0`.
+    quirk_zbin_ld0: bool = True
+
+    # --- BIH / spatial index (reference: raytracer.zig:17) ---
+    bih_max_leaf_size: int = 8
+
+    # --- geometry padding for TPU-friendly static shapes ---
+    triangle_pad: int = 128  # pad triangle count to a multiple of this
+
+    # --- IR pipeline (new TPU-first capability; BASELINE.json configs) ---
+    ir_length: int = 32768  # samples in a traced impulse response
+    ir_bins_per_sample: int = 1  # histogram resolution (delay bins)
+    n_bands: int = 4  # absorption bands (matches the EQ band count)
+    max_bounces: int = 8
+    rays_per_source: int = 1 << 17
+
+    # --- fixed-timestep game loop (reference: main.zig:13-16) ---
+    ticks_per_second: int = 83
+    max_tick_seconds: float = 0.1
+
+    @property
+    def tick(self) -> float:
+        return 1.0 / float(self.ticks_per_second)
+
+    @property
+    def samples_per_meter(self) -> float:
+        return self.sample_rate / self.speed_of_sound
+
+    @property
+    def ir_n_bins(self) -> int:
+        return self.ir_length * self.ir_bins_per_sample
+
+
+DEFAULT_CONFIG = Config()
+
+
+def reverb_coupling(cfg: Config, capped_mean_dist: float) -> float:
+    """feedback_gain = wet = 0.5*atan(100*x) (reference: main.zig:785-786)."""
+    return cfg.reverb_coupling_scale * math.atan(
+        cfg.reverb_coupling_rate * capped_mean_dist
+    )

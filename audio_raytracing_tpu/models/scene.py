@@ -1,0 +1,131 @@
+"""Scene: triangle geometry + acceleration arena, resident on device.
+
+The reference builds one AABB per triangle into a Builder(u32) with payload
+= base vertex index (src/main.zig:390-414) and keeps the vertex soup on the
+host for exact intersection. Here the scene is a pytree of padded, static-
+shape device arrays (v0/v1/v2/normals, per-band absorption) uploaded to HBM
+once; every tracing op consumes it directly. Padding triangles are
+degenerate (zeros) so they can never be hit (det==0 fails the eps test in
+ops/intersect.py), keeping shapes jit-stable across scenes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import Config, DEFAULT_CONFIG
+from ..utils.obj import ObjMesh, load_obj
+from .bih import BIHArena, build_bih
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass
+class Scene:
+    """Host-side scene. `.device_arrays()` yields the jit-ready pytree."""
+
+    v0: np.ndarray  # (T, 3) f32
+    v1: np.ndarray
+    v2: np.ndarray
+    normals: np.ndarray  # (T, 3) f32, unit, from winding order
+    absorption: np.ndarray  # (T, n_bands) f32 in [0,1]; energy kept = 1-a
+    bih: BIHArena
+    n_triangles: int  # true (unpadded) count
+
+    @classmethod
+    def from_triangles(
+        cls,
+        triangles: np.ndarray,
+        cfg: Config = DEFAULT_CONFIG,
+        absorption: np.ndarray | None = None,
+    ) -> "Scene":
+        """triangles: (T, 3, 3) float32."""
+        tris = np.asarray(triangles, dtype=np.float32)
+        t_true = tris.shape[0]
+        v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+        n = np.cross(v1 - v0, v2 - v0)
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        normals = n / np.maximum(norm, 1e-30)
+        if absorption is None:
+            absorption = np.full((t_true, cfg.n_bands), 0.1, dtype=np.float32)
+        absorption = np.asarray(absorption, dtype=np.float32)
+        if absorption.ndim == 1:
+            absorption = np.repeat(absorption[:, None], cfg.n_bands, axis=1)
+
+        low = tris.min(axis=1)
+        high = tris.max(axis=1)
+        # payload = base-vertex index i (multiple of 3), as in main.zig:410
+        bih = build_bih(low, high, np.arange(t_true, dtype=np.int32) * 3, cfg.bih_max_leaf_size)
+
+        t_pad = max(_round_up(t_true, cfg.triangle_pad), cfg.triangle_pad)
+        pad = t_pad - t_true
+
+        def p(a):
+            return np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)).astype(np.float32)
+
+        return cls(
+            v0=p(v0), v1=p(v1), v2=p(v2),
+            normals=p(normals),
+            absorption=p(absorption),
+            bih=bih,
+            n_triangles=t_true,
+        )
+
+    @classmethod
+    def from_obj(cls, path, cfg: Config = DEFAULT_CONFIG, absorption=None) -> "Scene":
+        mesh = load_obj(path)
+        return cls.from_mesh(mesh, cfg, absorption)
+
+    @classmethod
+    def from_mesh(cls, mesh: ObjMesh, cfg: Config = DEFAULT_CONFIG, absorption=None) -> "Scene":
+        return cls.from_triangles(mesh.triangles(), cfg, absorption)
+
+    def device_arrays(self):
+        """(v0, v1, v2, normals, absorption) as jnp arrays."""
+        import jax.numpy as jnp
+
+        return (
+            jnp.asarray(self.v0),
+            jnp.asarray(self.v1),
+            jnp.asarray(self.v2),
+            jnp.asarray(self.normals),
+            jnp.asarray(self.absorption),
+        )
+
+
+def box_room(size=(10.0, 3.0, 8.0), center=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """Procedural 12-triangle box room (inward-facing), (12, 3, 3) float32.
+
+    Used as a fallback scene and in tests; normals face inward so rays from
+    inside hit front faces.
+    """
+    sx, sy, sz = (s * 0.5 for s in size)
+    cx, cy, cz = center
+    lo = np.array([cx - sx, cy - sy, cz - sz], np.float32)
+    hi = np.array([cx + sx, cy + sy, cz + sz], np.float32)
+
+    def corner(ix, iy, iz):
+        return np.array(
+            [hi[0] if ix else lo[0], hi[1] if iy else lo[1], hi[2] if iz else lo[2]],
+            np.float32,
+        )
+
+    c = {(i, j, k): corner(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)}
+    quads = [
+        # (a, b, c, d) ordered so the normal faces inward
+        ((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 0)),  # -z wall
+        ((1, 0, 1), (1, 1, 1), (0, 1, 1), (0, 0, 1)),  # +z wall
+        ((0, 0, 1), (0, 1, 1), (0, 1, 0), (0, 0, 0)),  # -x wall
+        ((1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1)),  # +x wall
+        ((0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1)),  # floor (-y)
+        ((0, 1, 1), (1, 1, 1), (1, 1, 0), (0, 1, 0)),  # ceiling (+y)
+    ]
+    tris = []
+    for a, b, d, e in quads:
+        tris.append([c[a], c[d], c[b]])
+        tris.append([c[a], c[e], c[d]])
+    return np.asarray(tris, dtype=np.float32)

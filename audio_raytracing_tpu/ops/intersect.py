@@ -1,0 +1,93 @@
+"""Batched ray-triangle intersection (Möller–Trumbore) for TPU.
+
+The reference intersects one ray against one triangle at a time
+(rayTriangleIntersection, src/main.zig:1041-1079: normalize dir, eps 1e-6,
+reject |det|<=eps ~ strict (-eps, eps), u in [0,1], u+v <= 1, t > eps).
+Here the same math runs as a fused batched op over [R rays x T triangles],
+which XLA maps onto the VPU/MXU — the per-ray scalar loop would leave the
+hardware idle. The reference leaves front/back-face undefined
+(main.zig:1077); we define it: front = (det > 0), i.e. the ray meets the
+triangle's winding-order front face.
+
+`nearest_hit` replaces the reference's broad-phase + narrow-phase pair
+(Space.raycastCapacity candidates -> Möller–Trumbore min loop, e.g.
+main.zig:555-595) with a single dense pass over all triangles: for scenes
+up to tens of thousands of triangles this is both faster on TPU (regular,
+compiler-tileable) and *more* correct (no capacity-128 truncation, no
+origin-only BIH pruning — both documented reference quirks).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-6
+NO_HIT = jnp.inf
+
+
+def normalize(v, axis=-1):
+    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+
+
+def triangle_normals(v0, v1, v2):
+    """Unit normals from winding order (computeNormal, main.zig:1098-1106)."""
+    n = jnp.cross(v1 - v0, v2 - v0)
+    return normalize(n)
+
+
+def intersect_pairs(origins, dirs, v0, v1, v2, eps: float = EPS):
+    """Intersect rays [..., 3] against triangles [..., 3] elementwise
+    (broadcasting). dirs must already be unit length.
+
+    Returns (t, front, valid): t is the hit distance along the unit dir
+    (inf where invalid), front is True when det > 0.
+    """
+    ab = v1 - v0
+    ac = v2 - v0
+    h = jnp.cross(dirs, ac)
+    det = jnp.sum(ab * h, axis=-1)
+    inv = 1.0 / det  # inf where det == 0; masked below
+    s = origins - v0
+    u = inv * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, ab)
+    v = inv * jnp.sum(dirs * q, axis=-1)
+    t = inv * jnp.sum(ac * q, axis=-1)
+    valid = (
+        (jnp.abs(det) >= eps)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= eps)
+    )
+    return jnp.where(valid, t, NO_HIT), det > 0.0, valid
+
+
+def nearest_hit(origins, dirs, tri_v0, tri_v1, tri_v2, eps: float = EPS):
+    """Nearest triangle hit for a batch of rays against all triangles.
+
+    origins, dirs: (R, 3) — dirs need not be normalized (normalized here,
+    matching raycastCapacity/rayTriangleIntersection semantics so returned t
+    is in world units).
+    tri_*: (T, 3). Padded triangles should be degenerate (all-zero), which
+    fail the det test and never hit.
+
+    Returns (t, tri_idx, hit): (R,) each; t = inf and tri_idx = -1 on miss.
+    """
+    d = normalize(dirs)
+    t, _front, _valid = intersect_pairs(
+        origins[:, None, :], d[:, None, :], tri_v0[None], tri_v1[None], tri_v2[None], eps
+    )
+    tri_idx = jnp.argmin(t, axis=1)
+    t_min = jnp.min(t, axis=1)
+    hit = jnp.isfinite(t_min)
+    return t_min, jnp.where(hit, tri_idx, -1), hit
+
+
+nearest_hit_jit = jax.jit(nearest_hit)
+
+
+def reflect(dirs, normals):
+    """Specular reflection d' = d - 2 (d.n) n (unit in, unit out)."""
+    return dirs - 2.0 * jnp.sum(dirs * normals, axis=-1, keepdims=True) * normals

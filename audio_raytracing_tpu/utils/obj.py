@@ -1,0 +1,80 @@
+"""Wavefront OBJ loading with the reference's semantics.
+
+The reference hand-rolls a parser (src/main.zig:320-388) handling exactly
+three record types — `v x y z`, `vt u v`, and triangulated faces
+`f v/vt v/vt v/vt` — with 1-based indices converted to 0-based, expanding
+into a flat triangle soup (3 vertices per triangle). We mirror those
+semantics; records the reference would choke on (vn, `f v//vn`, quads) are
+rejected or skipped explicitly rather than misparsed.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class ObjMesh:
+    """Flat triangle soup: positions[3*T, 3], uvs[3*T, 2] (stride 3)."""
+
+    positions: np.ndarray  # (3*T, 3) float32
+    uvs: np.ndarray  # (3*T, 2) float32
+
+    @property
+    def n_triangles(self) -> int:
+        return self.positions.shape[0] // 3
+
+    def triangles(self) -> np.ndarray:
+        """(T, 3, 3) view of the soup."""
+        return self.positions.reshape(-1, 3, 3)
+
+
+def parse_obj(text: str) -> ObjMesh:
+    verts: list = []
+    uvs: list = []
+    faces: list = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("vt "):
+            parts = line.split()
+            uvs.append((float(parts[1]), float(parts[2])))
+        elif line.startswith("v "):
+            parts = line.split()
+            verts.append((float(parts[1]), float(parts[2]), float(parts[3])))
+        elif line.startswith("vn ") or line.startswith("vp "):
+            continue  # normals/params: unused (world.obj has none)
+        elif line.startswith("f "):
+            # tokenize on spaces and '/', exactly like main.zig:361-370
+            toks = [t for t in line.replace("/", " ").split() if t][1:]
+            if len(toks) != 6:
+                raise ValueError(
+                    "only triangulated `f v/vt v/vt v/vt` faces are "
+                    f"supported (got {line!r})"
+                )
+            faces.append(tuple(int(t) - 1 for t in toks))
+    v = np.asarray(verts, dtype=np.float32)
+    vt = (
+        np.asarray(uvs, dtype=np.float32)
+        if uvs
+        else np.zeros((1, 2), np.float32)
+    )
+    pos = np.zeros((3 * len(faces), 3), dtype=np.float32)
+    uv = np.zeros((3 * len(faces), 2), dtype=np.float32)
+    for t, (a, b, c, d, e, f) in enumerate(faces):
+        pos[3 * t + 0] = v[a]
+        uv[3 * t + 0] = vt[b]
+        pos[3 * t + 1] = v[c]
+        uv[3 * t + 1] = vt[d]
+        pos[3 * t + 2] = v[e]
+        uv[3 * t + 2] = vt[f]
+    return ObjMesh(positions=pos, uvs=uv)
+
+
+def load_obj(path) -> ObjMesh:
+    with io.open(path, "r", encoding="utf-8") as f:
+        return parse_obj(f.read())

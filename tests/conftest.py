@@ -1,0 +1,36 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX imports.
+
+Multi-chip sharding (parallel/) is validated without TPU hardware via
+XLA's host-platform device-count override (SURVEY.md §4). Must run before
+any `import jax` in the test session, hence top-level in conftest.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xA0D10)
+
+
+@pytest.fixture(scope="session")
+def world_obj_path():
+    p = Path(__file__).resolve().parent.parent / "data" / "world.obj"
+    if not p.exists():
+        pytest.skip("data/world.obj not present")
+    return p

@@ -1,0 +1,145 @@
+"""OBJ loading, scene construction, and BIH build/query differential tests.
+
+Mirrors the reference's test strategy: randomized build + raycast vs a
+brute-force oracle (the pattern of `test "fuzz raycastCapacity"`,
+/root/reference/src/raytracer.zig:568-628), plus structural checks the
+reference does with comptime asserts.
+"""
+
+import numpy as np
+import pytest
+
+from audio_raytracing_tpu.models.bih import (
+    build_bih,
+    raycast_bih,
+    raycast_brute,
+    slab_entry_distances,
+)
+from audio_raytracing_tpu.models.scene import Scene, box_room
+from audio_raytracing_tpu.utils.obj import load_obj, parse_obj
+
+
+def test_parse_obj_minimal():
+    mesh = parse_obj(
+        """
+# comment
+v 0 0 0
+v 1 0 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 0 1
+f 1/1 2/2 3/3
+"""
+    )
+    assert mesh.n_triangles == 1
+    np.testing.assert_allclose(mesh.positions, [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    np.testing.assert_allclose(mesh.uvs, [[0, 0], [1, 0], [0, 1]])
+
+
+def test_parse_obj_rejects_quads():
+    with pytest.raises(ValueError):
+        parse_obj("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nvt 0 0\nf 1/1 2/1 3/1 4/1\n")
+
+
+def test_world_obj_counts(world_obj_path):
+    # data/world.obj: 114 triangles, 72 vertices, 116 uvs (SURVEY.md)
+    mesh = load_obj(world_obj_path)
+    assert mesh.n_triangles == 114
+    assert mesh.positions.shape == (342, 3)
+
+
+def test_scene_padding_and_normals(world_obj_path):
+    scene = Scene.from_obj(world_obj_path)
+    assert scene.n_triangles == 114
+    assert scene.v0.shape[0] % 128 == 0
+    # padded triangles are degenerate
+    assert np.all(scene.v0[114:] == 0)
+    # normals unit length on real triangles
+    n = np.linalg.norm(scene.normals[:114], axis=1)
+    np.testing.assert_allclose(n, 1.0, rtol=1e-5)
+
+
+def test_box_room_normals_inward():
+    tris = box_room(size=(2.0, 2.0, 2.0))
+    scene = Scene.from_triangles(tris)
+    # each triangle's normal should point toward the room center (origin)
+    centers = tris.mean(axis=1)
+    dots = np.sum(scene.normals[:12] * (0.0 - centers), axis=1)
+    assert np.all(dots > 0)
+
+
+def _random_boxes(rng, n):
+    c = (rng.random((n, 3), dtype=np.float32) - 0.5) * 20
+    d = rng.random((n, 3), dtype=np.float32) * 5
+    return (c - d).astype(np.float32), (c + d).astype(np.float32)
+
+
+def test_slab_entry_distance_basics():
+    low = np.array([[1.0, -1.0, -1.0]], np.float32)
+    high = np.array([[2.0, 1.0, 1.0]], np.float32)
+    d = slab_entry_distances(low, high, np.zeros(3, np.float32), np.array([1, 0, 0], np.float32))
+    np.testing.assert_allclose(d, [1.0])
+    # behind the origin -> negative tmin reported (caller skips <0)
+    d = slab_entry_distances(low, high, np.zeros(3, np.float32), np.array([-1, 0, 0], np.float32))
+    assert d[0] < 0
+    # miss entirely
+    d = slab_entry_distances(low, high, np.zeros(3, np.float32), np.array([0, 1, 0], np.float32))
+    np.testing.assert_allclose(d, [-1.0])
+
+
+def test_bih_fuzz_vs_brute(rng):
+    """BIH results must be a subset of the brute-force oracle's with
+    identical distances (cf. raytracer.zig:568-628)."""
+    for _ in range(20):
+        n = int(rng.integers(5, 120))
+        low, high = _random_boxes(rng, n)
+        values = np.arange(n, dtype=np.int32)
+        arena = build_bih(low, high, values, max_leaf_size=8)
+        assert arena.n_prims == n
+        # prim reorder is a permutation
+        assert sorted(arena.values.tolist()) == list(range(n))
+
+        for _ in range(20):
+            src = (rng.random(3, dtype=np.float32) - 0.5) * 20
+            d = rng.random(3, dtype=np.float32) - 0.5
+            if np.linalg.norm(d) < 1e-3:
+                continue
+            vals_b, dists_b = raycast_brute(low, high, values, src, d, capacity=128)
+            vals_t, dists_t = raycast_bih(arena, src, d, capacity=128)
+            # sorted ascending
+            assert np.all(np.diff(dists_t) >= 0)
+            # subset with matching distances
+            brute = {int(v): float(t) for v, t in zip(vals_b, dists_b)}
+            for v, t in zip(vals_t, dists_t):
+                assert int(v) in brute
+                np.testing.assert_allclose(t, brute[int(v)], rtol=1e-5, atol=1e-5)
+
+
+def test_bih_degenerate_centroids():
+    # identical centroids would recurse forever with the raw reference
+    # policy; the builder must fall back to an even split
+    n = 32
+    low = np.tile(np.float32([-1, -1, -1]), (n, 1))
+    high = np.tile(np.float32([1, 1, 1]), (n, 1))
+    arena = build_bih(low, high, np.arange(n), max_leaf_size=4)
+    assert arena.depth() >= 3
+    vals, dists = raycast_bih(arena, np.float32([-5, 0, 0]), np.float32([1, 0, 0]), 128)
+    assert len(vals) == n
+    np.testing.assert_allclose(dists, 4.0, rtol=1e-6)
+
+
+def test_bih_save_load(tmp_path, rng):
+    low, high = _random_boxes(rng, 50)
+    arena = build_bih(low, high, np.arange(50, dtype=np.int32))
+    p = tmp_path / "arena.npz"
+    arena.save(p)
+    from audio_raytracing_tpu.models.bih import BIHArena
+
+    arena2 = BIHArena.load(p)
+    src = np.float32([0, 0, 0])
+    d = np.float32([1, 0.2, -0.3])
+    v1, d1 = raycast_bih(arena, src, d)
+    v2, d2 = raycast_bih(arena2, src, d)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(d1, d2)
