@@ -1,0 +1,238 @@
+"""SoundSystem — the public engine facade.
+
+Mirrors the reference's surface (src/sound_system.zig:44-121 plus the
+per-voice parameter writes the game loop performs, src/main.zig:522-788):
+
+    system = SoundSystem(scene)                 # SoundSystem.init
+    sid = system.load_sound("foo.wav")          # loadSound -> handle
+    h = system.play_sound(sid, pos=..., gain=0.5, repeat=True)  # playSound
+    system.set_listener(pos, yaw=..., pitch=...)   # listener/orientation
+    system.set_pos(h, new_pos)                  # playing.getPtr(h).pos = ...
+    system.update_acoustics()                   # the main.zig:522-788 block
+    stereo = system.render(n_samples)           # the SDL pull callback
+
+Differences by design: no SDL/audio device — render() returns float32
+stereo blocks for the caller to sink (offline file, stream, test); all
+compute runs in jit on the accelerator; host state is a handle table over
+a static voice slot array. Voice handles are monotonically increasing
+(playing_counter, zig:37) and slots of finished voices are swept and
+reused after each render, like callback's sweep (zig:164-171).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import Config, DEFAULT_CONFIG
+from ..models.scene import Scene
+from ..sim.probe import VoiceParams, acoustic_update
+from ..utils import quat
+from ..utils.wav import load_sound as load_wav_mono
+from . import voices as V
+from ..ops.reverb import DEFAULT_FEEDBACK_GAIN
+
+DATA_DIR = Path(__file__).resolve().parent.parent.parent / "data"
+
+
+def default_hrtf():
+    with np.load(DATA_DIR / "hrtf_magls.npz") as z:
+        return z["irs_l"].astype(np.float32), z["irs_r"].astype(np.float32)
+
+
+class SoundSystem:
+    def __init__(self, scene: Scene | None = None, cfg: Config = DEFAULT_CONFIG,
+                 hrtf=None):
+        self.cfg = cfg
+        self.scene = scene
+        self._scene_arrays = scene.device_arrays() if scene is not None else None
+        hl, hr = hrtf if hrtf is not None else default_hrtf()
+        self.hrtf_l = jnp.asarray(hl)
+        self.hrtf_r = jnp.asarray(hr)
+        self._sounds: list[np.ndarray] = []
+        self._arena = jnp.zeros(1, jnp.float32)
+        self._offsets: list[int] = []
+        self.state = V.init_state(cfg)
+        self.params = VoiceParams(
+            occlusion=jnp.zeros(cfg.max_voices),
+            refl_dist=jnp.zeros((cfg.max_voices, 6)),
+            refl_lam=jnp.zeros((cfg.max_voices, 6)),
+            feedback_gain=jnp.full(cfg.max_voices, DEFAULT_FEEDBACK_GAIN),
+            wet=jnp.zeros(cfg.max_voices),
+        )
+        self.listener = np.zeros(3, np.float32)
+        self.orientation = np.asarray([0.0, 0.0, 0.0, 1.0], np.float32)
+        self._handles: dict[int, int] = {}  # handle -> slot
+        self._next_handle = 0
+
+    # --- resources -------------------------------------------------------
+
+    def load_sound(self, source) -> int:
+        """Load a WAV path or a float32 mono array; returns a sound id."""
+        if isinstance(source, (str, Path)):
+            samples = load_wav_mono(source, self.cfg.sample_rate)
+        else:
+            samples = np.asarray(source, np.float32)
+        sid = len(self._sounds)
+        self._sounds.append(samples)
+        offsets = np.cumsum([0] + [len(s) for s in self._sounds])[:-1]
+        self._offsets = offsets.tolist()
+        self._arena = jnp.asarray(np.concatenate(self._sounds))
+        return sid
+
+    # --- voices ----------------------------------------------------------
+
+    def play_sound(self, sound: int, pos, gain: float = 1.0, repeat: bool = False) -> int:
+        """Start a voice; returns a handle (cf. playSound, zig:113-121)."""
+        slot = self._free_slot()
+        st = self.state
+        vt = st.voices
+        sel = lambda a, val: a.at[slot].set(val)  # noqa: E731
+        vt = vt._replace(
+            active=sel(vt.active, True),
+            finished=sel(vt.finished, False),
+            sound_offset=sel(vt.sound_offset, self._offsets[sound]),
+            sound_length=sel(vt.sound_length, len(self._sounds[sound])),
+            pos=vt.pos.at[slot].set(jnp.asarray(pos, jnp.float32)),
+            gain=sel(vt.gain, float(gain)),
+            cursor=sel(vt.cursor, 0),
+            repeat=sel(vt.repeat, bool(repeat)),
+            prev_dist=sel(vt.prev_dist, jnp.nan),
+            refl_dist_prev=vt.refl_dist_prev.at[slot].set(jnp.nan),
+            eq_z=vt.eq_z.at[slot].set(0.0),
+        )
+        # fresh per-voice reverb (reference constructs Reverb per Playing)
+        rv = st.reverb
+        rv = rv._replace(
+            diff_buf=rv.diff_buf.at[slot].set(0.0),
+            diff_cursor=rv.diff_cursor.at[slot].set(0),
+            fb_buf=rv.fb_buf.at[slot].set(0.0),
+            fb_cursor=rv.fb_cursor.at[slot].set(0),
+            fb_filter=rv.fb_filter.at[slot].set(0.0),
+        )
+        self.state = st._replace(voices=vt, reverb=rv)
+        # reset host-side params for the slot
+        p = self.params
+        self.params = p._replace(
+            occlusion=p.occlusion.at[slot].set(0.0),
+            refl_dist=p.refl_dist.at[slot].set(0.0),
+            refl_lam=p.refl_lam.at[slot].set(0.0),
+            feedback_gain=p.feedback_gain.at[slot].set(DEFAULT_FEEDBACK_GAIN),
+            wet=p.wet.at[slot].set(0.0),
+        )
+        h = self._next_handle
+        self._next_handle += 1
+        self._handles[h] = slot
+        return h
+
+    def _free_slot(self) -> int:
+        active = np.asarray(self.state.voices.active)
+        finished = np.asarray(self.state.voices.finished)
+        free = np.nonzero(~active | finished)[0]
+        if len(free) == 0:
+            raise RuntimeError(
+                f"voice table full ({self.cfg.max_voices}); raise Config.max_voices"
+            )
+        slot = int(free[0])
+        # drop stale handle mappings to this slot
+        self._handles = {h: s for h, s in self._handles.items() if s != slot}
+        return slot
+
+    def stop(self, handle: int) -> None:
+        slot = self._handles.pop(handle, None)
+        if slot is None:
+            return
+        vt = self.state.voices
+        self.state = self.state._replace(
+            voices=vt._replace(active=vt.active.at[slot].set(False))
+        )
+
+    def set_pos(self, handle: int, pos) -> None:
+        slot = self._handles[handle]
+        vt = self.state.voices
+        self.state = self.state._replace(
+            voices=vt._replace(pos=vt.pos.at[slot].set(jnp.asarray(pos, jnp.float32)))
+        )
+
+    def is_playing(self, handle: int) -> bool:
+        slot = self._handles.get(handle)
+        if slot is None:
+            return False
+        vt = self.state.voices
+        return bool(vt.active[slot]) and not bool(vt.finished[slot])
+
+    # --- listener / acoustics ---------------------------------------------
+
+    def set_listener(self, pos, yaw: float = 0.0, pitch: float = 0.0) -> None:
+        """Pose push (main.zig:528-533): orientation from pitch/yaw."""
+        self.listener = np.asarray(pos, np.float32)
+        self.orientation = quat.quat_from_roll_pitch_yaw(
+            np.float32(pitch), np.float32(yaw), np.float32(0.0)
+        )
+
+    def update_acoustics(self) -> VoiceParams:
+        """Re-trace the scene and refresh all per-voice DSP parameters —
+        the batched equivalent of main.zig:522-788. Resets reflection
+        prev-dists like the reference's `reflections = .{}` (main.zig:675)."""
+        if self.scene is None:
+            raise RuntimeError("SoundSystem has no scene")
+        vt = self.state.voices
+        params = acoustic_update(
+            self._scene_arrays,
+            jnp.asarray(self.listener),
+            vt.pos,
+            vt.active & ~vt.finished,
+            cfg=self.cfg,
+        )
+        # keep reverb feedback default when no coupling was traced? No —
+        # the reference overwrites with the coupling (main.zig:785).
+        self.params = params
+        self.state = self.state._replace(
+            voices=vt._replace(refl_dist_prev=jnp.full_like(vt.refl_dist_prev, jnp.nan))
+        )
+        return params
+
+    # --- rendering ---------------------------------------------------------
+
+    def render(self, n_samples: int) -> np.ndarray:
+        """Pull n_samples of spatialized stereo (the SDL callback contract,
+        zig:123-162): renders ceil(n/block) blocks, total_frames =
+        n//block + 1, then sweeps finished voices."""
+        n = self.cfg.block_size
+        total_frames = n_samples // n + 1
+        out = []
+        remaining = n_samples
+        fi = 0
+        while remaining > 0:
+            block, self.state = V.render_block(
+                self._arena,
+                self.state,
+                self.params,
+                jnp.asarray(self.listener),
+                jnp.asarray(self.orientation),
+                self.hrtf_l,
+                self.hrtf_r,
+                fi,
+                total_frames,
+                cfg=self.cfg,
+            )
+            out.append(np.asarray(block))
+            fi += 1
+            remaining -= n
+        # sweep finished voices (zig:164-171)
+        vt = self.state.voices
+        fin = np.asarray(vt.finished)
+        if fin.any():
+            self.state = self.state._replace(
+                voices=vt._replace(
+                    active=vt.active & ~jnp.asarray(fin),
+                    finished=jnp.zeros_like(vt.finished),
+                )
+            )
+            self._handles = {
+                h: s for h, s in self._handles.items() if not fin[s]
+            }
+        return np.concatenate(out, axis=0)
