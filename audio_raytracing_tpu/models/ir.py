@@ -1,0 +1,228 @@
+"""Impulse-response model: batched multi-bounce tracing -> energy histograms.
+
+This is the framework's TPU-first generalization of the reference's
+acoustics (BASELINE.json north star). Where the reference traces 14 + a few
+rays per frame and reduces them to 13 scalar DSP parameters per voice
+(SURVEY.md §2.3), this model traces *wavefronts* of rays from each source,
+bounces them specularly through the scene with per-surface, per-band
+absorption, and scatter-bins every listener-visible path into a
+delay x band energy histogram — an impulse response the convolution engine
+renders directly.
+
+Acoustic laws are the reference's, generalized:
+  * amplitude 1/(d+1) distance attenuation (sound_system.zig:237) — direct
+    and reflection paths alike;
+  * air absorption clamp(1 - 1e-5*d*freqs, 0, 1) per band
+    (sound_system.zig:229-234);
+  * reflection strength lam = |dot(n, w)| + max(dot(n, h), 0)^16 — Lambert
+    + Blinn-Phong-for-sound (main.zig:710-722), with the half vector
+    between the reversed incident ray and the listener direction;
+  * delay = d_total / 350 m/s * 44100 (sound_system.zig:31-32).
+
+TPU mapping: one `lax.scan` over bounces; each step is a dense
+rays x triangles nearest-hit (ops/intersect.py), a shadow-ray batch to the
+listener (next-event estimation), and a `segment_sum` scatter into the
+histogram. All shapes static; rays that die keep flowing masked. The ray
+axis is the natural sharding axis for multi-chip (parallel/sharding.py
+shard_maps it and psums the histograms over ICI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, DEFAULT_CONFIG
+from ..ops.eq import EQ_FREQS
+from ..ops.intersect import nearest_hit, reflect
+
+GOLDEN = (1.0 + 5.0**0.5) / 2.0
+
+
+def fibonacci_sphere(n: int) -> np.ndarray:
+    """Deterministic, near-uniform unit directions (n, 3) — the
+    generalization of the 14-direction raycast_sphere_pattern
+    (main.zig:1081-1096) to arbitrary ray counts."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = 2.0 * np.pi * i / GOLDEN
+    cos_t = 1.0 - 2.0 * i / n
+    sin_t = np.sqrt(np.maximum(0.0, 1.0 - cos_t * cos_t))
+    return np.stack(
+        [np.cos(phi) * sin_t, cos_t, np.sin(phi) * sin_t], axis=1
+    ).astype(np.float32)
+
+
+class ImpulseResponse(NamedTuple):
+    """Delay-binned energy + arrival-direction moments for one
+    (source, listener) pair."""
+
+    energy: jnp.ndarray  # (n_bands, n_bins) summed energy
+    dir_sum: jnp.ndarray  # (3, n_bins) energy-weighted arrival directions
+
+
+def _air_absorption(d, air: float):
+    """Per-band amplitude kept after distance d (sound_system.zig:229-234)."""
+    return jnp.clip(1.0 - air * d[..., None] * EQ_FREQS, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def direct_ir(scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG) -> ImpulseResponse:
+    """The single deterministic direct-path term (occlusion-tested).
+
+    Split out so the sharded tracer (parallel/sharding.py) can add it on
+    exactly one device before the histogram allreduce.
+    """
+    v0, v1, v2, _, _ = scene_arrays
+    n_bins = cfg.ir_n_bins
+    bps = float(cfg.ir_bins_per_sample)
+    spm = cfg.samples_per_meter
+    to_l = listener - source
+    d_direct = jnp.linalg.norm(to_l)
+    safe_dir = jnp.where(d_direct < 1e-6, jnp.float32([1, 0, 0]), to_l)
+    t_occ, _, _ = nearest_hit(source[None], safe_dir[None], v0, v1, v2)
+    direct_visible = (t_occ[0] >= d_direct) | (d_direct < 1e-6)
+    amp_direct = (
+        jnp.where(direct_visible, 1.0, 0.0)
+        / (d_direct + 1.0)
+        * _air_absorption(d_direct, cfg.air_absorption)
+    )  # (n_bands,)
+    e_direct = amp_direct * amp_direct
+    bin_direct = jnp.clip((d_direct * spm * bps + 0.5), 0, n_bins - 1).astype(jnp.int32)
+    energy = jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32).at[bin_direct].add(e_direct)
+    u_direct = jnp.where(d_direct < 1e-6, 0.0, (source - listener) / jnp.maximum(d_direct, 1e-6))
+    dir_sum = (
+        jnp.zeros((n_bins, 3), jnp.float32)
+        .at[bin_direct]
+        .add(u_direct * jnp.mean(e_direct))
+    )
+    return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_rays", "max_bounces", "total_rays", "include_direct"),
+)
+def trace_ir(
+    scene_arrays,
+    source,
+    listener,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+    dirs=None,
+    total_rays: int | None = None,
+    include_direct: bool = True,
+) -> ImpulseResponse:
+    """Trace one source -> listener impulse response.
+
+    source, listener: (3,). dirs: optional (n_rays, 3) unit ray directions
+    (defaults to a fibonacci sphere). Returns histograms of shape
+    (n_bands, cfg.ir_n_bins).
+
+    total_rays / include_direct exist for the sharded path
+    (parallel/sharding.py): each device traces its ray shard normalized by
+    the *global* ray count, with the direct term added on one device only.
+    """
+    v0, v1, v2, normals, absorption = scene_arrays
+    n_rays = n_rays or cfg.rays_per_source
+    max_bounces = max_bounces or cfg.max_bounces
+    n_bins = cfg.ir_n_bins
+    bps = float(cfg.ir_bins_per_sample)
+    spm = cfg.samples_per_meter  # 44100 / 350
+
+    if dirs is None:
+        dirs = jnp.asarray(fibonacci_sphere(n_rays))
+    else:
+        n_rays = dirs.shape[0]
+    org = jnp.broadcast_to(source, (n_rays, 3))
+
+    if include_direct:
+        d = direct_ir(scene_arrays, source, listener, cfg=cfg)
+        energy, dir_sum = d.energy.T, d.dir_sum.T
+    else:
+        energy = jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32)
+        dir_sum = jnp.zeros((n_bins, 3), jnp.float32)
+
+    inv_n = 1.0 / float(total_rays or n_rays)
+
+    def bounce(carry, _):
+        org, d, amp, path_dist, alive = carry
+        t, idx, hit = nearest_hit(org, d, v0, v1, v2)
+        alive = alive & hit
+        t_safe = jnp.where(hit, t, 0.0)
+        vertex = org + d * (t_safe * cfg.backoff)[:, None]
+        idx_safe = jnp.maximum(idx, 0)
+        n = normals[idx_safe]
+        # orient the normal against the incoming ray (both faces reflect)
+        n = n * jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True) + 1e-30)
+        path_dist = path_dist + jnp.where(alive, t_safe, 0.0)
+        amp = amp * jnp.where(
+            alive[:, None], jnp.sqrt(jnp.clip(1.0 - absorption[idx_safe], 0.0, 1.0)), 1.0
+        )
+
+        # --- next-event estimation: connect vertex -> listener ---
+        to_list = listener[None, :] - vertex
+        d_l = jnp.linalg.norm(to_list, axis=-1)
+        w_o = to_list / jnp.maximum(d_l, 1e-20)[:, None]
+        t_sh, _, sh_hit = nearest_hit(vertex, w_o, v0, v1, v2)
+        visible = alive & (~sh_hit | (t_sh >= d_l))
+        # reflection strength (main.zig:710-722 generalized)
+        h = w_o - d
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+        lam = jnp.abs(jnp.sum(n * w_o, axis=-1)) + jnp.power(
+            jnp.maximum(jnp.sum(n * h, axis=-1), 0.0), cfg.specular_exponent
+        )
+        d_total = path_dist + d_l
+        amp_c = (
+            amp
+            * (lam / (d_total + 1.0))[:, None]
+            * _air_absorption(d_total, cfg.air_absorption)
+        )
+        e_c = amp_c * amp_c * inv_n * jnp.where(visible, 1.0, 0.0)[:, None]
+        bins = jnp.clip((d_total * spm * bps + 0.5), 0, n_bins - 1).astype(jnp.int32)
+        bins = jnp.where(visible, bins, n_bins)  # overflow row, dropped
+        e_seg = jax.ops.segment_sum(e_c, bins, num_segments=n_bins + 1)[:-1]
+        u = (vertex - listener[None, :]) / jnp.maximum(d_l, 1e-20)[:, None]
+        u_seg = jax.ops.segment_sum(
+            u * jnp.mean(e_c, axis=-1, keepdims=True), bins, num_segments=n_bins + 1
+        )[:-1]
+
+        # --- specular continuation ---
+        d_new = reflect(d, n)
+        org_new = vertex
+        return (org_new, jnp.where(alive[:, None], d_new, d), amp, path_dist, alive), (
+            e_seg,
+            u_seg,
+        )
+
+    amp0 = jnp.ones((n_rays, len(EQ_FREQS)), jnp.float32)
+    carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))
+    _, (e_all, u_all) = jax.lax.scan(bounce, carry0, None, length=max_bounces)
+    energy = energy + jnp.sum(e_all, axis=0)
+    dir_sum = dir_sum + jnp.sum(u_all, axis=0)
+    return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T)
+
+
+def ambisonic_ir(ir: ImpulseResponse, eps: float = 1e-12):
+    """First-order ambisonic IR (4, n_bins) from the histograms.
+
+    W = sqrt(mean-band energy); XYZ = sqrt(3) * W * (energy-weighted mean
+    arrival direction) — the N3D convention of ops/ambisonic.py, with
+    ||mean dir|| < 1 naturally encoding diffuseness.
+    """
+    e_mean = jnp.mean(ir.energy, axis=0)  # (n_bins,)
+    w = jnp.sqrt(e_mean)
+    mean_dir = ir.dir_sum / jnp.maximum(e_mean, eps)[None, :]
+    norm = jnp.linalg.norm(mean_dir, axis=0)
+    mean_dir = mean_dir * jnp.where(norm > 1.0, 1.0 / jnp.maximum(norm, eps), 1.0)
+    xyz = np.sqrt(3.0) * w[None, :] * mean_dir
+    return jnp.concatenate([w[None, :], xyz], axis=0)
+
+
+def band_irs(ir: ImpulseResponse):
+    """Per-band amplitude IRs (n_bands, n_bins) = sqrt(energy)."""
+    return jnp.sqrt(ir.energy)

@@ -1,0 +1,120 @@
+"""Multi-chip ray sharding + IR-histogram collectives.
+
+BASELINE config 5: "rays sharded across chips with ICI-allreduced IR
+histograms". Implementation is the canonical JAX recipe (no custom
+transport — XLA inserts the collectives):
+
+  * geometry (the triangle arena) is replicated into every chip's HBM;
+  * the ray wavefront (fibonacci directions) is sharded over the mesh's
+    "rays" axis; each chip runs the same trace_ir kernel on its shard,
+    normalized by the *global* ray count;
+  * the per-chip delay x band histograms are `jax.lax.psum`-ed over the
+    "rays" axis — a dense (n_bands, n_bins) allreduce that rides ICI;
+  * with a 2-D ("sources", "rays") mesh, sources split across the first
+    axis (no collective — each source's IR lives on its subgrid) and rays
+    across the second;
+  * the single deterministic direct-path term (models/ir.direct_ir) is
+    added on the rays-axis leader only so the allreduce doesn't multiply
+    it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Config, DEFAULT_CONFIG
+from ..models.ir import ImpulseResponse, direct_ir, fibonacci_sphere, trace_ir
+
+
+def _bounces_plus_leader_direct(scene_local, src, listener, dirs_local, cfg,
+                                max_bounces, total_rays):
+    lead = (jax.lax.axis_index("rays") == 0).astype(jnp.float32)
+    ir = trace_ir(
+        scene_local, src, listener, cfg=cfg, max_bounces=max_bounces,
+        dirs=dirs_local, total_rays=total_rays, include_direct=False,
+    )
+    d = direct_ir(scene_local, src, listener, cfg=cfg)
+    return ImpulseResponse(
+        energy=ir.energy + d.energy * lead,
+        dir_sum=ir.dir_sum + d.dir_sum * lead,
+    )
+
+
+def trace_ir_sharded(
+    scene_arrays,
+    source,
+    listener,
+    mesh: Mesh,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+) -> ImpulseResponse:
+    """Single-source trace with rays sharded over mesh axis "rays"."""
+    n_rays = n_rays or cfg.rays_per_source
+    n_shards = mesh.shape["rays"]
+    assert n_rays % n_shards == 0, (n_rays, n_shards)
+    dirs = jnp.asarray(fibonacci_sphere(n_rays))
+
+    def shard_fn(dirs_local, source, listener, scene_local):
+        ir = _bounces_plus_leader_direct(
+            scene_local, source, listener, dirs_local, cfg, max_bounces, n_rays
+        )
+        return ImpulseResponse(
+            energy=jax.lax.psum(ir.energy, "rays"),
+            dir_sum=jax.lax.psum(ir.dir_sum, "rays"),
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("rays"), P(), P(), P()),
+        out_specs=ImpulseResponse(energy=P(), dir_sum=P()),
+        check_vma=False,
+    )
+    return fn(dirs, jnp.asarray(source), jnp.asarray(listener), scene_arrays)
+
+
+def trace_irs_multi_source(
+    scene_arrays,
+    sources,
+    listener,
+    mesh: Mesh,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+) -> ImpulseResponse:
+    """Multi-source trace over a ("sources", "rays") mesh.
+
+    sources: (S, 3) with S divisible by the sources axis. Returns stacked
+    IRs (S, n_bands, n_bins) / (S, 3, n_bins), sharded over "sources".
+    """
+    n_rays = n_rays or cfg.rays_per_source
+    s_shards = mesh.shape["sources"]
+    r_shards = mesh.shape["rays"]
+    S = sources.shape[0]
+    assert S % s_shards == 0, (S, s_shards)
+    assert n_rays % r_shards == 0, (n_rays, r_shards)
+    dirs = jnp.asarray(fibonacci_sphere(n_rays))
+
+    def shard_fn(sources_local, dirs_local, listener, scene_local):
+        def one(src):
+            return _bounces_plus_leader_direct(
+                scene_local, src, listener, dirs_local, cfg, max_bounces, n_rays
+            )
+
+        irs = jax.vmap(one)(sources_local)
+        return ImpulseResponse(
+            energy=jax.lax.psum(irs.energy, "rays"),
+            dir_sum=jax.lax.psum(irs.dir_sum, "rays"),
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("sources"), P("rays"), P(), P()),
+        out_specs=ImpulseResponse(energy=P("sources"), dir_sum=P("sources")),
+        check_vma=False,
+    )
+    return fn(jnp.asarray(sources), dirs, jnp.asarray(listener), scene_arrays)

@@ -1,0 +1,198 @@
+"""IR tracer + partitioned convolution tests: analytic single-wall cases,
+energy behavior, streaming-vs-offline convolution equivalence."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audio_raytracing_tpu.config import DEFAULT_CONFIG, Config
+from audio_raytracing_tpu.models.ir import ambisonic_ir, band_irs, fibonacci_sphere, trace_ir
+from audio_raytracing_tpu.models.scene import Scene, box_room
+from audio_raytracing_tpu.ops import conv_partitioned as cp
+from audio_raytracing_tpu.ops.eq import EQ_FREQS
+
+import dataclasses
+
+CFG = dataclasses.replace(DEFAULT_CONFIG, ir_length=4096, rays_per_source=512, max_bounces=3)
+
+
+def wall_scene(x=3.0, absorption=0.1):
+    tris = np.float32(
+        [
+            [[x, -50, -50], [x, 50, -50], [x, 50, 50]],
+            [[x, -50, -50], [x, 50, 50], [x, -50, 50]],
+        ]
+    )
+    return Scene.from_triangles(tris, CFG, absorption=np.full((2,), absorption, np.float32))
+
+
+def test_fibonacci_sphere_uniform():
+    d = fibonacci_sphere(1000)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, rtol=1e-5)
+    # near-zero mean for a uniform distribution
+    assert np.linalg.norm(d.mean(axis=0)) < 0.01
+
+
+def test_direct_path_energy_and_bin():
+    scene = wall_scene()
+    src = jnp.asarray([0.0, 0.0, 0.0])
+    lst = jnp.asarray([1.0, 0.0, 0.0])
+    ir = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=64, max_bounces=1)
+    e = np.asarray(ir.energy)  # (4, n_bins)
+    spm = CFG.samples_per_meter
+    b_direct = int(1.0 * spm + 0.5)
+    amp = 1.0 / 2.0 * np.clip(1.0 - 1e-5 * 1.0 * EQ_FREQS, 0, 1)
+    np.testing.assert_allclose(e[:, b_direct], amp * amp, rtol=1e-4)
+    # nothing earlier than the direct sound
+    assert e[:, :b_direct].sum() == 0.0
+
+
+def test_single_bounce_delay_floor():
+    scene = wall_scene(x=3.0)
+    src = jnp.asarray([0.0, 0.0, 0.0])
+    lst = jnp.asarray([1.0, 0.0, 0.0])
+    ir = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=2048, max_bounces=1)
+    e = np.asarray(ir.energy).mean(axis=0)
+    spm = CFG.samples_per_meter
+    b_direct = int(1.0 * spm + 0.5)
+    # shortest reflected path: 3 (to wall) + 2 (back to listener) = 5 m
+    b_min_refl = int(5.0 * spm)
+    mid = e[b_direct + 1 : b_min_refl - 2]
+    assert mid.sum() < 1e-10  # silence between direct and first reflection
+    assert e[b_min_refl - 2 :].sum() > 0  # reflections arrive
+
+
+def test_absorption_scales_bounce_energy():
+    src = jnp.asarray([0.0, 0.0, 0.0])
+    lst = jnp.asarray([1.0, 0.0, 0.0])
+    out = []
+    for a in (0.0, 0.75):
+        scene = wall_scene(absorption=a)
+        ir = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=512, max_bounces=1)
+        e = np.asarray(ir.energy).mean(axis=0)
+        b_direct = int(1.0 * CFG.samples_per_meter + 0.5)
+        out.append(e[b_direct + 4 :].sum())  # bounce-only energy
+    # energy multiplier is (1 - a): 0.25 of the unabsorbed energy
+    np.testing.assert_allclose(out[1] / out[0], 0.25, rtol=1e-3)
+
+
+def test_direct_arrival_direction():
+    scene = wall_scene()
+    src = jnp.asarray([0.0, 0.0, 0.0])
+    lst = jnp.asarray([1.0, 0.0, 0.0])
+    ir = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=64, max_bounces=1)
+    amb = np.asarray(ambisonic_ir(ir))
+    b_direct = int(1.0 * CFG.samples_per_meter + 0.5)
+    w = amb[0, b_direct]
+    assert w > 0
+    # source is at -x from the listener: X channel = -sqrt(3) * W
+    np.testing.assert_allclose(amb[1, b_direct], -np.sqrt(3.0) * w, rtol=1e-4)
+    np.testing.assert_allclose(amb[2:, b_direct], 0.0, atol=1e-7)
+
+
+def test_box_room_reverb_tail_decays():
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), CFG,
+                                 absorption=np.full(12, 0.3, np.float32))
+    src = jnp.asarray([1.5, 0.5, 1.0])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    ir = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=4096, max_bounces=8)
+    e = np.asarray(ir.energy).mean(axis=0)
+    assert e.sum() > 0
+    # later quarters carry less energy than the early ones
+    q = e.reshape(4, -1).sum(axis=1)
+    assert q[0] > q[2] > 0
+    assert q[3] < q[1]
+    b = np.asarray(band_irs(ir))
+    assert b.shape == (4, CFG.ir_n_bins)
+
+
+# ---------------------------------------------------------------------------
+# partitioned convolution
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_conv_matches_numpy(rng):
+    B = 128
+    L = 1000
+    ir = rng.standard_normal(L).astype(np.float32)
+    x = rng.standard_normal(8 * B).astype(np.float32)
+    spectra = cp.partition_ir(jnp.asarray(ir), B)
+    state = cp.conv_init((), spectra.shape[0], B)
+    got = []
+    for b in range(8):
+        y, state = cp.conv_block(jnp.asarray(x[b * B : (b + 1) * B]), state, spectra)
+        got.append(np.asarray(y))
+    got = np.concatenate(got)
+    want = np.convolve(x, ir)[: 8 * B]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_partitioned_conv_batched_channels(rng):
+    B = 64
+    ir = rng.standard_normal((2, 300)).astype(np.float32)
+    x = rng.standard_normal((2, 4 * B)).astype(np.float32)
+    spectra = cp.partition_ir(jnp.asarray(ir), B)
+    state = cp.conv_init((2,), spectra.shape[1], B)
+    got = []
+    for b in range(4):
+        y, state = cp.conv_block(jnp.asarray(x[:, b * B : (b + 1) * B]), state, spectra)
+        got.append(np.asarray(y))
+    got = np.concatenate(got, axis=1)
+    for c in range(2):
+        want = np.convolve(x[c], ir[c])[: 4 * B]
+        np.testing.assert_allclose(got[c], want, rtol=1e-3, atol=1e-4)
+
+
+def test_crossfade_endpoints(rng):
+    B = 128
+    ir_a = rng.standard_normal(256).astype(np.float32)
+    ir_b = rng.standard_normal(256).astype(np.float32)
+    x = rng.standard_normal(B).astype(np.float32)
+    sa = cp.partition_ir(jnp.asarray(ir_a), B)
+    sb = cp.partition_ir(jnp.asarray(ir_b), B)
+    state = cp.conv_init((), sa.shape[0], B)
+    y_fade, _ = cp.conv_block_crossfade(jnp.asarray(x), state, sa, sb)
+    y_a, _ = cp.conv_block(jnp.asarray(x), state, sa)
+    y_b, _ = cp.conv_block(jnp.asarray(x), state, sb)
+    y_fade, y_a, y_b = (np.asarray(v) for v in (y_fade, y_a, y_b))
+    # fade starts (almost) at old IR and ends at new IR
+    w = (np.arange(B) + 1.0) / B
+    np.testing.assert_allclose(y_fade, y_a * (1 - w) + y_b * w, rtol=1e-4, atol=1e-6)
+
+
+def test_binaural_ir_spectra_roundtrip(rng, ):
+    # render an impulse through binaural spectra == offline amb conv + hrtf
+    from audio_raytracing_tpu.engine.system import default_hrtf
+    from audio_raytracing_tpu.ops.ambisonic import hrtf_decode_fft
+    from audio_raytracing_tpu.utils import quat
+
+    hl, hr = default_hrtf()
+    B = 128
+    amb_ir = rng.standard_normal((4, 512)).astype(np.float32) * np.exp(
+        -np.arange(512, dtype=np.float32) / 100.0
+    )
+    orient = quat.quat_from_roll_pitch_yaw(0.2, 1.1, 0.0)
+    spectra = cp.binaural_ir_spectra(
+        jnp.asarray(amb_ir), jnp.asarray(orient), jnp.asarray(hl), jnp.asarray(hr), B
+    )
+    # stream an impulse + silence through it
+    state = cp.conv_init((2,), spectra.shape[1], B)
+    x = np.zeros((2, B), np.float32)
+    x[:, 0] = 1.0
+    got = []
+    st = state
+    blocks = 6
+    for b in range(blocks):
+        y, st = cp.conv_block(jnp.asarray(x if b == 0 else np.zeros_like(x)), st, spectra)
+        got.append(np.asarray(y))
+    got = np.concatenate(got, axis=1)  # (2, blocks*B) = the combined IR
+    # reference: rotate channels then full conv with hrtf
+    xyz = amb_ir[1:4].T
+    rot = quat.rotate(np.asarray(orient)[None, :], xyz).T
+    amb_rot = np.concatenate([amb_ir[:1], rot], axis=0)
+    want_l = sum(np.convolve(amb_rot[c], hl[c]) for c in range(4))
+    want_r = sum(np.convolve(amb_rot[c], hr[c]) for c in range(4))
+    n = min(got.shape[1], len(want_l))
+    np.testing.assert_allclose(got[0, :n], want_l[:n], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got[1, :n], want_r[:n], rtol=1e-3, atol=1e-4)

@@ -1,0 +1,82 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates that the sharded tracer produces histograms identical to the
+single-device tracer (the psum over the "rays" axis must be a pure
+reshuffle of the same math), for both the 1-D rays mesh and the 2-D
+(sources, rays) mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_raytracing_tpu.config import DEFAULT_CONFIG
+from audio_raytracing_tpu.models.ir import trace_ir
+from audio_raytracing_tpu.models.scene import Scene, box_room
+from audio_raytracing_tpu.parallel.mesh import make_mesh, source_ray_mesh
+from audio_raytracing_tpu.parallel.sharding import (
+    trace_ir_sharded,
+    trace_irs_multi_source,
+)
+
+CFG = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048, rays_per_source=1024, max_bounces=4)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return Scene.from_triangles(
+        box_room(size=(6.0, 3.0, 5.0)), CFG,
+        absorption=np.full(12, 0.25, np.float32),
+    )
+
+
+def test_eight_cpu_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_trace_matches_single(scene):
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    mesh = make_mesh(8, ("rays",))
+    got = trace_ir_sharded(scene.device_arrays(), src, lst, mesh, cfg=CFG)
+    want = trace_ir(scene.device_arrays(), src, lst, cfg=CFG)
+    np.testing.assert_allclose(
+        np.asarray(got.energy), np.asarray(want.energy), rtol=1e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.dir_sum), np.asarray(want.dir_sum), rtol=1e-4, atol=1e-9
+    )
+
+
+def test_multi_source_mesh_matches_single(scene):
+    lst = jnp.asarray([0.0, 0.0, 0.0])
+    sources = jnp.asarray(
+        [
+            [1.0, 0.5, 0.5],
+            [-1.5, 0.0, 1.0],
+            [2.0, -0.5, -1.5],
+            [0.5, 1.0, 2.0],
+        ]
+    )
+    mesh = source_ray_mesh(8, n_sources_axis=4)
+    assert mesh.shape["sources"] == 4 and mesh.shape["rays"] == 2
+    got = trace_irs_multi_source(scene.device_arrays(), sources, lst, mesh, cfg=CFG)
+    assert got.energy.shape == (4, 4, CFG.ir_n_bins)
+    for s in range(4):
+        want = trace_ir(scene.device_arrays(), sources[s], lst, cfg=CFG)
+        np.testing.assert_allclose(
+            np.asarray(got.energy[s]), np.asarray(want.energy), rtol=1e-4, atol=1e-9
+        )
+
+
+def test_output_sharding_layout(scene):
+    """The multi-source result must actually be sharded over 'sources'."""
+    lst = jnp.asarray([0.0, 0.0, 0.0])
+    sources = jnp.zeros((8, 3)).at[:, 0].set(jnp.arange(8, dtype=jnp.float32) * 0.3 + 0.5)
+    mesh = source_ray_mesh(8, n_sources_axis=8)
+    got = trace_irs_multi_source(scene.device_arrays(), sources, lst, mesh, cfg=CFG)
+    shard_devs = {s.device.id for s in got.energy.addressable_shards}
+    assert len(shard_devs) == 8
