@@ -38,7 +38,8 @@ import numpy as np
 
 from ..config import Config, DEFAULT_CONFIG
 from ..ops.eq import EQ_FREQS
-from ..ops.intersect import nearest_hit, reflect
+from ..ops.histogram import bin_matmul, bin_segment
+from ..ops.intersect import nearest_hit, nearest_hit_mxu, reflect
 
 GOLDEN = (1.0 + 5.0**0.5) / 2.0
 
@@ -76,7 +77,7 @@ def direct_ir(scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG) -> I
     Split out so the sharded tracer (parallel/sharding.py) can add it on
     exactly one device before the histogram allreduce.
     """
-    v0, v1, v2, _, _ = scene_arrays
+    v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     n_bins = cfg.ir_n_bins
     bps = float(cfg.ir_bins_per_sample)
     spm = cfg.samples_per_meter
@@ -104,7 +105,10 @@ def direct_ir(scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG) -> I
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_rays", "max_bounces", "total_rays", "include_direct"),
+    static_argnames=(
+        "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
+        "intersector", "scatter",
+    ),
 )
 def trace_ir(
     scene_arrays,
@@ -116,6 +120,8 @@ def trace_ir(
     dirs=None,
     total_rays: int | None = None,
     include_direct: bool = True,
+    intersector: str = "mt",
+    scatter: str = "segment",
 ) -> ImpulseResponse:
     """Trace one source -> listener impulse response.
 
@@ -126,8 +132,22 @@ def trace_ir(
     total_rays / include_direct exist for the sharded path
     (parallel/sharding.py): each device traces its ray shard normalized by
     the *global* ray count, with the direct term added on one device only.
+
+    intersector: "mt" (exact Möller–Trumbore, VPU) or "mxu" (Woop-transform
+    matmuls on the systolic array — the fast path, see
+    ops/intersect.nearest_hit_mxu). scatter: "segment" (exact scatter-add)
+    or "matmul" (MXU one-hot binning, ops/histogram.py).
     """
-    v0, v1, v2, normals, absorption = scene_arrays
+    v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
+    normals, absorption = scene_arrays.normals, scene_arrays.absorption
+
+    if intersector == "mxu":
+        hit_fn = lambda o, d: nearest_hit_mxu(  # noqa: E731
+            o, d, scene_arrays.woop_d, scene_arrays.woop_o
+        )
+    else:
+        hit_fn = lambda o, d: nearest_hit(o, d, v0, v1, v2)  # noqa: E731
+    scatter_fn = bin_matmul if scatter == "matmul" else bin_segment
     n_rays = n_rays or cfg.rays_per_source
     max_bounces = max_bounces or cfg.max_bounces
     n_bins = cfg.ir_n_bins
@@ -149,28 +169,25 @@ def trace_ir(
 
     inv_n = 1.0 / float(total_rays or n_rays)
 
-    def bounce(carry, _):
+    def bounce_simple(carry, _):
         org, d, amp, path_dist, alive = carry
-        t, idx, hit = nearest_hit(org, d, v0, v1, v2)
+        t, idx, hit = hit_fn(org, d)
         alive = alive & hit
         t_safe = jnp.where(hit, t, 0.0)
         vertex = org + d * (t_safe * cfg.backoff)[:, None]
         idx_safe = jnp.maximum(idx, 0)
         n = normals[idx_safe]
-        # orient the normal against the incoming ray (both faces reflect)
         n = n * jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True) + 1e-30)
         path_dist = path_dist + jnp.where(alive, t_safe, 0.0)
         amp = amp * jnp.where(
             alive[:, None], jnp.sqrt(jnp.clip(1.0 - absorption[idx_safe], 0.0, 1.0)), 1.0
         )
 
-        # --- next-event estimation: connect vertex -> listener ---
         to_list = listener[None, :] - vertex
         d_l = jnp.linalg.norm(to_list, axis=-1)
         w_o = to_list / jnp.maximum(d_l, 1e-20)[:, None]
-        t_sh, _, sh_hit = nearest_hit(vertex, w_o, v0, v1, v2)
+        t_sh, _, sh_hit = hit_fn(vertex, w_o)
         visible = alive & (~sh_hit | (t_sh >= d_l))
-        # reflection strength (main.zig:710-722 generalized)
         h = w_o - d
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
         lam = jnp.abs(jnp.sum(n * w_o, axis=-1)) + jnp.power(
@@ -183,27 +200,23 @@ def trace_ir(
             * _air_absorption(d_total, cfg.air_absorption)
         )
         e_c = amp_c * amp_c * inv_n * jnp.where(visible, 1.0, 0.0)[:, None]
-        bins = jnp.clip((d_total * spm * bps + 0.5), 0, n_bins - 1).astype(jnp.int32)
-        bins = jnp.where(visible, bins, n_bins)  # overflow row, dropped
-        e_seg = jax.ops.segment_sum(e_c, bins, num_segments=n_bins + 1)[:-1]
         u = (vertex - listener[None, :]) / jnp.maximum(d_l, 1e-20)[:, None]
-        u_seg = jax.ops.segment_sum(
-            u * jnp.mean(e_c, axis=-1, keepdims=True), bins, num_segments=n_bins + 1
-        )[:-1]
+        # energy (4 bands) + energy-weighted direction (3) in ONE scatter
+        payload = jnp.concatenate(
+            [e_c, u * jnp.mean(e_c, axis=-1, keepdims=True)], axis=-1
+        )  # (R, 7)
+        bins = jnp.where(visible, jnp.clip((d_total * spm * bps + 0.5), 0, n_bins - 1), n_bins)
+        seg = scatter_fn(payload, bins.astype(jnp.int32), n_bins)
 
-        # --- specular continuation ---
         d_new = reflect(d, n)
-        org_new = vertex
-        return (org_new, jnp.where(alive[:, None], d_new, d), amp, path_dist, alive), (
-            e_seg,
-            u_seg,
-        )
+        return (vertex, jnp.where(alive[:, None], d_new, d), amp, path_dist, alive), seg
 
     amp0 = jnp.ones((n_rays, len(EQ_FREQS)), jnp.float32)
     carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))
-    _, (e_all, u_all) = jax.lax.scan(bounce, carry0, None, length=max_bounces)
-    energy = energy + jnp.sum(e_all, axis=0)
-    dir_sum = dir_sum + jnp.sum(u_all, axis=0)
+    _, seg_all = jax.lax.scan(bounce_simple, carry0, None, length=max_bounces)
+    seg = jnp.sum(seg_all, axis=0)  # (n_bins, 7)
+    energy = energy + seg[:, :4]
+    dir_sum = dir_sum + seg[:, 4:]
     return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T)
 
 

@@ -12,6 +12,7 @@ ops/intersect.py), keeping shapes jit-stable across scenes.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import numpy as np
 
@@ -22,6 +23,57 @@ from .bih import BIHArena, build_bih
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+class SceneArrays(NamedTuple):
+    """Device-resident scene pytree (all padded to the triangle_pad).
+
+    woop_d/woop_o are the per-triangle world->unit-triangle transforms
+    laid out for MXU intersection (ops/intersect.nearest_hit_mxu): columns
+    grouped [x'(T) | y'(T) | z'(T)] so the (R, 3T) matmul output slices
+    into contiguous (R, T) component blocks. Padded triangles have
+    all-zero columns and woop_o offsets (-1, -1, -1), which fail every
+    validity test.
+    """
+
+    v0: object
+    v1: object
+    v2: object
+    normals: object
+    absorption: object
+    woop_d: object  # (3, 3T) f32: d' = dirs @ woop_d
+    woop_o: object  # (4, 3T) f32: o' = [origins, 1] @ woop_o
+
+
+def woop_transforms(tris: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-triangle affine transforms into unit-triangle space.
+
+    For triangle (a, b, c): M = inv([b-a, c-a, (b-a)x(c-a)]) (columns);
+    p' = M (p - a). A hit solves o' + t d' with t = -o'_z / d'_z,
+    u = o'_x + t d'_x, v = o'_y + t d'_y; valid iff u,v >= 0, u+v <= 1.
+    Degenerate (padding) triangles get zero columns + offset -1.
+    """
+    tris = np.asarray(tris, np.float64)
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    e1, e2 = b - a, c - a
+    n = np.cross(e1, e2)
+    m = np.stack([e1, e2, n], axis=-1)  # (T, 3, 3) columns
+    det = np.linalg.det(m)
+    ok = np.abs(det) > 1e-18
+    m_safe = np.where(ok[:, None, None], m, np.eye(3)[None])
+    minv = np.linalg.inv(m_safe)  # (T, 3, 3): p' = minv @ (p - a)
+    minv = np.where(ok[:, None, None], minv, 0.0)
+    offs = -np.einsum("tij,tj->ti", minv, a)  # (T, 3)
+    offs = np.where(ok[:, None], offs, -1.0)
+    T = tris.shape[0]
+    # layout: columns grouped by output component
+    woop_d = np.zeros((3, 3 * T), np.float32)
+    woop_o = np.zeros((4, 3 * T), np.float32)
+    for k in range(3):  # output component x', y', z'
+        woop_d[:, k * T : (k + 1) * T] = minv[:, k, :].T
+        woop_o[:3, k * T : (k + 1) * T] = minv[:, k, :].T
+        woop_o[3, k * T : (k + 1) * T] = offs[:, k]
+    return woop_d, woop_o
 
 
 @dataclass
@@ -84,16 +136,20 @@ class Scene:
     def from_mesh(cls, mesh: ObjMesh, cfg: Config = DEFAULT_CONFIG, absorption=None) -> "Scene":
         return cls.from_triangles(mesh.triangles(), cfg, absorption)
 
-    def device_arrays(self):
-        """(v0, v1, v2, normals, absorption) as jnp arrays."""
+    def device_arrays(self) -> SceneArrays:
         import jax.numpy as jnp
 
-        return (
-            jnp.asarray(self.v0),
-            jnp.asarray(self.v1),
-            jnp.asarray(self.v2),
-            jnp.asarray(self.normals),
-            jnp.asarray(self.absorption),
+        woop_d, woop_o = woop_transforms(
+            np.stack([self.v0, self.v1, self.v2], axis=1)
+        )
+        return SceneArrays(
+            v0=jnp.asarray(self.v0),
+            v1=jnp.asarray(self.v1),
+            v2=jnp.asarray(self.v2),
+            normals=jnp.asarray(self.normals),
+            absorption=jnp.asarray(self.absorption),
+            woop_d=jnp.asarray(woop_d),
+            woop_o=jnp.asarray(woop_o),
         )
 
 

@@ -88,6 +88,54 @@ def nearest_hit(origins, dirs, tri_v0, tri_v1, tri_v2, eps: float = EPS):
 nearest_hit_jit = jax.jit(nearest_hit)
 
 
+def nearest_hit_mxu(origins, dirs, woop_d, woop_o, eps: float = EPS,
+                    precision=jax.lax.Precision.HIGH):
+    """MXU-formulated nearest hit via per-triangle Woop transforms.
+
+    The Möller–Trumbore arithmetic above is pure VPU elementwise work
+    (~50 flops per ray-triangle pair), which caps throughput at the vector
+    unit's rate. Reformulated with precomputed world->unit-triangle affine
+    transforms (models/scene.woop_transforms), the bulk of the arithmetic
+    becomes two dense matmuls that run on the 128x128 systolic array:
+
+        d' = dirs @ woop_d            (R, 3) @ (3, 3T)
+        o' = [origins, 1] @ woop_o    (R, 4) @ (4, 3T)
+        t = -o'_z / d'_z;  u = o'_x + t d'_x;  v = o'_y + t d'_y
+        hit iff u >= 0, v >= 0, u + v <= 1, t >= eps, |d'_z| > tiny
+
+    leaving ~12 VPU ops per pair. Semantics match nearest_hit up to
+    floating-point formulation (the eps test is on d'_z = det/|n|^2 rather
+    than the raw determinant); differential tests accept boundary-epsilon
+    disagreements. precision=HIGH runs the MXU in bf16x3 (~2^-21 relative
+    error — centimeter-exact delays for any plausible scene scale) at half
+    the cost of HIGHEST.
+
+    Returns (t, tri_idx, hit) like nearest_hit.
+    """
+    d = normalize(dirs)
+    T = woop_d.shape[1] // 3
+    dp = jnp.dot(d, woop_d, precision=precision)  # (R, 3T)
+    ones = jnp.ones(origins.shape[:-1] + (1,), origins.dtype)
+    op = jnp.dot(jnp.concatenate([origins, ones], axis=-1), woop_o, precision=precision)
+    ox, oy, oz = op[:, :T], op[:, T : 2 * T], op[:, 2 * T :]
+    dx, dy, dz = dp[:, :T], dp[:, T : 2 * T], dp[:, 2 * T :]
+    t = -oz / dz
+    u = ox + t * dx
+    v = oy + t * dy
+    valid = (
+        (jnp.abs(dz) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= eps)
+    )
+    t = jnp.where(valid, t, NO_HIT)
+    tri_idx = jnp.argmin(t, axis=1)
+    t_min = jnp.min(t, axis=1)
+    hit = jnp.isfinite(t_min)
+    return t_min, jnp.where(hit, tri_idx, -1), hit
+
+
 def reflect(dirs, normals):
     """Specular reflection d' = d - 2 (d.n) n (unit in, unit out)."""
     return dirs - 2.0 * jnp.sum(dirs * normals, axis=-1, keepdims=True) * normals

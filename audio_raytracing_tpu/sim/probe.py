@@ -93,7 +93,8 @@ def _safe_unit(v, eps=1e-20):
 
 def environment_probe(scene_arrays, listener, cfg: Config = DEFAULT_CONFIG) -> EnvironmentProbe:
     """14-ray probe from the listener (main.zig:544-596)."""
-    v0, v1, v2, normals, _ = scene_arrays
+    v0, v1, v2, normals = (scene_arrays.v0, scene_arrays.v1,
+                            scene_arrays.v2, scene_arrays.normals)
     dirs = jnp.asarray(SPHERE_PATTERN_UNIT)
     origins = jnp.broadcast_to(listener, (N_PROBE, 3))
     t, idx, hit = nearest_hit(origins, dirs, v0, v1, v2)
@@ -116,7 +117,7 @@ def occlusion_lengths(scene_arrays, listener, positions, cfg: Config = DEFAULT_C
 
     positions: (V, 3). Returns (V,) f32.
     """
-    v0, v1, v2, _, _ = scene_arrays
+    v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     to_src = positions - listener[None, :]
     colocated = jnp.sum(to_src * to_src, axis=-1) < cfg.occlusion_colocated_eps
     # guard zero dirs for the normalize inside nearest_hit
@@ -141,7 +142,7 @@ def reflections(scene_arrays, listener, positions, probe: EnvironmentProbe,
     Returns (refl_dist (V,6), refl_lam (V,6)); bin order
     [x+, x-, y+, y-, z+, z-].
     """
-    v0, v1, v2, _, _ = scene_arrays
+    v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     V = positions.shape[0]
     H = N_PROBE
 

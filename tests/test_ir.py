@@ -196,3 +196,34 @@ def test_binaural_ir_spectra_roundtrip(rng, ):
     n = min(got.shape[1], len(want_l))
     np.testing.assert_allclose(got[0, :n], want_l[:n], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(got[1, :n], want_r[:n], rtol=1e-3, atol=1e-4)
+
+
+def test_intersector_backends_agree():
+    """MXU Woop path vs exact MT path: same histograms (within fp tolerance)."""
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), CFG,
+                                 absorption=np.full(12, 0.2, np.float32))
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    a = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=2048,
+                 max_bounces=4, intersector="mt")
+    b = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=2048,
+                 max_bounces=4, intersector="mxu")
+    ea, eb = np.asarray(a.energy), np.asarray(b.energy)
+    # identical support and near-identical values (boundary-eps rays may
+    # differ); compare total and per-bin with a small tolerance
+    np.testing.assert_allclose(eb.sum(), ea.sum(), rtol=1e-3)
+    np.testing.assert_allclose(eb, ea, rtol=1e-2, atol=1e-7)
+
+
+def test_scatter_backends_agree():
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), CFG,
+                                 absorption=np.full(12, 0.2, np.float32))
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    a = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=2048,
+                 max_bounces=4, scatter="segment")
+    b = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=2048,
+                 max_bounces=4, scatter="matmul")
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=1e-3, atol=1e-9
+    )
