@@ -1,0 +1,121 @@
+"""Offline renderers: WAV in -> spatialized stereo WAV out.
+
+Two paths, matching the two halves of the framework:
+
+  * render_engine_offline — replay the interactive engine (SoundSystem)
+    without a real-time clock: fixed-timestep listener trajectory, acoustic
+    re-trace per frame (main.zig's per-frame update block), audio pulled in
+    scanned block batches. Produces exactly what the reference app would
+    have played through SDL.
+
+  * render_ir_offline — the IR-pipeline path (BASELINE config 3): trace a
+    full ambisonic impulse response per source with the wavefront tracer,
+    convolve each dry signal with its IR in the frequency domain, rotate by
+    listener orientation and decode through the MagLS HRTF bank.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, DEFAULT_CONFIG
+from ..models.ir import ImpulseResponse, ambisonic_ir, trace_ir
+from ..models.scene import Scene
+from ..ops.conv_partitioned import convolve_offline
+from ..ops.ambisonic import hrtf_decode_fft
+from ..utils import quat
+from .system import SoundSystem, default_hrtf
+
+
+def render_engine_offline(
+    scene: Scene,
+    sounds: Sequence[np.ndarray],
+    events: Sequence[dict],
+    listener_track,
+    duration_s: float,
+    cfg: Config = DEFAULT_CONFIG,
+    updates_per_second: float = 10.0,
+    hrtf=None,
+) -> np.ndarray:
+    """Replay the interactive engine offline.
+
+    sounds: mono float32 arrays. events: [{"t": sec, "sound": id,
+    "pos": (3,), "gain": g, "repeat": bool}]. listener_track(t) ->
+    (pos (3,), yaw, pitch). Acoustics re-traced at updates_per_second (the
+    decoupled ~10 Hz rate the reference's own comment recommends,
+    main.zig:518-521). Returns (n, 2) float32 stereo at cfg.sample_rate.
+    """
+    system = SoundSystem(scene=scene, cfg=cfg, hrtf=hrtf)
+    sids = [system.load_sound(s) for s in sounds]
+    pending = sorted(events, key=lambda e: e["t"])
+    n_total = int(duration_s * cfg.sample_rate)
+    step = max(1, int(cfg.sample_rate / updates_per_second / cfg.block_size)) * cfg.block_size
+    out = []
+    t_samples = 0
+    while t_samples < n_total:
+        t = t_samples / cfg.sample_rate
+        while pending and pending[0]["t"] <= t:
+            e = pending.pop(0)
+            system.play_sound(
+                sids[e["sound"]], pos=e["pos"], gain=e.get("gain", 1.0),
+                repeat=e.get("repeat", False),
+            )
+        pos, yaw, pitch = listener_track(t)
+        system.set_listener(pos, yaw=yaw, pitch=pitch)
+        system.update_acoustics()
+        n = min(step, n_total - t_samples)
+        out.append(system.render(n))
+        t_samples += out[-1].shape[0]
+    return np.concatenate(out, axis=0)[:n_total]
+
+
+def render_ir_offline(
+    scene: Scene,
+    sources: Sequence[dict],
+    listener_pos,
+    listener_yaw: float = 0.0,
+    listener_pitch: float = 0.0,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+    hrtf=None,
+    intersector: str = "mt",
+) -> np.ndarray:
+    """Physically-based offline render via traced impulse responses.
+
+    sources: [{"samples": mono f32, "pos": (3,), "gain": g}]. Each source's
+    ambisonic IR is traced on device, the dry signal convolved with all 4
+    IR channels, the summed ambisonic bed rotated by the listener
+    orientation and HRTF-decoded to stereo. Returns (n + ir - 1, 2) f32.
+    """
+    hl, hr = hrtf if hrtf is not None else default_hrtf()
+    arrays = scene.device_arrays()
+    listener = jnp.asarray(listener_pos, jnp.float32)
+    orient = quat.quat_from_roll_pitch_yaw(
+        np.float32(listener_pitch), np.float32(listener_yaw), np.float32(0.0)
+    )
+
+    n_max = max(len(s["samples"]) for s in sources)
+    amb_total = None
+    for s in sources:
+        ir = trace_ir(
+            arrays, jnp.asarray(s["pos"], jnp.float32), listener, cfg=cfg,
+            n_rays=n_rays, max_bounces=max_bounces, intersector=intersector,
+        )
+        amb = ambisonic_ir(ir)  # (4, L)
+        dry = jnp.asarray(np.pad(np.asarray(s["samples"], np.float32), (0, n_max - len(s["samples"]))))
+        wet = convolve_offline(dry[None, :] * float(s.get("gain", 1.0)), amb)  # (4, n+L-1)
+        amb_total = wet if amb_total is None else amb_total + wet
+
+    # rotate the summed bed by the listener orientation, then decode
+    xyz = amb_total[1:4].T
+    rot = quat.rotate(jnp.asarray(orient)[None, :], xyz).T
+    amb_rot = jnp.concatenate([amb_total[:1], rot], axis=0)
+    stereo = hrtf_decode_fft(amb_rot, jnp.asarray(hl), jnp.asarray(hr))
+    return np.asarray(stereo)

@@ -203,25 +203,21 @@ class SoundSystem:
         n//block + 1, then sweeps finished voices."""
         n = self.cfg.block_size
         total_frames = n_samples // n + 1
-        out = []
-        remaining = n_samples
-        fi = 0
-        while remaining > 0:
-            block, self.state = V.render_block(
-                self._arena,
-                self.state,
-                self.params,
-                jnp.asarray(self.listener),
-                jnp.asarray(self.orientation),
-                self.hrtf_l,
-                self.hrtf_r,
-                fi,
-                total_frames,
-                cfg=self.cfg,
-            )
-            out.append(np.asarray(block))
-            fi += 1
-            remaining -= n
+        n_blocks = -(-n_samples // n)
+        out, self.state = V.render_blocks(
+            self._arena,
+            self.state,
+            self.params,
+            jnp.asarray(self.listener),
+            jnp.asarray(self.orientation),
+            self.hrtf_l,
+            self.hrtf_r,
+            0,
+            total_frames,
+            n_blocks,
+            cfg=self.cfg,
+        )
+        out = [np.asarray(out)]
         # sweep finished voices (zig:164-171)
         vt = self.state.voices
         fin = np.asarray(vt.finished)

@@ -89,8 +89,7 @@ def init_state(cfg: Config = DEFAULT_CONFIG) -> EngineState:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def render_block(
+def _render_block_impl(
     arena,
     state: EngineState,
     params: VoiceParams,
@@ -207,3 +206,42 @@ def render_block(
         overlap=carry,
     )
     return out, new_state
+
+
+render_block = partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))(
+    _render_block_impl
+)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_blocks"), donate_argnames=("state",))
+def render_blocks(
+    arena,
+    state: EngineState,
+    params: VoiceParams,
+    listener,
+    orientation,
+    hrtf_l,
+    hrtf_r,
+    first_frame_index,
+    total_frames,
+    n_blocks: int,
+    cfg: Config = DEFAULT_CONFIG,
+):
+    """Render n_blocks consecutive blocks in one compiled scan.
+
+    One device dispatch for n_blocks * block_size samples — the throughput
+    path for offline rendering and for amortizing host->device dispatch
+    latency in streaming use. Semantically identical to n_blocks calls of
+    render_block with frame_index = first_frame_index + i.
+    Returns (stereo (n_blocks * block, 2), state).
+    """
+
+    def step(st, i):
+        out, st = _render_block_impl(
+            arena, st, params, listener, orientation, hrtf_l, hrtf_r,
+            first_frame_index + i, total_frames, cfg=cfg,
+        )
+        return st, out
+
+    state, outs = jax.lax.scan(step, state, jnp.arange(n_blocks))
+    return outs.reshape(n_blocks * cfg.block_size, 2), state

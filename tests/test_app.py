@@ -1,0 +1,120 @@
+"""App layer tests: input mapping semantics, camera parity, demo driver,
+offline renderers."""
+
+import math
+
+import numpy as np
+
+from audio_raytracing_tpu.app.camera import Camera
+from audio_raytracing_tpu.app.input import GameInput, Input
+from audio_raytracing_tpu.config import DEFAULT_CONFIG
+
+
+def test_input_edges_and_decay():
+    inp = Input()
+    inp.bind_key("w", GameInput.FORWARD)
+    inp.bind_mouse("left", GameInput.FIRE)
+    inp.accumulate({"type": "key_down", "code": "w"})
+    s = inp.peek(GameInput.FORWARD)
+    assert s.held and s.pressed and not s.released
+    inp.decay()
+    s = inp.peek(GameInput.FORWARD)
+    assert s.held and not s.pressed  # edges cleared, held persists
+    inp.accumulate({"type": "key_up", "code": "w"})
+    s = inp.peek(GameInput.FORWARD)
+    assert not s.held and s.released
+    # unmapped events ignored
+    inp.accumulate({"type": "key_down", "code": "q"})
+    # mouse motion accumulates delta until decay
+    inp.accumulate({"type": "mouse_motion", "pos": (5, 5), "rel": (2.0, 1.0)})
+    inp.accumulate({"type": "mouse_motion", "pos": (7, 6), "rel": (2.0, 1.0)})
+    np.testing.assert_allclose(inp.mouse_delta, [4.0, 2.0])
+    inp.decay()
+    np.testing.assert_allclose(inp.mouse_delta, [0.0, 0.0])
+
+
+def test_camera_movement_and_clamp():
+    cfg = DEFAULT_CONFIG
+    inp = Input()
+    inp.bind_key("w", GameInput.FORWARD)
+    cam = Camera()
+    inp.accumulate({"type": "key_down", "code": "w"})
+    for _ in range(cfg.ticks_per_second):  # 1 second forward
+        cam.update(inp, cfg)
+    # speed 2 m/s along +x at yaw 0 (main.zig:976, 988-993)
+    np.testing.assert_allclose(cam.pos, [2.0, 0.0, 0.0], atol=0.02)
+    # pitch clamp at +-0.49 pi
+    inp.accumulate({"type": "mouse_motion", "pos": (0, 0), "rel": (0.0, -1e6)})
+    cam.update(inp, cfg)
+    assert abs(cam.pitch - 0.49 * math.pi) < 1e-6
+
+
+def test_camera_vp_finite():
+    cam = Camera()
+    cam.pos = np.float32([1.0, 2.0, 3.0])
+    cam.yaw, cam.pitch = 0.7, -0.2
+    cam.prev_pos, cam.prev_yaw, cam.prev_pitch = cam.pos, cam.yaw, cam.pitch
+    m = cam.vp(alpha=1.0)
+    assert m.shape == (4, 4) and np.isfinite(m).all()
+
+
+def test_demo_runs_and_produces_audio():
+    import dataclasses
+
+    from audio_raytracing_tpu.app.demo import Demo, default_script
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_voices=8)
+    demo = Demo(cfg=cfg)
+    audio = demo.run(0.6, script=default_script)
+    assert audio.shape[1] == 2
+    assert audio.shape[0] >= int(0.5 * cfg.sample_rate)
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() > 1e-6  # music is audible
+    # the scripted walk moved the camera
+    assert np.linalg.norm(demo.camera.pos) > 0.5
+
+
+def test_render_ir_offline():
+    import dataclasses
+
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+    from audio_raytracing_tpu.models.scene import Scene, box_room
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048, rays_per_source=512, max_bounces=3)
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), cfg)
+    t = np.arange(2000) / cfg.sample_rate
+    dry = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out = render_ir_offline(
+        scene,
+        [{"samples": dry, "pos": [1.5, 0.5, 1.0], "gain": 1.0}],
+        listener_pos=[-1.0, 0.0, -1.0],
+        listener_yaw=0.4,
+        cfg=cfg,
+    )
+    assert out.shape[1] == 2 and np.isfinite(out).all()
+    assert np.abs(out).max() > 1e-6
+
+
+def test_render_engine_offline():
+    import dataclasses
+
+    from audio_raytracing_tpu.engine.renderer import render_engine_offline
+    from audio_raytracing_tpu.models.scene import Scene, box_room
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_voices=4)
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), cfg)
+    tone = (0.5 * np.sin(2 * np.pi * 330 * np.arange(4000) / cfg.sample_rate)).astype(np.float32)
+
+    def track(t):
+        return np.float32([t * 0.5, 0.0, 0.0]), 0.1 * t, 0.0
+
+    out = render_engine_offline(
+        scene,
+        [tone],
+        [{"t": 0.0, "sound": 0, "pos": [2.0, 0.0, 1.0], "gain": 0.8, "repeat": True}],
+        track,
+        duration_s=0.5,
+        cfg=cfg,
+    )
+    assert out.shape == (int(0.5 * cfg.sample_rate), 2)
+    assert np.isfinite(out).all() and np.abs(out).max() > 1e-6
