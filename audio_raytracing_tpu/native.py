@@ -1,0 +1,145 @@
+"""ctypes bindings for the native host runtime (native/arbih.cpp).
+
+The reference's host-side native code (Zig: BIH builder, OBJ parser, ray
+queries) maps to a small C++ library here, loaded via ctypes with a
+transparent NumPy fallback: every entry point has identical semantics to
+its Python implementation (bit-identical BIH arenas), so the framework
+works without the library and accelerates host-side work when it is built
+(`make -C native`). Build on import is attempted once if a compiler is
+available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+LIB_PATH = NATIVE_DIR / "libarbih.so"
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(NATIVE_DIR)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(LIB_PATH))
+    except OSError:
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.arbih_build.restype = ctypes.c_int32
+    lib.arbih_build.argtypes = [
+        f32p, f32p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, f32p, f32p, i32p, i32p, i32p, i32p, f32p, f32p, i32p,
+    ]
+    lib.arbih_nearest_hit.restype = None
+    lib.arbih_nearest_hit.argtypes = [
+        f32p, ctypes.c_int32, f32p, f32p, ctypes.c_int32, f32p, i32p,
+    ]
+    lib.arbih_parse_obj.restype = ctypes.c_int32
+    lib.arbih_parse_obj.argtypes = [ctypes.c_char_p, ctypes.c_int64, f32p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _ip(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def build_bih_native(aabb_low, aabb_high, values, max_leaf_size: int = 8):
+    """Native BIH build; returns a models.bih.BIHArena identical to the
+    NumPy builder's, or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    from .models.bih import BIHArena
+
+    low = np.ascontiguousarray(aabb_low, np.float32)
+    high = np.ascontiguousarray(aabb_high, np.float32)
+    vals = np.ascontiguousarray(values, np.int32)
+    n = len(vals)
+    null_f = ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
+    null_i = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+    n_nodes = lib.arbih_build(
+        _fp(low), _fp(high), _ip(vals), n, max_leaf_size, 1,
+        null_i, null_f, null_f, null_i, null_i, null_i, null_i,
+        null_f, null_f, null_i,
+    )
+    if n_nodes < 0:
+        return None
+    axis = np.empty(n_nodes, np.int32)
+    left_max = np.empty(n_nodes, np.float32)
+    right_min = np.empty(n_nodes, np.float32)
+    left = np.empty(n_nodes, np.int32)
+    right = np.empty(n_nodes, np.int32)
+    leaf_start = np.empty(n_nodes, np.int32)
+    leaf_count = np.empty(n_nodes, np.int32)
+    out_low = np.empty((n, 3), np.float32)
+    out_high = np.empty((n, 3), np.float32)
+    out_vals = np.empty(n, np.int32)
+    lib.arbih_build(
+        _fp(low), _fp(high), _ip(vals), n, max_leaf_size, 0,
+        _ip(axis), _fp(left_max), _fp(right_min), _ip(left), _ip(right),
+        _ip(leaf_start), _ip(leaf_count), _fp(out_low), _fp(out_high), _ip(out_vals),
+    )
+    return BIHArena(
+        axis=axis, left_max=left_max, right_min=right_min, left=left,
+        right=right, leaf_start=leaf_start, leaf_count=leaf_count,
+        aabb_low=out_low, aabb_high=out_high, values=out_vals,
+    )
+
+
+def nearest_hit_native(tris, origins, dirs):
+    """Native brute-force MT nearest hit. tris (T,3,3); origins/dirs (R,3).
+    Returns (t (R,), idx (R,)) or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    tris = np.ascontiguousarray(tris, np.float32).reshape(-1, 9)
+    origins = np.ascontiguousarray(origins, np.float32)
+    dirs = np.ascontiguousarray(dirs, np.float32)
+    r = origins.shape[0]
+    out_t = np.empty(r, np.float32)
+    out_i = np.empty(r, np.int32)
+    lib.arbih_nearest_hit(
+        _fp(tris), tris.shape[0], _fp(origins), _fp(dirs), r, _fp(out_t), _ip(out_i)
+    )
+    return out_t, out_i
+
+
+def parse_obj_native(text: str):
+    """Native OBJ triangle-soup parse. Returns (T, 3, 3) positions or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    raw = text.encode()
+    n = lib.arbih_parse_obj(raw, len(raw), ctypes.cast(None, ctypes.POINTER(ctypes.c_float)))
+    if n < 0:
+        return None
+    out = np.empty((n, 3, 3), np.float32)
+    lib.arbih_parse_obj(raw, len(raw), _fp(out))
+    return out
