@@ -169,19 +169,38 @@ def trace_ir(
 
     inv_n = 1.0 / float(total_rays or n_rays)
 
+    # triangle attributes fetched by one-hot matmul instead of row gathers:
+    # TPU scatter/gather serializes, a (R, T) @ (T, 7) contraction does not
+    tri_attrs = jnp.concatenate(
+        [normals, jnp.sqrt(jnp.clip(1.0 - absorption, 0.0, 1.0))], axis=1
+    )  # (T, 3 + n_bands)
+    n_tris_padded = tri_attrs.shape[0]
+
+    def _pow_spec(x):
+        # specular exponent as repeated squaring when it is a power of two
+        # (16 in the reference) — jnp.power is a transcendental on TPU
+        e = cfg.specular_exponent
+        if float(e).is_integer() and int(e) > 0 and (int(e) & (int(e) - 1)) == 0:
+            k = int(e)
+            while k > 1:
+                x = x * x
+                k //= 2
+            return x
+        return jnp.power(x, e)
+
     def bounce_simple(carry, _):
         org, d, amp, path_dist, alive = carry
         t, idx, hit = hit_fn(org, d)
         alive = alive & hit
         t_safe = jnp.where(hit, t, 0.0)
         vertex = org + d * (t_safe * cfg.backoff)[:, None]
-        idx_safe = jnp.maximum(idx, 0)
-        n = normals[idx_safe]
+        onehot = (jnp.arange(n_tris_padded)[None, :] == idx[:, None]).astype(jnp.float32)
+        attrs = jnp.dot(onehot, tri_attrs, precision=jax.lax.Precision.HIGHEST)
+        n = attrs[:, :3]
+        keep_amp = attrs[:, 3:]
         n = n * jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True) + 1e-30)
         path_dist = path_dist + jnp.where(alive, t_safe, 0.0)
-        amp = amp * jnp.where(
-            alive[:, None], jnp.sqrt(jnp.clip(1.0 - absorption[idx_safe], 0.0, 1.0)), 1.0
-        )
+        amp = amp * jnp.where(alive[:, None], keep_amp, 1.0)
 
         to_list = listener[None, :] - vertex
         d_l = jnp.linalg.norm(to_list, axis=-1)
@@ -190,8 +209,8 @@ def trace_ir(
         visible = alive & (~sh_hit | (t_sh >= d_l))
         h = w_o - d
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
-        lam = jnp.abs(jnp.sum(n * w_o, axis=-1)) + jnp.power(
-            jnp.maximum(jnp.sum(n * h, axis=-1), 0.0), cfg.specular_exponent
+        lam = jnp.abs(jnp.sum(n * w_o, axis=-1)) + _pow_spec(
+            jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
         )
         d_total = path_dist + d_l
         amp_c = (

@@ -110,8 +110,14 @@ class Scene:
 
         low = tris.min(axis=1)
         high = tris.max(axis=1)
-        # payload = base-vertex index i (multiple of 3), as in main.zig:410
-        bih = build_bih(low, high, np.arange(t_true, dtype=np.int32) * 3, cfg.bih_max_leaf_size)
+        # payload = base-vertex index i (multiple of 3), as in main.zig:410;
+        # native C++ builder when available (bit-identical arenas)
+        from .. import native as _native
+
+        values = np.arange(t_true, dtype=np.int32) * 3
+        bih = _native.build_bih_native(low, high, values, cfg.bih_max_leaf_size)
+        if bih is None:
+            bih = build_bih(low, high, values, cfg.bih_max_leaf_size)
 
         t_pad = max(_round_up(t_true, cfg.triangle_pad), cfg.triangle_pad)
         pad = t_pad - t_true
