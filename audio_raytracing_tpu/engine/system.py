@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import Config, DEFAULT_CONFIG
 from ..models.scene import Scene
 from ..sim.probe import VoiceParams, acoustic_update
-from ..utils import quat
+from ..utils import profiling, quat
 from ..utils.wav import load_sound as load_wav_mono
 from . import voices as V
 from ..ops.reverb import DEFAULT_FEEDBACK_GAIN
@@ -180,13 +180,14 @@ class SoundSystem:
         if self.scene is None:
             raise RuntimeError("SoundSystem has no scene")
         vt = self.state.voices
-        params = acoustic_update(
+        with profiling.span("update"):  # cf. main.zig:525-526
+            params = acoustic_update(
             self._scene_arrays,
-            jnp.asarray(self.listener),
-            vt.pos,
-            vt.active & ~vt.finished,
-            cfg=self.cfg,
-        )
+                jnp.asarray(self.listener),
+                vt.pos,
+                vt.active & ~vt.finished,
+                cfg=self.cfg,
+            )
         # keep reverb feedback default when no coupling was traced? No —
         # the reference overwrites with the coupling (main.zig:785).
         self.params = params
@@ -204,19 +205,20 @@ class SoundSystem:
         n = self.cfg.block_size
         total_frames = n_samples // n + 1
         n_blocks = -(-n_samples // n)
-        out, self.state = V.render_blocks(
-            self._arena,
-            self.state,
-            self.params,
-            jnp.asarray(self.listener),
-            jnp.asarray(self.orientation),
-            self.hrtf_l,
-            self.hrtf_r,
-            0,
-            total_frames,
-            n_blocks,
-            cfg=self.cfg,
-        )
+        with profiling.span("callback"):  # cf. sound_system.zig:133-134
+            out, self.state = V.render_blocks(
+                self._arena,
+                self.state,
+                self.params,
+                jnp.asarray(self.listener),
+                jnp.asarray(self.orientation),
+                self.hrtf_l,
+                self.hrtf_r,
+                0,
+                total_frames,
+                n_blocks,
+                cfg=self.cfg,
+            )
         out = [np.asarray(out)]
         # sweep finished voices (zig:164-171)
         vt = self.state.voices
@@ -232,3 +234,42 @@ class SoundSystem:
                 h: s for h, s in self._handles.items() if not fin[s]
             }
         return np.concatenate(out, axis=0)
+
+    # --- checkpoint / resume ------------------------------------------------
+
+    def save_state(self, path) -> None:
+        """Serialize the full engine state (voice table, reverb, overlap,
+        params, handles) to .npz — checkpoint/resume for long offline
+        renders (the reference has no equivalent; SURVEY.md §5)."""
+        import jax
+
+        flat = {}
+        for prefix, tree in (("state", self.state), ("params", self.params)):
+            leaves, _ = jax.tree.flatten(tree)
+            for i, leaf in enumerate(leaves):
+                flat[f"{prefix}_{i}"] = np.asarray(leaf)
+        handles = np.asarray(sorted(self._handles.items()), np.int64).reshape(-1, 2)
+        np.savez_compressed(
+            path,
+            listener=self.listener,
+            orientation=self.orientation,
+            handles=handles,
+            next_handle=np.int64(self._next_handle),
+            **flat,
+        )
+
+    def load_state(self, path) -> None:
+        import jax
+
+        with np.load(path) as z:
+            for prefix, tree_name in (("state", "state"), ("params", "params")):
+                tree = getattr(self, tree_name)
+                leaves, treedef = jax.tree.flatten(tree)
+                new_leaves = [
+                    jnp.asarray(z[f"{prefix}_{i}"]) for i in range(len(leaves))
+                ]
+                setattr(self, tree_name, jax.tree.unflatten(treedef, new_leaves))
+            self.listener = z["listener"]
+            self.orientation = z["orientation"]
+            self._handles = {int(h): int(s) for h, s in z["handles"]}
+            self._next_handle = int(z["next_handle"])

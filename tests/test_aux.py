@@ -1,0 +1,92 @@
+"""Auxiliary subsystems: Space parity API, software rasterizer, profiling
+spans, engine checkpoint/resume."""
+
+import numpy as np
+
+from audio_raytracing_tpu.app.camera import Camera
+from audio_raytracing_tpu.app.render import render_frame, write_ppm
+from audio_raytracing_tpu.engine.system import SoundSystem
+from audio_raytracing_tpu.models.scene import Scene, box_room
+from audio_raytracing_tpu.models.space import Space, SpaceBuilder
+from audio_raytracing_tpu.utils import profiling
+
+
+def test_space_builder_parity(rng):
+    b = SpaceBuilder()
+    boxes = []
+    for i in range(60):
+        c = (rng.random(3, dtype=np.float32) - 0.5) * 20
+        d = rng.random(3, dtype=np.float32) * 5 + 0.01
+        b.add(c - d, c + d, i)
+        boxes.append((c - d, c + d))
+    space = b.finish()
+    assert space.depth() >= 2
+    vals, dists = space.raycast([0, 0, 0], [1, 0.2, -0.1], capacity=128)
+    assert np.all(np.diff(dists) >= 0)
+    # every reported candidate's slab distance checks out against its box
+    from audio_raytracing_tpu.models.bih import slab_entry_distances
+
+    d = np.float32([1, 0.2, -0.1])
+    d /= np.linalg.norm(d)
+    for v, t in zip(vals, dists):
+        low, high = boxes[int(v)]
+        got = slab_entry_distances(low[None], high[None], np.zeros(3, np.float32), d)
+        np.testing.assert_allclose(t, got[0], rtol=1e-5)
+
+
+def test_space_save_load(tmp_path):
+    b = SpaceBuilder()
+    b.add([0, 0, 0], [1, 1, 1], 0)
+    b.add([2, 0, 0], [3, 1, 1], 1)
+    s = b.finish()
+    s.save(tmp_path / "space.npz")
+    s2 = Space.load(tmp_path / "space.npz")
+    v1, d1 = s.raycast([-1, 0.5, 0.5], [1, 0, 0])
+    v2, d2 = s2.raycast([-1, 0.5, 0.5], [1, 0, 0])
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_render_frame(tmp_path):
+    scene = Scene.from_triangles(box_room(size=(8.0, 3.0, 6.0)))
+    cam = Camera()
+    cam.pos = np.float32([0.0, 0.0, 0.0])
+    cam.prev_pos = cam.pos
+    img = render_frame(scene, cam, width=160, height=120, markers=[[2.0, 0.0, 0.5]])
+    assert img.shape == (120, 160, 3)
+    # something was drawn over the clear color
+    assert (img != np.asarray([24, 26, 32], np.uint8)).any(axis=-1).mean() > 0.2
+    write_ppm(tmp_path / "frame.ppm", img)
+    raw = (tmp_path / "frame.ppm").read_bytes()
+    assert raw.startswith(b"P6\n160 120\n255\n")
+
+
+def test_profiling_spans():
+    profiling.reset()
+    with profiling.span("unit"):
+        x = sum(range(1000))
+    s = profiling.stats("unit")
+    assert s["count"] == 1 and s["mean_ms"] >= 0
+    rep = profiling.report()
+    assert "unit" in rep
+    profiling.reset()
+    assert profiling.stats("unit")["count"] == 0
+
+
+def test_engine_checkpoint_roundtrip(tmp_path):
+    tone = (0.5 * np.sin(np.arange(3000) * 0.1)).astype(np.float32)
+    a = SoundSystem(scene=None)
+    sid = a.load_sound(tone)
+    h = a.play_sound(sid, pos=[1.0, 0.0, 0.0], gain=0.7, repeat=True)
+    a.set_listener([0.2, 0.0, 0.1], yaw=0.3)
+    a.render(256)  # advance state
+    a.save_state(tmp_path / "ckpt.npz")
+    next_a = a.render(256)
+
+    b = SoundSystem(scene=None)
+    b.load_sound(tone)
+    b.set_listener([0.2, 0.0, 0.1], yaw=0.3)
+    b.load_state(tmp_path / "ckpt.npz")
+    assert b.is_playing(h)
+    next_b = b.render(256)
+    np.testing.assert_allclose(next_b, next_a, atol=1e-7)
