@@ -22,4 +22,38 @@ from .config import Config, DEFAULT_CONFIG
 
 __version__ = "0.1.0"
 
-__all__ = ["Config", "DEFAULT_CONFIG", "__version__"]
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import audio_raytracing_tpu` jax-free)."""
+    from importlib import import_module
+
+    table = {
+        "Scene": ("models.scene", "Scene"),
+        "SceneArrays": ("models.scene", "SceneArrays"),
+        "box_room": ("models.scene", "box_room"),
+        "Space": ("models.space", "Space"),
+        "SpaceBuilder": ("models.space", "SpaceBuilder"),
+        "SoundSystem": ("engine.system", "SoundSystem"),
+        "trace_ir": ("models.ir", "trace_ir"),
+        "trace_ir_pallas": ("ops.pallas_trace", "trace_ir_pallas"),
+        "ambisonic_ir": ("models.ir", "ambisonic_ir"),
+        "ImpulseResponse": ("models.ir", "ImpulseResponse"),
+        "acoustic_update": ("sim.probe", "acoustic_update"),
+        "render_ir_offline": ("engine.renderer", "render_ir_offline"),
+        "render_engine_offline": ("engine.renderer", "render_engine_offline"),
+        "trace_ir_sharded": ("parallel.sharding", "trace_ir_sharded"),
+        "trace_irs_multi_source": ("parallel.sharding", "trace_irs_multi_source"),
+    }
+    if name in table:
+        mod, attr = table[name]
+        return getattr(import_module(f".{mod}", __name__), attr)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "Config", "DEFAULT_CONFIG", "Scene", "SceneArrays", "box_room", "Space",
+    "SpaceBuilder", "SoundSystem", "trace_ir", "trace_ir_pallas",
+    "ambisonic_ir", "ImpulseResponse", "acoustic_update", "render_ir_offline",
+    "render_engine_offline", "trace_ir_sharded", "trace_irs_multi_source",
+    "__version__",
+]
