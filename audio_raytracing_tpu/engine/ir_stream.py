@@ -1,0 +1,168 @@
+"""Streaming IR renderer: moving listener, re-traced IRs, crossfaded
+partitioned convolution (BASELINE config 4).
+
+The interactive loop the reference approximates with 13 scalar parameters
+per voice becomes, in the IR pipeline: every acoustic frame re-traces each
+source's ambisonic impulse response on device, folds listener rotation and
+the HRTF decode into two per-ear partitioned spectra
+(ops/conv_partitioned.binaural_ir_spectra), and the audio stream renders
+128-sample blocks through a frequency-domain delay line, crossfading for
+one block whenever the spectra were swapped — the block-level analogue of
+the reference's prev_dist lerping (sound_system.zig:213-225, 468-476).
+
+State is functional; the host loop is:
+
+    r = IRStreamRenderer(scene, cfg)
+    src_id = r.add_source(dry_samples, pos)
+    r.update(listener_pos, yaw, pitch)   # re-trace + respectra (async)
+    block = r.render_block()             # (block, 2) stereo
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, DEFAULT_CONFIG
+from ..models.ir import ambisonic_ir, trace_ir
+from ..models.scene import Scene
+from ..ops import conv_partitioned as cp
+from ..utils import profiling, quat
+from .system import default_hrtf
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _respectra(amb_irs, orientation, hrtf_l, hrtf_r, block: int):
+    """(S, 4, L) ambisonic IRs -> (S, 2, P, F) per-ear spectra."""
+    return jax.vmap(
+        lambda ir: cp.binaural_ir_spectra(ir, orientation, hrtf_l, hrtf_r, block)
+    )(amb_irs)
+
+
+@jax.jit
+def _stream_block(x, state, spectra_old, spectra_new, crossfade):
+    """x: (S, 2, B) per-source stereo-duplicated dry blocks. Sums sources."""
+    def faded(x, st):
+        return cp.conv_block_crossfade(x, st, spectra_old, spectra_new)
+
+    def plain(x, st):
+        return cp.conv_block(x, st, spectra_new)
+
+    y, new_state = jax.lax.cond(crossfade, faded, plain, x, state)
+    return jnp.sum(y, axis=0).T, new_state  # (B, 2)
+
+
+class IRStreamRenderer:
+    def __init__(self, scene: Scene, cfg: Config = DEFAULT_CONFIG,
+                 hrtf=None, n_rays: int | None = None,
+                 max_bounces: int | None = None, intersector: str = "mt"):
+        self.cfg = cfg
+        self.scene = scene
+        self._arrays = scene.device_arrays()
+        hl, hr = hrtf if hrtf is not None else default_hrtf()
+        self.hrtf_l = jnp.asarray(hl)
+        self.hrtf_r = jnp.asarray(hr)
+        self.n_rays = n_rays or cfg.rays_per_source
+        self.max_bounces = max_bounces or cfg.max_bounces
+        self.intersector = intersector
+        self._sources: list[dict] = []
+        self._dry = None  # (S, N) padded dry signals
+        self._cursor = 0
+        self._spectra = None  # (S, 2, P, F)
+        self._spectra_prev = None
+        self._conv_state = None
+        self._pending_fade = False
+
+    # -- sources -----------------------------------------------------------
+
+    def add_source(self, samples, pos, gain: float = 1.0, loop: bool = True) -> int:
+        self._sources.append(
+            {
+                "samples": np.asarray(samples, np.float32),
+                "pos": np.asarray(pos, np.float32),
+                "gain": float(gain),
+                "loop": bool(loop),
+            }
+        )
+        n = max(len(s["samples"]) for s in self._sources)
+        self._dry = jnp.asarray(
+            np.stack(
+                [
+                    np.pad(s["samples"] * s["gain"], (0, n - len(s["samples"])))
+                    for s in self._sources
+                ]
+            )
+        )
+        self._spectra = None  # force re-trace
+        return len(self._sources) - 1
+
+    def set_source_pos(self, idx: int, pos) -> None:
+        self._sources[idx]["pos"] = np.asarray(pos, np.float32)
+
+    # -- acoustic frame ------------------------------------------------------
+
+    def update(self, listener_pos, yaw: float = 0.0, pitch: float = 0.0) -> None:
+        """Re-trace all source IRs for the new pose and swap spectra with a
+        one-block crossfade."""
+        cfg = self.cfg
+        listener = jnp.asarray(listener_pos, jnp.float32)
+        orient = jnp.asarray(
+            quat.quat_from_roll_pitch_yaw(np.float32(pitch), np.float32(yaw), np.float32(0.0))
+        )
+        with profiling.span("ir_retrace"):
+            irs = []
+            for s in self._sources:
+                ir = trace_ir(
+                    self._arrays, jnp.asarray(s["pos"]), listener, cfg=cfg,
+                    n_rays=self.n_rays, max_bounces=self.max_bounces,
+                    intersector=self.intersector,
+                )
+                irs.append(ambisonic_ir(ir))
+            amb = jnp.stack(irs)  # (S, 4, L)
+            spectra = _respectra(amb, orient, self.hrtf_l, self.hrtf_r, cfg.block_size)
+        if self._spectra is None:
+            self._spectra = spectra
+            self._spectra_prev = spectra
+            P = spectra.shape[-2]
+            S = spectra.shape[0]
+            self._conv_state = cp.conv_init((S, 2), P, cfg.block_size)
+        else:
+            self._spectra_prev = self._spectra
+            self._spectra = spectra
+            self._pending_fade = True
+
+    # -- audio stream --------------------------------------------------------
+
+    def render_block(self) -> np.ndarray:
+        """One 128-sample stereo block; crossfades on the first block after
+        an update()."""
+        if self._spectra is None:
+            raise RuntimeError("call update() once before rendering")
+        cfg = self.cfg
+        B = cfg.block_size
+        S = self._dry.shape[0]
+        n = self._dry.shape[1]
+        idx = (self._cursor + np.arange(B)) % n
+        blocks = np.asarray(self._dry)[:, idx]  # loop all sources
+        for i, s in enumerate(self._sources):
+            if not s["loop"]:
+                past = self._cursor + np.arange(B) >= len(s["samples"])
+                blocks[i] = np.where(past, 0.0, blocks[i])
+        x = jnp.asarray(blocks)[:, None, :].repeat(2, axis=1)  # (S, 2, B)
+        with profiling.span("ir_stream_block"):
+            y, self._conv_state = _stream_block(
+                x, self._conv_state, self._spectra_prev, self._spectra,
+                jnp.asarray(self._pending_fade),
+            )
+        self._pending_fade = False
+        self._cursor += B
+        return np.asarray(y)
+
+    def render(self, n_samples: int) -> np.ndarray:
+        out = [self.render_block() for _ in range(-(-n_samples // self.cfg.block_size))]
+        return np.concatenate(out, axis=0)[:n_samples]
