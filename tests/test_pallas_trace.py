@@ -28,10 +28,10 @@ def scene():
 def test_pallas_matches_xla_tracer(scene):
     src = jnp.asarray([1.0, 0.5, 0.5])
     lst = jnp.asarray([-1.0, -0.5, -1.0])
-    dirs = jnp.asarray(fibonacci_sphere(2048))
-    a = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, max_bounces=4, dirs=dirs)
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, max_bounces=3, dirs=dirs)
     b = trace_ir_pallas(
-        scene.device_arrays(), src, lst, cfg=CFG, max_bounces=4, dirs=dirs,
+        scene.device_arrays(), src, lst, cfg=CFG, max_bounces=3, dirs=dirs,
         interpret=True,
     )
     np.testing.assert_allclose(
