@@ -191,3 +191,31 @@ def box_room(size=(10.0, 3.0, 8.0), center=(0.0, 0.0, 0.0)) -> np.ndarray:
         tris.append([c[a], c[d], c[b]])
         tris.append([c[a], c[e], c[d]])
     return np.asarray(tris, dtype=np.float32)
+
+
+def box_room_subdivided(size=(10.0, 3.0, 8.0), center=(0.0, 0.0, 0.0),
+                        k: int = 8) -> np.ndarray:
+    """Box room with each wall split into k x k quads: 12*k^2 triangles.
+
+    Scaling-benchmark scene: same acoustics as box_room, arbitrarily many
+    triangles, all reachable by rays from inside.
+    """
+    base = box_room(size, center)  # 12 tris = 6 quads (2 tris each)
+    out = []
+    for q in range(6):
+        t0, t1 = base[2 * q], base[2 * q + 1]
+        # recover the quad corners: t0 = (a, d, b), t1 = (a, e, d)
+        a, d, b = t0
+        _, e, _ = t1
+        for i in range(k):
+            for j in range(k):
+                u0, u1 = i / k, (i + 1) / k
+                v0, v1 = j / k, (j + 1) / k
+
+                def p(u, v):
+                    return a + (b - a) * u + (e - a) * v
+
+                p00, p10, p01, p11 = p(u0, v0), p(u1, v0), p(u0, v1), p(u1, v1)
+                out.append([p00, p11, p10])
+                out.append([p00, p01, p11])
+    return np.asarray(out, dtype=np.float32)
