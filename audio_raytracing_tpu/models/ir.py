@@ -145,8 +145,37 @@ def trace_ir(
         hit_fn = lambda o, d: nearest_hit_mxu(  # noqa: E731
             o, d, scene_arrays.woop_d, scene_arrays.woop_o
         )
+        # shadow test reversed (origin = listener, constant): the
+        # per-triangle transformed origin is a single precomputed row, so
+        # only the direction matmul materializes — halves shadow cost
+        T3 = scene_arrays.woop_o.shape[1]
+        opl_row = jnp.dot(
+            jnp.concatenate([listener, jnp.ones(1)]),
+            scene_arrays.woop_o,
+            precision=jax.lax.Precision.HIGH,
+        )  # (3T,)
+
+        def shadow_blocked(vertex):
+            w = vertex - listener[None, :]  # unnormalized: t in segment units
+            dp = jnp.dot(w, scene_arrays.woop_d, precision=jax.lax.Precision.HIGH)
+            T = T3 // 3
+            ox, oy, oz = opl_row[:T], opl_row[T : 2 * T], opl_row[2 * T :]
+            dx_, dy_, dz_ = dp[:, :T], dp[:, T : 2 * T], dp[:, 2 * T :]
+            t = -oz / dz_
+            u = ox + t * dx_
+            vv = oy + t * dy_
+            ok = (
+                (jnp.abs(dz_) > 1e-12)
+                & (u >= 0.0)
+                & (vv >= 0.0)
+                & (u + vv <= 1.0)
+                & (t >= 1e-6)
+                & (t <= 1.0)
+            )
+            return jnp.any(ok, axis=1)
     else:
         hit_fn = lambda o, d: nearest_hit(o, d, v0, v1, v2)  # noqa: E731
+        shadow_blocked = None
     scatter_fn = bin_matmul if scatter == "matmul" else bin_segment
     n_rays = n_rays or cfg.rays_per_source
     max_bounces = max_bounces or cfg.max_bounces
@@ -205,8 +234,11 @@ def trace_ir(
         to_list = listener[None, :] - vertex
         d_l = jnp.linalg.norm(to_list, axis=-1)
         w_o = to_list / jnp.maximum(d_l, 1e-20)[:, None]
-        t_sh, _, sh_hit = hit_fn(vertex, w_o)
-        visible = alive & (~sh_hit | (t_sh >= d_l))
+        if shadow_blocked is not None:
+            visible = alive & ~shadow_blocked(vertex)
+        else:
+            t_sh, _, sh_hit = hit_fn(vertex, w_o)
+            visible = alive & (~sh_hit | (t_sh >= d_l))
         h = w_o - d
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
         lam = jnp.abs(jnp.sum(n * w_o, axis=-1)) + _pow_spec(

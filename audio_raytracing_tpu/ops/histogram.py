@@ -46,11 +46,18 @@ def bin_matmul(payload, bins, n_bins: int, n_fine: int = 128,
     n_coarse = n_bins // n_fine
     coarse = bins // n_fine  # (R,)
     fine = bins - coarse * n_fine
+    default = precision == jax.lax.Precision.DEFAULT
+    # DEFAULT runs the MXU in bf16 anyway; materializing the (R, Nf*C)
+    # one-hot product in bf16 halves its HBM traffic (the binner is
+    # bandwidth-bound, not flops-bound)
+    dt = jnp.bfloat16 if default else jnp.float32
     # drop sentinel: coarse == n_coarse -> no one-hot column matches
-    a = (coarse[:, None] == jnp.arange(n_coarse)[None, :]).astype(jnp.float32)  # (R, Nc)
-    f1 = (fine[:, None] == jnp.arange(n_fine)[None, :]).astype(jnp.float32)  # (R, Nf)
+    a = (coarse[:, None] == jnp.arange(n_coarse)[None, :]).astype(dt)  # (R, Nc)
+    f1 = (fine[:, None] == jnp.arange(n_fine)[None, :]).astype(dt)  # (R, Nf)
     C = payload.shape[1]
     # one (Nc, R) @ (R, Nf*C) contraction: B[r, f*C + c] = fine_onehot * payload
-    b = (f1[:, :, None] * payload[:, None, :]).reshape(payload.shape[0], n_fine * C)
-    h = jnp.dot(a.T, b, precision=precision)  # (Nc, Nf*C)
-    return h.reshape(n_bins, C)
+    b = (f1[:, :, None] * payload.astype(dt)[:, None, :]).reshape(
+        payload.shape[0], n_fine * C
+    )
+    h = jnp.dot(a.T, b, precision=precision, preferred_element_type=jnp.float32)
+    return h.reshape(n_bins, C).astype(jnp.float32)

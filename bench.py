@@ -65,7 +65,7 @@ def main():
     arrays = scene.device_arrays()
 
     # --- ray-bounce throughput ---
-    n_rays = 1 << 18
+    n_rays = 1 << 20
     bounces = 8
     dirs = jnp.asarray(fibonacci_sphere(n_rays))
     src = jnp.asarray([1.0, 0.3, 0.5])
