@@ -80,3 +80,38 @@ def test_output_sharding_layout(scene):
     got = trace_irs_multi_source(scene.device_arrays(), sources, lst, mesh, cfg=CFG)
     shard_devs = {s.device.id for s in got.energy.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_sharded_partitioned_conv_matches_unsharded(rng):
+    """Delay-axis sharded streaming convolution == the single-device
+    convolver (one ppermute + one psum per block)."""
+    import jax.numpy as jnp
+
+    from audio_raytracing_tpu.ops import conv_partitioned as cp
+    from audio_raytracing_tpu.parallel.conv_sharded import (
+        conv_block_sharded,
+        shard_spectra,
+    )
+    from audio_raytracing_tpu.parallel.mesh import make_mesh
+
+    B = 128
+    ir = (rng.standard_normal(3000) * np.exp(-np.arange(3000) / 800)).astype(np.float32)
+    x = rng.standard_normal(8 * B).astype(np.float32)
+    spectra = cp.partition_ir(jnp.asarray(ir), B)
+
+    # unsharded reference
+    st = cp.conv_init((), spectra.shape[0], B)
+    want = []
+    for b in range(8):
+        y, st = cp.conv_block(jnp.asarray(x[b * B : (b + 1) * B]), st, spectra)
+        want.append(np.asarray(y))
+    want = np.concatenate(want)
+
+    mesh = make_mesh(8, ("delay",))
+    sp_sh, st_sh = shard_spectra(spectra, mesh)
+    got = []
+    for b in range(8):
+        y, st_sh = conv_block_sharded(jnp.asarray(x[b * B : (b + 1) * B]), st_sh, sp_sh, mesh)
+        got.append(np.asarray(y))
+    got = np.concatenate(got)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
