@@ -107,7 +107,7 @@ def direct_ir(scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG) -> I
     jax.jit,
     static_argnames=(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
-        "intersector", "scatter",
+        "intersector", "scatter", "scattering",
     ),
 )
 def trace_ir(
@@ -122,6 +122,8 @@ def trace_ir(
     include_direct: bool = True,
     intersector: str = "mt",
     scatter: str = "segment",
+    scattering: float = 0.0,
+    key=None,
 ) -> ImpulseResponse:
     """Trace one source -> listener impulse response.
 
@@ -137,6 +139,13 @@ def trace_ir(
     matmuls on the systolic array — the fast path, see
     ops/intersect.nearest_hit_mxu). scatter: "segment" (exact scatter-add)
     or "matmul" (MXU one-hot binning, ops/histogram.py).
+
+    scattering in [0, 1] selects the second acoustic model family: each
+    bounce continues specularly with probability 1-scattering and as a
+    cosine-weighted diffuse scatter about the surface normal otherwise
+    (the standard stochastic room-acoustics hybrid; the reference is purely
+    specular). Requires `key` (jax PRNG) when > 0; results are
+    deterministic per key.
     """
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     normals, absorption = scene_arrays.normals, scene_arrays.absorption
@@ -217,7 +226,7 @@ def trace_ir(
             return x
         return jnp.power(x, e)
 
-    def bounce_simple(carry, _):
+    def bounce_simple(carry, b_i):
         org, d, amp, path_dist, alive = carry
         t, idx, hit = hit_fn(org, d)
         alive = alive & hit
@@ -260,11 +269,40 @@ def trace_ir(
         seg = scatter_fn(payload, bins.astype(jnp.int32), n_bins)
 
         d_new = reflect(d, n)
+        if scattering > 0.0:
+            kb = jax.random.fold_in(key, b_i)
+            ku, kd1, kd2 = jax.random.split(kb, 3)
+            # cosine-weighted hemisphere sample about n
+            u1 = jax.random.uniform(kd1, (d.shape[0],))
+            u2 = jax.random.uniform(kd2, (d.shape[0],))
+            r = jnp.sqrt(u1)
+            phi = 2.0 * jnp.pi * u2
+            z = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+            # tangent frame from n (branchless)
+            helper = jnp.where(
+                jnp.abs(n[:, 2:3]) < 0.9,
+                jnp.float32([0.0, 0.0, 1.0]),
+                jnp.float32([1.0, 0.0, 0.0]),
+            )
+            tx = jnp.cross(helper, n)
+            tx = tx / jnp.maximum(jnp.linalg.norm(tx, axis=-1, keepdims=True), 1e-20)
+            ty = jnp.cross(n, tx)
+            d_diff = (
+                tx * (r * jnp.cos(phi))[:, None]
+                + ty * (r * jnp.sin(phi))[:, None]
+                + n * z[:, None]
+            )
+            use_diff = jax.random.uniform(ku, (d.shape[0],)) < scattering
+            d_new = jnp.where(use_diff[:, None], d_diff, d_new)
         return (vertex, jnp.where(alive[:, None], d_new, d), amp, path_dist, alive), seg
 
     amp0 = jnp.ones((n_rays, len(EQ_FREQS)), jnp.float32)
     carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))
-    _, seg_all = jax.lax.scan(bounce_simple, carry0, None, length=max_bounces)
+    if scattering > 0.0 and key is None:
+        raise ValueError("scattering > 0 requires a PRNG key")
+    _, seg_all = jax.lax.scan(
+        bounce_simple, carry0, jnp.arange(max_bounces), length=max_bounces
+    )
     seg = jnp.sum(seg_all, axis=0)  # (n_bins, 7)
     energy = energy + seg[:, :4]
     dir_sum = dir_sum + seg[:, 4:]

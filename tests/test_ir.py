@@ -232,3 +232,33 @@ def test_scatter_backends_agree():
     np.testing.assert_allclose(
         float(b.energy.sum()), float(a.energy.sum()), rtol=2e-3
     )
+
+
+def test_diffuse_scattering_model():
+    """The stochastic hybrid model: scattering=0 equals the specular path;
+    scattering>0 is deterministic per key and redistributes (not destroys)
+    energy."""
+    import jax
+
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), CFG,
+                                 absorption=np.full(12, 0.2, np.float32))
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    spec = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=2048, max_bounces=4)
+    spec0 = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=2048,
+                     max_bounces=4, scattering=0.0, key=jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(spec.energy), np.asarray(spec0.energy))
+
+    k = jax.random.key(7)
+    d1 = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=2048,
+                  max_bounces=4, scattering=0.7, key=k)
+    d2 = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=2048,
+                  max_bounces=4, scattering=0.7, key=k)
+    np.testing.assert_array_equal(np.asarray(d1.energy), np.asarray(d2.energy))
+    e_spec = float(spec.energy.sum())
+    e_diff = float(d1.energy.sum())
+    assert np.isfinite(e_diff) and e_diff > 0
+    # same order of magnitude (scattering redirects, absorption unchanged)
+    assert 0.2 < e_diff / e_spec < 5.0
+    # but a different arrival-time distribution
+    assert not np.allclose(np.asarray(d1.energy), np.asarray(spec.energy))
