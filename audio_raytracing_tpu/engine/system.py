@@ -219,7 +219,7 @@ class SoundSystem:
                 n_blocks,
                 cfg=self.cfg,
             )
-        out = [np.asarray(out)]
+        out = np.asarray(out)
         # sweep finished voices (zig:164-171)
         vt = self.state.voices
         fin = np.asarray(vt.finished)
@@ -233,7 +233,7 @@ class SoundSystem:
             self._handles = {
                 h: s for h, s in self._handles.items() if not fin[s]
             }
-        return np.concatenate(out, axis=0)
+        return out
 
     # --- checkpoint / resume ------------------------------------------------
 
