@@ -107,7 +107,7 @@ def direct_ir(scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG) -> I
     jax.jit,
     static_argnames=(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
-        "intersector", "scatter", "scattering",
+        "intersector", "scatter", "scattering", "bih_leaf_cap",
     ),
 )
 def trace_ir(
@@ -124,6 +124,8 @@ def trace_ir(
     scatter: str = "segment",
     scattering: float = 0.0,
     key=None,
+    bih_arena=None,
+    bih_leaf_cap: int = 8,
 ) -> ImpulseResponse:
     """Trace one source -> listener impulse response.
 
@@ -182,6 +184,15 @@ def trace_ir(
                 & (t <= 1.0)
             )
             return jnp.any(ok, axis=1)
+    elif intersector == "bih":
+        # large-scene path: BIH traversal (ops/traverse.py); pass
+        # bih_arena=scene.device_bih()
+        if bih_arena is None:
+            raise ValueError('intersector="bih" requires bih_arena')
+        from ..ops.traverse import nearest_hit_bih
+
+        hit_fn = lambda o, d: nearest_hit_bih(bih_arena, o, d, bih_leaf_cap)  # noqa: E731
+        shadow_blocked = None
     else:
         hit_fn = lambda o, d: nearest_hit(o, d, v0, v1, v2)  # noqa: E731
         shadow_blocked = None

@@ -133,6 +133,16 @@ class Scene:
             n_triangles=t_true,
         )
 
+    def device_bih(self):
+        """BIH arena + reordered triangles on device for the large-scene
+        traversal path (ops/traverse.py)."""
+        from ..ops.traverse import device_arena
+
+        return device_arena(
+            self.bih, self.v0, self.v1, self.v2,
+            max_leaf_size=int(self.bih.leaf_count.max()) if self.bih.n_nodes else 1,
+        )
+
     @classmethod
     def from_obj(cls, path, cfg: Config = DEFAULT_CONFIG, absorption=None) -> "Scene":
         mesh = load_obj(path)

@@ -57,3 +57,26 @@ def test_traversal_inside_aabb_hits():
         [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]]
     )
     _check(tris, origins, dirs, leaf=2)
+
+
+def test_trace_ir_bih_backend_matches_dense():
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from audio_raytracing_tpu.config import DEFAULT_CONFIG
+    from audio_raytracing_tpu.models.ir import trace_ir
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), cfg)
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    a = trace_ir(scene.device_arrays(), src, lst, cfg=cfg, n_rays=512, max_bounces=3)
+    b = trace_ir(
+        scene.device_arrays(), src, lst, cfg=cfg, n_rays=512, max_bounces=3,
+        intersector="bih", bih_arena=scene.device_bih(),
+        bih_leaf_cap=int(scene.bih.leaf_count.max()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=1e-4, atol=1e-8
+    )
