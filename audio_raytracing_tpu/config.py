@@ -74,6 +74,11 @@ class Config:
     max_bounces: int = 8
     rays_per_source: int = 1 << 17
 
+    # --- output stage (no reference analogue: the reference can clip on
+    # loud scenes; both default to parity = off) ---
+    master_gain: float = 1.0
+    limiter: bool = False  # tanh soft clip on the stereo output
+
     # --- fixed-timestep game loop (reference: main.zig:13-16) ---
     ticks_per_second: int = 83
     max_tick_seconds: float = 0.1

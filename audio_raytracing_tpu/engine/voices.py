@@ -187,6 +187,11 @@ def _render_block_impl(
     conv = ambisonic_to_stereo(amb, hrtf_l, hrtf_r)  # (2N-1, 2)
     out = conv[:N] + state.overlap
     carry = jnp.pad(conv[N:], ((0, 1), (0, 0)))
+    # optional output stage (off by default for reference parity)
+    if cfg.master_gain != 1.0:
+        out = out * cfg.master_gain
+    if cfg.limiter:
+        out = jnp.tanh(out)
 
     new_state = EngineState(
         voices=VoiceTable(

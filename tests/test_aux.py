@@ -90,3 +90,25 @@ def test_engine_checkpoint_roundtrip(tmp_path):
     assert b.is_playing(h)
     next_b = b.render(256)
     np.testing.assert_allclose(next_b, next_a, atol=1e-7)
+
+
+def test_master_gain_and_limiter():
+    import dataclasses
+
+    import numpy as np
+
+    from audio_raytracing_tpu.config import DEFAULT_CONFIG
+
+    tone = (2.0 * np.sin(np.arange(2000) * 0.2)).astype(np.float32)  # hot
+    base = SoundSystem(scene=None)
+    sid = base.load_sound(tone)
+    base.play_sound(sid, pos=[0.1, 0.0, 0.0], gain=3.0, repeat=True)
+    loud = base.render(256)
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, master_gain=0.5, limiter=True)
+    lim = SoundSystem(scene=None, cfg=cfg)
+    sid = lim.load_sound(tone)
+    lim.play_sound(sid, pos=[0.1, 0.0, 0.0], gain=3.0, repeat=True)
+    safe = lim.render(256)
+    assert np.abs(safe).max() <= 1.0
+    np.testing.assert_allclose(safe, np.tanh(loud * 0.5), atol=1e-6)

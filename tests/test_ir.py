@@ -262,3 +262,20 @@ def test_diffuse_scattering_model():
     assert 0.2 < e_diff / e_spec < 5.0
     # but a different arrival-time distribution
     assert not np.allclose(np.asarray(d1.energy), np.asarray(spec.energy))
+
+
+def test_golden_ir_world(world_obj_path):
+    """Golden-IR regression on world.obj: guards the acoustic semantics
+    against drift across refactors (regenerate deliberately via the
+    snippet in tests/golden/ if the model is intentionally changed)."""
+    from pathlib import Path
+
+    golden_path = Path(__file__).parent / "golden" / "world_ir.npz"
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=4096,
+                              rays_per_source=4096, max_bounces=4)
+    scene = Scene.from_obj(world_obj_path, cfg)
+    ir = trace_ir(scene.device_arrays(), jnp.asarray([2.0, 0.5, 1.0]),
+                  jnp.asarray([0.0, 0.0, 0.0]), cfg=cfg)
+    with np.load(golden_path) as z:
+        np.testing.assert_allclose(np.asarray(ir.energy), z["energy"], rtol=1e-4, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(ir.dir_sum), z["dir_sum"], rtol=1e-4, atol=1e-10)
