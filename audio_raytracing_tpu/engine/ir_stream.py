@@ -20,7 +20,6 @@ State is functional; the host loop is:
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import numpy as np

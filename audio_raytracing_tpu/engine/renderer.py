@@ -16,16 +16,14 @@ Two paths, matching the two halves of the framework:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..config import Config, DEFAULT_CONFIG
-from ..models.ir import ImpulseResponse, ambisonic_ir, trace_ir
+from ..models.ir import ambisonic_ir, trace_ir
 from ..models.scene import Scene
 from ..ops.conv_partitioned import convolve_offline
 from ..ops.ambisonic import hrtf_decode_fft

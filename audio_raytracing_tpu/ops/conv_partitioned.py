@@ -23,10 +23,8 @@ elementwise work the VPU eats.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 

@@ -1,1 +1,1 @@
-from . import mesh, sharding  # noqa: F401
+from . import mesh, sharding  # noqa: F401  (public subpackage surface)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.conv_partitioned import ConvState, partition_ir
+from ..ops.conv_partitioned import ConvState
 
 
 def shard_spectra(spectra, mesh: Mesh, axis: str = "delay"):

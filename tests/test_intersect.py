@@ -8,7 +8,7 @@ must agree hit-for-hit and distance-for-distance.
 
 import numpy as np
 
-from audio_raytracing_tpu.models.scene import Scene, box_room
+from audio_raytracing_tpu.models.scene import Scene
 from audio_raytracing_tpu.ops.intersect import (
     intersect_pairs,
     nearest_hit,

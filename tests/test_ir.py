@@ -2,11 +2,10 @@
 energy behavior, streaming-vs-offline convolution equivalence."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 
-from audio_raytracing_tpu.config import DEFAULT_CONFIG, Config
+from audio_raytracing_tpu.config import DEFAULT_CONFIG
 from audio_raytracing_tpu.models.ir import ambisonic_ir, band_irs, fibonacci_sphere, trace_ir
 from audio_raytracing_tpu.models.scene import Scene, box_room
 from audio_raytracing_tpu.ops import conv_partitioned as cp
@@ -164,7 +163,6 @@ def test_crossfade_endpoints(rng):
 def test_binaural_ir_spectra_roundtrip(rng, ):
     # render an impulse through binaural spectra == offline amb conv + hrtf
     from audio_raytracing_tpu.engine.system import default_hrtf
-    from audio_raytracing_tpu.ops.ambisonic import hrtf_decode_fft
     from audio_raytracing_tpu.utils import quat
 
     hl, hr = default_hrtf()

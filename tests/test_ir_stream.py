@@ -41,8 +41,6 @@ def test_stream_renders_and_reacts_to_movement(rng):
 
 def test_stream_matches_static_offline():
     """With a static pose, streamed blocks equal the offline IR render."""
-    import jax.numpy as jnp
-
     from audio_raytracing_tpu.engine.renderer import render_ir_offline
 
     scene = make_scene()
