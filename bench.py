@@ -91,6 +91,32 @@ def main():
     t_trace = _median_time(trace_step, iters=10, warmup=3)
     rate = n_rays * bounces / t_trace
     ir_build_ms = t_trace * 1e3
+    trace_path = "xla_mxu"
+
+    # the fused Pallas kernel, if an AOT-compiled executable is available
+    # (Mosaic compiles take minutes through this environment's relay, so
+    # the executable is prebuilt by benchmarks/build_pallas_aot.py and
+    # ignored when stale)
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "build_pallas_aot", ROOT / "benchmarks" / "build_pallas_aot.py"
+    )
+    aot_mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(aot_mod)
+    aot = aot_mod.load()
+    if aot is not None and aot[1] == n_rays and aot[2] == bounces:
+        fn = aot[0]
+
+        def pallas_aot_step():
+            ir = fn(arrays, srcs[next(it) % len(srcs)], lst, dirs=dirs)
+            float(_jnp.sum(ir.energy))
+
+        t_aot = _median_time(pallas_aot_step, iters=10, warmup=2)
+        if t_aot < t_trace:
+            rate = n_rays * bounces / t_aot
+            ir_build_ms = t_aot * 1e3
+            trace_path = "pallas_fused_aot"
 
     # --- audio block render, 8 sources ---
     hrtf = default_hrtf()
@@ -163,6 +189,7 @@ def main():
         "vs_baseline": rate / 1e9,
         "extra": {
             "backend": backend,
+            "trace_path": trace_path,
             "n_rays": n_rays,
             "bounces": bounces,
             "triangles": scene.n_triangles,

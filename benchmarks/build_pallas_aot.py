@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Compile the fused Pallas trace kernel ahead of time and serialize the
+executable to benchmarks/pallas_trace_exec.pkl.
+
+The remote-compile relay in this environment has no persistent compilation
+cache, so a fresh Mosaic compile costs minutes; PJRT executable
+serialization (jax.experimental.serialize_executable) loads in ~0.1 s.
+bench.py uses the artifact as the headline trace path when its source hash
+matches ops/pallas_trace.py (stale artifacts are ignored). Re-run this
+script after changing the kernel.
+
+Shapes are the bench shapes: world.obj scene, 2^20 rays, 8 bounces,
+ir_length 32768.
+"""
+
+import dataclasses
+import hashlib
+import pickle
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+BENCH_RAYS = 1 << 20
+BENCH_BOUNCES = 8
+ARTIFACT = ROOT / "benchmarks" / "pallas_trace_exec.pkl"
+
+
+def kernel_source_hash() -> str:
+    src = (ROOT / "audio_raytracing_tpu" / "ops" / "pallas_trace.py").read_bytes()
+    return hashlib.sha256(src).hexdigest()
+
+
+def bench_inputs():
+    import jax.numpy as jnp
+
+    from audio_raytracing_tpu.config import DEFAULT_CONFIG
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere
+    from audio_raytracing_tpu.models.scene import Scene
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=32768)
+    scene = Scene.from_obj(ROOT / "data" / "world.obj", cfg)
+    dirs = jnp.asarray(fibonacci_sphere(BENCH_RAYS))
+    return cfg, scene.device_arrays(), dirs
+
+
+def main():
+    import jax.numpy as jnp
+    from jax.experimental import serialize_executable as se
+
+    from audio_raytracing_tpu.ops.pallas_trace import trace_ir_pallas
+
+    cfg, arrays, dirs = bench_inputs()
+    src = jnp.asarray([1.0, 0.3, 0.5])
+    lst = jnp.asarray([-1.0, 0.0, -0.5])
+    t0 = time.perf_counter()
+    compiled = trace_ir_pallas.lower(
+        arrays, src, lst, cfg=cfg, max_bounces=BENCH_BOUNCES, dirs=dirs
+    ).compile()
+    print(f"compiled in {time.perf_counter() - t0:.1f} s")
+    payload, in_tree, out_tree = se.serialize(compiled)
+    with open(ARTIFACT, "wb") as f:
+        pickle.dump(
+            {
+                "payload": payload,
+                "in_tree": in_tree,
+                "out_tree": out_tree,
+                "source_sha": kernel_source_hash(),
+                "rays": BENCH_RAYS,
+                "bounces": BENCH_BOUNCES,
+            },
+            f,
+        )
+    print(f"wrote {ARTIFACT} ({ARTIFACT.stat().st_size / 1e6:.1f} MB)")
+
+
+def load():
+    """Returns (fn, rays, bounces) or None when absent/stale/unloadable."""
+    if not ARTIFACT.exists():
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+
+        with open(ARTIFACT, "rb") as f:
+            blob = pickle.load(f)
+        if blob["source_sha"] != kernel_source_hash():
+            return None
+        fn = se.deserialize_and_load(blob["payload"], blob["in_tree"], blob["out_tree"])
+        return fn, blob["rays"], blob["bounces"]
+    except Exception:
+        return None
+
+
+if __name__ == "__main__":
+    main()
