@@ -72,8 +72,8 @@ def build_tri_table(scene_arrays) -> jnp.ndarray:
 
 
 def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
-                  bins_ref, payload_ref, *, n_tris: int, max_bounces: int,
-                  cfg: Config):
+                  *out_refs, n_tris: int, max_bounces: int,
+                  cfg: Config, fused_hist: bool = False):
     inf = jnp.float32(np.inf)
     sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
     lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
@@ -85,6 +85,18 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     freqs = [float(f) for f in EQ_FREQS]
     n_groups = n_tris // TRI_GROUP
     gshape = (TRI_GROUP, LANES)
+
+    if fused_hist:
+        # out_refs = (hist_out, hist_scratch): accumulate in scratch (safe
+        # across sequential grid steps), write the output once at the end
+        hist_out_ref, hist_ref = out_refs
+        n_coarse = hist_ref.shape[0]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero_hist():
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+    else:
+        bins_ref, payload_ref = out_refs
 
     tri_all = tri_ref[...]  # (T, TRI_COLS) register/VMEM-resident constants
     opl_all = opl_ref[...]  # (T, 8)
@@ -239,12 +251,42 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             bins = jnp.clip(d_total * spm_bps + 0.5, 0.0, n_bins - 1.0)
             bins = jnp.where(visible, bins, n_bins).astype(jnp.int32)
 
-            bins_ref[b, pl.ds(r, 1), :] = bins
-            for c in range(N_BANDS):
-                payload_ref[b, c, pl.ds(r, 1), :] = es[c]
-            payload_ref[b, N_BANDS + 0, pl.ds(r, 1), :] = wx * inv_dl * e_mean
-            payload_ref[b, N_BANDS + 1, pl.ds(r, 1), :] = wy * inv_dl * e_mean
-            payload_ref[b, N_BANDS + 2, pl.ds(r, 1), :] = wz * inv_dl * e_mean
+            chans = es + [
+                wx * inv_dl * e_mean,
+                wy * inv_dl * e_mean,
+                wz * inv_dl * e_mean,
+            ]
+            # dead/occluded rays can carry inf through the masked math
+            # (inf * 0 = NaN); a select passes clean zeros regardless
+            chans = [jnp.where(visible, c, 0.0) for c in chans]
+            if fused_hist:
+                # in-kernel two-level one-hot binning on the MXU:
+                # H[coarse, c*128 + fine] += payload_c; the sentinel bin
+                # (n_bins) maps to coarse == n_coarse and drops out of the
+                # one-hot range automatically. bf16 inputs (f32 MXU
+                # accumulate): ~4e-3 relative rounding, below the
+                # Monte-Carlo noise floor.
+                coarse = bins // LANES  # (1, 128)
+                fine = bins - coarse * LANES
+                a_oh = (
+                    jax.lax.broadcasted_iota(jnp.int32, (n_coarse, LANES), 0)
+                    == coarse
+                ).astype(jnp.bfloat16)  # (NC, 128 rays)
+                f_oh = (
+                    jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                    == fine
+                ).astype(jnp.bfloat16)  # (128 fine, 128 rays)
+                for c in range(PAYLOAD_C):
+                    b_c = f_oh * chans[c].astype(jnp.bfloat16)  # (128f, 128r)
+                    h = jax.lax.dot_general(
+                        a_oh, b_c, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (NC, 128 fine)
+                    hist_ref[:, c * LANES : (c + 1) * LANES] += h
+            else:
+                bins_ref[b, pl.ds(r, 1), :] = bins
+                for c in range(PAYLOAD_C):
+                    payload_ref[b, c, pl.ds(r, 1), :] = chans[c]
 
             if b + 1 < max_bounces:
                 two_ndd = 2.0 * (nx * dx + ny * dy + nz * dz)
@@ -256,14 +298,26 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         return carry
 
     jax.lax.fori_loop(0, SUBLANES, row_body, 0)
+    if fused_hist:
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _flush_hist():
+            hist_out_ref[...] = hist_ref[...]
 
 
 def trace_contributions_pallas(
     scene_arrays, source, listener, dirs, cfg: Config = DEFAULT_CONFIG,
     max_bounces: int | None = None, total_rays: int | None = None,
-    interpret: bool = False,
+    interpret: bool = False, fused_hist: bool = False,
 ):
-    """Run the fused kernel; returns (bins (B*R,), payload (B*R, 7))."""
+    """Run the fused kernel.
+
+    fused_hist=False: returns (bins (B*R,), payload (B*R, 7)) for an
+    external scatter (exact f32).
+    fused_hist=True: the histogram is accumulated inside the kernel
+    (MXU one-hot binning, bf16 inputs / f32 accumulate) and the return is
+    the (n_bins, 7) histogram directly — no contribution stream touches
+    HBM. Requires cfg.ir_n_bins % 128 == 0.
+    """
     max_bounces = max_bounces or cfg.max_bounces
     R = dirs.shape[0]
     assert R % TILE == 0, R
@@ -299,18 +353,43 @@ def trace_contributions_pallas(
     d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     dxyz = [d[:, k].reshape(rows, LANES) for k in range(3)]
 
-    kernel = partial(_trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, TRI_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    kernel = partial(
+        _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
+        fused_hist=fused_hist,
+    )
+    args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl)
+    if fused_hist:
+        n_bins = cfg.ir_n_bins
+        assert n_bins % LANES == 0, n_bins
+        n_coarse = n_bins // LANES
+        hist = pl.pallas_call(
+            kernel,
+            grid=(rows // SUBLANES,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (n_coarse, PAYLOAD_C * LANES), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_coarse, PAYLOAD_C * LANES), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n_coarse, PAYLOAD_C * LANES), jnp.float32)],
+            interpret=interpret,
+        )(*args)
+        # H[coarse, c*128 + fine] -> (n_bins, C)
+        return hist.reshape(n_coarse, PAYLOAD_C, LANES).transpose(0, 2, 1).reshape(
+            n_bins, PAYLOAD_C
+        )
     bins, payload = pl.pallas_call(
         kernel,
         grid=(rows // SUBLANES,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, TRI_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (max_bounces, SUBLANES, LANES), lambda i: (0, i, 0),
@@ -326,7 +405,7 @@ def trace_contributions_pallas(
             jax.ShapeDtypeStruct((max_bounces, PAYLOAD_C, rows, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl)
+    )(*args)
     bins_flat = bins.reshape(-1)
     payload_flat = jnp.moveaxis(payload, 1, -1).reshape(-1, PAYLOAD_C)
     return bins_flat, payload_flat
@@ -335,7 +414,7 @@ def trace_contributions_pallas(
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "total_rays",
-                     "include_direct", "interpret"),
+                     "include_direct", "interpret", "fused_hist"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -348,6 +427,7 @@ def trace_ir_pallas(
     total_rays: int | None = None,
     include_direct: bool = True,
     interpret: bool = False,
+    fused_hist: bool = False,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel."""
     from ..models.ir import ImpulseResponse, direct_ir, fibonacci_sphere
@@ -355,11 +435,18 @@ def trace_ir_pallas(
     n_rays = n_rays or cfg.rays_per_source
     if dirs is None:
         dirs = jnp.asarray(fibonacci_sphere(n_rays))
-    bins, payload = trace_contributions_pallas(
-        scene_arrays, source, listener, dirs, cfg=cfg,
-        max_bounces=max_bounces, total_rays=total_rays, interpret=interpret,
-    )
-    seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
+    if fused_hist:
+        seg = trace_contributions_pallas(
+            scene_arrays, source, listener, dirs, cfg=cfg,
+            max_bounces=max_bounces, total_rays=total_rays,
+            interpret=interpret, fused_hist=True,
+        )
+    else:
+        bins, payload = trace_contributions_pallas(
+            scene_arrays, source, listener, dirs, cfg=cfg,
+            max_bounces=max_bounces, total_rays=total_rays, interpret=interpret,
+        )
+        seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     energy = seg[:, :N_BANDS].T
     dir_sum = seg[:, N_BANDS:].T
     if include_direct:

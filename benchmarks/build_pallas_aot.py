@@ -57,7 +57,8 @@ def main():
     lst = jnp.asarray([-1.0, 0.0, -0.5])
     t0 = time.perf_counter()
     compiled = trace_ir_pallas.lower(
-        arrays, src, lst, cfg=cfg, max_bounces=BENCH_BOUNCES, dirs=dirs
+        arrays, src, lst, cfg=cfg, max_bounces=BENCH_BOUNCES, dirs=dirs,
+        fused_hist=True,
     ).compile()
     print(f"compiled in {time.perf_counter() - t0:.1f} s")
     payload, in_tree, out_tree = se.serialize(compiled)

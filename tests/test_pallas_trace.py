@@ -62,3 +62,21 @@ def test_pallas_banded_absorption(scene):
     # later bands lose energy faster (higher absorption)
     e = np.asarray(b.energy).sum(axis=1)
     assert e[0] > e[1] > e[2] > e[3] > 0
+
+
+def test_pallas_fused_hist_matches_emit(scene):
+    """In-kernel MXU binning vs external exact scatter (bf16 bound ~1%)."""
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True)
+    b = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        fused_hist=True)
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=2e-2, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(b.energy.sum()), float(a.energy.sum()), rtol=2e-3
+    )
