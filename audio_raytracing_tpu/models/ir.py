@@ -57,6 +57,19 @@ def fibonacci_sphere(n: int) -> np.ndarray:
     ).astype(np.float32)
 
 
+def fibonacci_sphere_sorted(n: int) -> np.ndarray:
+    """fibonacci_sphere reordered so index-adjacent directions are spatially
+    adjacent (consecutive fibonacci indices spiral across the sphere, so a
+    128-lane tile of them is incoherent). Sorting by quantized direction
+    makes per-tile ray bundles tight, which the Pallas kernel's
+    bundle-vs-group culling exploits. Histograms are invariant to ray
+    order."""
+    d = fibonacci_sphere(n)
+    q = np.clip(((d + 1.0) * 0.5 * 31.999).astype(np.int64), 0, 31)
+    key = (q[:, 0] << 10) | (q[:, 1] << 5) | q[:, 2]
+    return d[np.argsort(key, kind="stable")]
+
+
 class ImpulseResponse(NamedTuple):
     """Delay-binned energy + arrival-direction moments for one
     (source, listener) pair."""

@@ -55,9 +55,36 @@ _K = 15  # N_BANDS: per-band amplitude kept = sqrt(1 - absorption)
 TRI_COLS = 24  # padded
 
 
+def _morton3(q):
+    """Interleave 10-bit x/y/z into a 30-bit morton key. q: (T, 3) int32
+    (jnp: traceable under jit; int32 keeps TPU x64-free)."""
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x30000FF
+        x = (x | (x << 8)) & 0x300F00F
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
 def build_tri_table(scene_arrays) -> jnp.ndarray:
     """(T, TRI_COLS) per-triangle constants from the SceneArrays woop
     layout (woop_d[:, k*T:(k+1)*T] = A[k, :] columns)."""
+    table, _ = build_tri_tables(scene_arrays)
+    return table
+
+
+def build_tri_tables(scene_arrays):
+    """(tri_table (T, TRI_COLS), group_aabbs (T/8, 8)).
+
+    Triangles are morton-sorted by centroid so each sublane group of 8 is
+    spatially local, making the per-group AABBs tight — the broad phase the
+    kernel's bundle-vs-group culling tests against. Padding (degenerate)
+    triangles sort last; their point-AABBs never produce hits. Pure jnp so
+    it traces under jit.
+    """
     woop_d = scene_arrays.woop_d  # (3, 3T)
     woop_o = scene_arrays.woop_o  # (4, 3T)
     T = woop_d.shape[1] // 3
@@ -68,12 +95,35 @@ def build_tri_table(scene_arrays) -> jnp.ndarray:
         a_rows + b_cols + [scene_arrays.normals, keep], axis=1
     )  # (T, 9 + 3 + 3 + 4)
     pad = TRI_COLS - table.shape[1]
-    return jnp.pad(table, ((0, 0), (0, pad))).astype(jnp.float32)
+    table = jnp.pad(table, ((0, 0), (0, pad))).astype(jnp.float32)
+
+    v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    degenerate = (hi - lo).sum(axis=1) <= 0.0
+    c = 0.5 * (lo + hi)
+    span = jnp.maximum(c.max(axis=0) - c.min(axis=0), 1e-9)
+    q = jnp.clip((c - c.min(axis=0)) / span * 1023.0, 0, 1023).astype(jnp.int32)
+    keys = _morton3(q)
+    keys = jnp.where(degenerate, jnp.int32(2**30), keys)  # padding last
+    order = jnp.argsort(keys, stable=True)
+    table = table[order]
+    lo = lo[order].reshape(-1, TRI_GROUP, 3)
+    hi = hi[order].reshape(-1, TRI_GROUP, 3)
+    gaabb = jnp.concatenate(
+        [
+            lo.min(axis=1),
+            hi.max(axis=1),
+            jnp.zeros((lo.shape[0], 2), jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    return table, gaabb
 
 
 def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
-                  *out_refs, n_tris: int, max_bounces: int,
-                  cfg: Config, fused_hist: bool = False):
+                  gaabb_ref, *out_refs, n_tris: int, max_bounces: int,
+                  cfg: Config, fused_hist: bool = False, cull: bool = False):
     inf = jnp.float32(np.inf)
     sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
     lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
@@ -100,6 +150,24 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
 
     tri_all = tri_ref[...]  # (T, TRI_COLS) register/VMEM-resident constants
     opl_all = opl_ref[...]  # (T, 8)
+    gaabb_all = gaabb_ref[...]  # (n_groups, 8): [lo xyz | hi xyz | pad]
+    g_lo = [gaabb_all[:, j : j + 1] for j in range(3)]  # each (n_groups, 1)
+    g_hi = [gaabb_all[:, 3 + j : 4 + j] for j in range(3)]
+
+    def bundle_preds(o_bounds, reach_lo_off, reach_hi_off):
+        """(n_groups, 1) bool: may any ray of the bundle reach the group's
+        AABB? Per-axis interval test: reachable positions along axis k are
+        [o_min + reach_lo_off_k, o_max + reach_hi_off_k]; conservative
+        (never culls a hittable group)."""
+        pred = None
+        for k in range(3):
+            omin, omax = o_bounds[k]
+            p = (g_hi[k] >= omin + reach_lo_off[k]) & (
+                g_lo[k] <= omax + reach_hi_off[k]
+            )
+            pred = p if pred is None else (pred & p)
+        # f32: Mosaic can't extract bool scalars from vectors
+        return pred.astype(jnp.float32)
 
     def cg(g, j):
         """(8, 1) constant column for triangle group g (static slice)."""
@@ -115,14 +183,17 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             e //= 2
         return x
 
-    def path_pass(ox, oy, oz, dx, dy, dz):
+    def path_pass(ox, oy, oz, dx, dy, dz, preds=None):
         """Nearest hit + attrs for a (1, 128) ray row. Returns per-sublane
-        running (best_t, n_xyz, keep) (8, 128) arrays."""
+        running (best_t, n_xyz, keep) (8, 128) arrays. preds: optional
+        (n_groups, 1) bool — groups with False are skipped at runtime."""
         best_t = jnp.full(gshape, inf)
         sel = [jnp.zeros(gshape, jnp.float32) for _ in range(3)] + [
             jnp.ones(gshape, jnp.float32) for _ in range(N_BANDS)
         ]
-        for g in range(n_groups):
+
+        def group_body(g, carry):
+            best_t, sel = carry[0], list(carry[1:])
             a00, a01, a02 = cg(g, 0), cg(g, 1), cg(g, 2)
             a10, a11, a12 = cg(g, 3), cg(g, 4), cg(g, 5)
             a20, a21, a22 = cg(g, 6), cg(g, 7), cg(g, 8)
@@ -149,13 +220,25 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 sel[c] = jnp.where(improved, cg(g, _N + c), sel[c])
             for c in range(N_BANDS):
                 sel[3 + c] = jnp.where(improved, cg(g, _K + c), sel[3 + c])
-        return best_t, sel
+            return (best_t, *sel)
 
-    def shadow_pass(wx, wy, wz):
-        """Any-hit within the listener->vertex segment for a (1, 128) row.
-        Constant (precomputed) transformed origins; t <= 1 blocks."""
-        blocked = jnp.zeros(gshape, jnp.float32)
+        carry = (best_t, *sel)
         for g in range(n_groups):
+            if preds is None:
+                carry = group_body(g, carry)
+            else:
+                carry = jax.lax.cond(
+                    preds[g, 0] > 0, lambda c, _g=g: group_body(_g, c),
+                    lambda c: c, carry,
+                )
+        return carry[0], list(carry[1:])
+
+    def shadow_pass(wx, wy, wz, preds=None):
+        """Any-hit within the listener->vertex segment for a (1, 128) row.
+        Constant (precomputed) transformed origins; t <= 1 blocks. preds:
+        optional (n_groups, 1) runtime group skip."""
+
+        def group_body(g, blocked):
             a00, a01, a02 = cg(g, 0), cg(g, 1), cg(g, 2)
             a10, a11, a12 = cg(g, 3), cg(g, 4), cg(g, 5)
             a20, a21, a22 = cg(g, 6), cg(g, 7), cg(g, 8)
@@ -176,7 +259,17 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 & (t >= eps)
                 & (t <= 1.0)
             )
-            blocked = jnp.maximum(blocked, ok.astype(jnp.float32))
+            return jnp.maximum(blocked, ok.astype(jnp.float32))
+
+        blocked = jnp.zeros(gshape, jnp.float32)
+        for g in range(n_groups):
+            if preds is None:
+                blocked = group_body(g, blocked)
+            else:
+                blocked = jax.lax.cond(
+                    preds[g, 0] > 0, lambda b, _g=g: group_body(_g, b),
+                    lambda b: b, blocked,
+                )
         return jnp.max(blocked, axis=0, keepdims=True)  # (1, 128)
 
     def row_body(r, carry):
@@ -191,7 +284,22 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         alive = 1.0 + 0.0 * dx  # f32 mask (i1 loop carries don't legalize)
 
         for b in range(max_bounces):
-            best_t8, sel = path_pass(ox, oy, oz, dx, dy, dz)
+            if cull:
+                o_bounds = [
+                    (jnp.min(ox), jnp.max(ox)),
+                    (jnp.min(oy), jnp.max(oy)),
+                    (jnp.min(oz), jnp.max(oz)),
+                ]
+                dmins = (jnp.min(dx), jnp.min(dy), jnp.min(dz))
+                dmaxs = (jnp.max(dx), jnp.max(dy), jnp.max(dz))
+                # unbounded t >= 0: reachable extends to -inf where any ray
+                # points negative, +inf where any points positive
+                reach_lo = [jnp.where(dmins[k] < 0, -inf, 0.0) for k in range(3)]
+                reach_hi = [jnp.where(dmaxs[k] > 0, inf, 0.0) for k in range(3)]
+                preds = bundle_preds(o_bounds, reach_lo, reach_hi)
+            else:
+                preds = None
+            best_t8, sel = path_pass(ox, oy, oz, dx, dy, dz, preds)
             min_t = jnp.min(best_t8, axis=0, keepdims=True)  # (1, 128)
             # first-winning-sublane select (no cumsum in Mosaic: static sweep)
             taken = 0.0 * min_t
@@ -228,7 +336,22 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             wx = vx - lx
             wy = vy - ly
             wz = vz - lz
-            blocked = shadow_pass(wx, wy, wz)
+            if cull:
+                # segment t in [0, 1] from the listener point: reachable
+                # positions are [l + min(0, w_min), l + max(0, w_max)]
+                l_pt = (lx, ly, lz)
+                w_bounds = [
+                    (jnp.min(wx), jnp.max(wx)),
+                    (jnp.min(wy), jnp.max(wy)),
+                    (jnp.min(wz), jnp.max(wz)),
+                ]
+                o_b = [(l_pt[k], l_pt[k]) for k in range(3)]
+                r_lo = [jnp.minimum(w_bounds[k][0], 0.0) for k in range(3)]
+                r_hi = [jnp.maximum(w_bounds[k][1], 0.0) for k in range(3)]
+                sh_preds = bundle_preds(o_b, r_lo, r_hi)
+            else:
+                sh_preds = None
+            blocked = shadow_pass(wx, wy, wz, sh_preds)
             visible = (alive > 0) & (blocked < 0.5)
 
             dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
@@ -307,7 +430,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
 def trace_contributions_pallas(
     scene_arrays, source, listener, dirs, cfg: Config = DEFAULT_CONFIG,
     max_bounces: int | None = None, total_rays: int | None = None,
-    interpret: bool = False, fused_hist: bool = False,
+    interpret: bool = False, fused_hist: bool = False, cull: bool = False,
 ):
     """Run the fused kernel.
 
@@ -322,7 +445,7 @@ def trace_contributions_pallas(
     R = dirs.shape[0]
     assert R % TILE == 0, R
     rows = R // LANES
-    tri = build_tri_table(scene_arrays)
+    tri, gaabb = build_tri_tables(scene_arrays)
     T = tri.shape[0]
     assert T % TRI_GROUP == 0, T
     # listener's transformed origin per triangle: A @ l + b
@@ -360,12 +483,13 @@ def trace_contributions_pallas(
         pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, TRI_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T // TRI_GROUP, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
-        fused_hist=fused_hist,
+        fused_hist=fused_hist, cull=cull,
     )
-    args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl)
+    args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb)
     if fused_hist:
         n_bins = cfg.ir_n_bins
         assert n_bins % LANES == 0, n_bins
@@ -414,7 +538,7 @@ def trace_contributions_pallas(
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "total_rays",
-                     "include_direct", "interpret", "fused_hist"),
+                     "include_direct", "interpret", "fused_hist", "cull"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -428,8 +552,16 @@ def trace_ir_pallas(
     include_direct: bool = True,
     interpret: bool = False,
     fused_hist: bool = False,
+    cull: bool = False,
 ):
-    """Drop-in fast path for models.ir.trace_ir using the fused kernel."""
+    """Drop-in fast path for models.ir.trace_ir using the fused kernel.
+
+    cull=True enables per-row ray-bundle vs triangle-group AABB culling
+    (conservative: identical results, runtime group skips via lax.cond).
+    Off by default: measured on world.obj, bundle pass rates are 76-93%
+    (skip 7-24%) while Mosaic's per-cond overhead needs >35% skips to break
+    even — it made tracing 1.8-3.5x SLOWER. Kept as an experimental hook
+    for large scenes with tighter bundles (see NEXT.md)."""
     from ..models.ir import ImpulseResponse, direct_ir, fibonacci_sphere
 
     n_rays = n_rays or cfg.rays_per_source
@@ -439,12 +571,13 @@ def trace_ir_pallas(
         seg = trace_contributions_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,
             max_bounces=max_bounces, total_rays=total_rays,
-            interpret=interpret, fused_hist=True,
+            interpret=interpret, fused_hist=True, cull=cull,
         )
     else:
         bins, payload = trace_contributions_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,
-            max_bounces=max_bounces, total_rays=total_rays, interpret=interpret,
+            max_bounces=max_bounces, total_rays=total_rays,
+            interpret=interpret, cull=cull,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     energy = seg[:, :N_BANDS].T
