@@ -39,15 +39,19 @@ class Config:
     max_voices: int = 8  # static voice-table size for jit (padded, masked)
 
     # --- tracing policy (reference: main.zig:522-788) ---
-    raycast_capacity: int = 128
+    # NOTE: the reference's capacity-128 candidate truncation has no knob
+    # here: acoustic queries are dense by design (no truncation); the
+    # Space parity API takes `capacity` per call.
     specular_exponent: float = 16.0
     backoff: float = 0.999  # hit point backed off toward ray origin
     occlusion_colocated_eps: float = 1e-3  # |L-S|^2 below => no occlusion
     reflection_dir_eps: float = 1e-3  # |dir|^2 below => skip visibility ray
 
     # --- attenuation EQ (reference: sound_system.zig:229-238, 565-596) ---
+    # band frequencies/coefficients are fixed constants in ops/eq.py
+    # (EQ_FREQS etc.): they are tied to the reference's hardcoded LR2
+    # sections, not free parameters
     air_absorption: float = 1e-5
-    eq_freqs: Tuple[float, float, float, float] = (4.0, 64.0, 1024.0, 16384.0)
 
     # --- reverb environment coupling (reference: main.zig:785-786) ---
     reverb_coupling_scale: float = 0.5
@@ -79,9 +83,10 @@ class Config:
     master_gain: float = 1.0
     limiter: bool = False  # tanh soft clip on the stereo output
 
-    # --- fixed-timestep game loop (reference: main.zig:13-16) ---
+    # --- fixed-timestep game loop (reference: main.zig:13-16; the lag cap
+    # applies to wall-clock drivers, cf. app/demo.py docstring) ---
     ticks_per_second: int = 83
-    max_tick_seconds: float = 0.1
+    max_tick_seconds: float = 0.1  # lag-accumulator cap for real-time loops
 
     @property
     def tick(self) -> float:

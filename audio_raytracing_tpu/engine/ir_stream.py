@@ -89,14 +89,14 @@ class IRStreamRenderer:
             }
         )
         n = max(len(s["samples"]) for s in self._sources)
-        self._dry = jnp.asarray(
-            np.stack(
-                [
-                    np.pad(s["samples"] * s["gain"], (0, n - len(s["samples"])))
-                    for s in self._sources
-                ]
-            )
-        )
+        # host-side arena: block slicing happens on the host (a device
+        # round trip per 2.9 ms block would dwarf the convolution)
+        self._dry = np.stack(
+            [
+                np.pad(s["samples"] * s["gain"], (0, n - len(s["samples"])))
+                for s in self._sources
+            ]
+        ).astype(np.float32)
         self._spectra = None  # force re-trace
         return len(self._sources) - 1
 
@@ -147,7 +147,7 @@ class IRStreamRenderer:
         S = self._dry.shape[0]
         n = self._dry.shape[1]
         idx = (self._cursor + np.arange(B)) % n
-        blocks = np.asarray(self._dry)[:, idx]  # loop all sources
+        blocks = self._dry[:, idx].copy()  # loop all sources (host slice)
         for i, s in enumerate(self._sources):
             if not s["loop"]:
                 past = self._cursor + np.arange(B) >= len(s["samples"])

@@ -562,11 +562,13 @@ def trace_ir_pallas(
     (skip 7-24%) while Mosaic's per-cond overhead needs >35% skips to break
     even — it made tracing 1.8-3.5x SLOWER. Kept as an experimental hook
     for large scenes with tighter bundles (see NEXT.md)."""
-    from ..models.ir import ImpulseResponse, direct_ir, fibonacci_sphere
+    from ..models.ir import ImpulseResponse, direct_ir, fibonacci_sphere_sorted
 
     n_rays = n_rays or cfg.rays_per_source
     if dirs is None:
-        dirs = jnp.asarray(fibonacci_sphere(n_rays))
+        # spatially-sorted order: same direction set (histograms are
+        # order-invariant), tighter per-tile bundles for cull=True
+        dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
     if fused_hist:
         seg = trace_contributions_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,

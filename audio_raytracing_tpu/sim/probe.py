@@ -98,8 +98,13 @@ def environment_probe(scene_arrays, listener, cfg: Config = DEFAULT_CONFIG) -> E
     dirs = jnp.asarray(SPHERE_PATTERN_UNIT)
     origins = jnp.broadcast_to(listener, (N_PROBE, 3))
     t, idx, hit = nearest_hit(origins, dirs, v0, v1, v2)
-    point = origins + dirs * (t * cfg.backoff)[:, None]
-    n = normals[jnp.maximum(idx, 0)]
+    # missed rays carry t = inf: keep dist = inf (the paired reverb
+    # estimate relies on it) but store a finite point (the oracle stores
+    # zeros) so downstream reflection math can mask instead of meeting NaN
+    point = jnp.where(
+        hit[:, None], origins + dirs * (t * cfg.backoff)[:, None], 0.0
+    )
+    n = jnp.where(hit[:, None], normals[jnp.maximum(idx, 0)], 0.0)
 
     d_pair = t.reshape(-1, 2)  # opposite pairs (j even, j odd)
     pair_sum = d_pair[:, 0] + d_pair[:, 1]
@@ -178,13 +183,17 @@ def reflections(scene_arrays, listener, positions, probe: EnvironmentProbe,
     pos_z = (ld[..., 0] > 2) if cfg.quirk_zbin_ld0 else (ld[..., 2] > 0)
 
     w = jnp.where(visible, 1.0, 0.0)
+    # select (not multiply) the masked quantities: probe.dist is inf on
+    # missed rays and 0 * inf = NaN would poison the bin sums (open scenes)
+    tdist = jnp.where(visible, total_dist, 0.0)
+    lam = jnp.where(visible, lam, 0.0)
 
     def bin_pair(part, pos_mask):
         wp = w * part
         w_pos = jnp.sum(wp * pos_mask, axis=1)
         w_neg = jnp.sum(wp * (~pos_mask), axis=1)
-        d_pos = jnp.sum(wp * pos_mask * total_dist, axis=1)
-        d_neg = jnp.sum(wp * (~pos_mask) * total_dist, axis=1)
+        d_pos = jnp.sum(wp * pos_mask * tdist, axis=1)
+        d_neg = jnp.sum(wp * (~pos_mask) * tdist, axis=1)
         l_pos = jnp.sum(wp * pos_mask * lam, axis=1)
         l_neg = jnp.sum(wp * (~pos_mask) * lam, axis=1)
         return (w_pos, d_pos, l_pos), (w_neg, d_neg, l_neg)

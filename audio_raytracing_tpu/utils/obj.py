@@ -56,7 +56,12 @@ def parse_obj(text: str) -> ObjMesh:
                     "only triangulated `f v/vt v/vt v/vt` faces are "
                     f"supported (got {line!r})"
                 )
-            faces.append(tuple(int(t) - 1 for t in toks))
+            idx = tuple(int(t) for t in toks)
+            if any(i < 0 for i in idx):
+                raise ValueError(
+                    f"relative (negative) OBJ indices are not supported ({line!r})"
+                )
+            faces.append(tuple(i - 1 for i in idx))
     v = np.asarray(verts, dtype=np.float32)
     vt = (
         np.asarray(uvs, dtype=np.float32)

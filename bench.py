@@ -55,7 +55,7 @@ def main():
     from audio_raytracing_tpu.config import DEFAULT_CONFIG
     from audio_raytracing_tpu.engine import voices as eng
     from audio_raytracing_tpu.engine.system import SoundSystem, default_hrtf
-    from audio_raytracing_tpu.models.ir import fibonacci_sphere, trace_ir
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted, trace_ir
     from audio_raytracing_tpu.models.scene import Scene, box_room
 
     backend = jax.default_backend()
@@ -67,7 +67,7 @@ def main():
     # --- ray-bounce throughput ---
     n_rays = 1 << 20
     bounces = 8
-    dirs = jnp.asarray(fibonacci_sphere(n_rays))
+    dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
     src = jnp.asarray([1.0, 0.3, 0.5])
     lst = jnp.asarray([-1.0, 0.0, -0.5])
 

@@ -37,12 +37,12 @@ def bench_inputs():
     import jax.numpy as jnp
 
     from audio_raytracing_tpu.config import DEFAULT_CONFIG
-    from audio_raytracing_tpu.models.ir import fibonacci_sphere
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted
     from audio_raytracing_tpu.models.scene import Scene
 
     cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=32768)
     scene = Scene.from_obj(ROOT / "data" / "world.obj", cfg)
-    dirs = jnp.asarray(fibonacci_sphere(BENCH_RAYS))
+    dirs = jnp.asarray(fibonacci_sphere_sorted(BENCH_RAYS))
     return cfg, scene.device_arrays(), dirs
 
 

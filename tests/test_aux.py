@@ -112,3 +112,37 @@ def test_master_gain_and_limiter():
     safe = lim.render(256)
     assert np.abs(safe).max() <= 1.0
     np.testing.assert_allclose(safe, np.tanh(loud * 0.5), atol=1e-6)
+
+
+def test_wav_extensible_subformat(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE must read the SubFormat GUID (32-bit int PCM
+    vs float32 disambiguation)."""
+    import struct
+
+    from audio_raytracing_tpu.utils.wav import read_wav
+
+    samples = (np.sin(np.arange(200) * 0.1) * 2**30).astype("<i4")
+    raw = samples.tobytes()
+    # extensible fmt chunk: tag 0xFFFE, 32-bit, SubFormat = PCM (1)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 44100, 44100 * 4, 4, 32)
+    fmt += struct.pack("<HHI", 32, 0, 0)  # cbSize, valid bits, channel mask (abridged)
+    fmt += struct.pack("<H", 1) + b"\x00" * 14  # SubFormat GUID: PCM
+    p = tmp_path / "ext.wav"
+    with open(p, "wb") as f:
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(raw)) + raw
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    x, rate = read_wav(p)
+    assert rate == 44100
+    np.testing.assert_allclose(
+        x[:, 0], samples.astype(np.float32) / 2**31, atol=1e-6
+    )
+
+
+def test_obj_rejects_relative_indices():
+    import pytest
+
+    from audio_raytracing_tpu.utils.obj import parse_obj
+
+    with pytest.raises(ValueError, match="relative"):
+        parse_obj("v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nf -3/-1 -2/-1 -1/-1\n")

@@ -122,3 +122,21 @@ def test_inactive_voices_zeroed(room):
     params = acoustic_update(scene.device_arrays(), listener, positions, active)
     assert float(params.wet[1]) == 0.0
     assert np.all(np.asarray(params.refl_lam)[1] == 0.0)
+
+
+def test_open_scene_reflections_no_nan():
+    """Open scenes (missed probe rays carry dist=inf) must not poison the
+    reflection bins: batched result matches the oracle, which skips misses
+    (regression: 0 * inf = NaN zeroed every reflection)."""
+    tris = box_room(size=(6.0, 3.0, 5.0))
+    tris = tris[:-2]  # remove the ceiling: some probe rays escape
+    scene = Scene.from_triangles(tris)
+    listener = np.float32([0.0, 0.0, 0.0])
+    positions = np.float32([[2.0, 0.5, 1.0]])
+    params = acoustic_update(scene.device_arrays(), listener, positions, np.ones(1, bool))
+    o = acoustic_update_oracle(tris, listener, positions)
+    assert np.isfinite(np.asarray(params.refl_lam)).all()
+    assert np.asarray(params.refl_lam).max() > 0  # reflections survive
+    np.testing.assert_allclose(np.asarray(params.refl_dist), o["refl_dist"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(params.refl_lam), o["refl_lam"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(params.occlusion), o["occlusion"], atol=1e-4)
