@@ -589,3 +589,45 @@ def trace_ir_pallas(
         energy = energy + dref.energy
         dir_sum = dir_sum + dref.dir_sum
     return ImpulseResponse(energy=energy, dir_sum=dir_sum)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
+                     "interpret", "fused_hist", "cull"),
+)
+def trace_irs_pallas_multi(
+    scene_arrays,
+    sources,
+    listener,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+    dirs=None,
+    include_direct: bool = True,
+    interpret: bool = False,
+    fused_hist: bool = True,
+    cull: bool = False,
+):
+    """All sources' IRs in one compiled program (BASELINE config 5 on a
+    single chip): lax.scan over sources around the fused kernel, so the
+    kernel compiles once and the whole 8-source trace is one dispatch.
+    sources: (S, 3). Returns stacked ImpulseResponse (S, n_bands/3, n_bins).
+    On a multi-chip mesh, shard the source axis outside (see
+    parallel/sharding.py)."""
+    from ..models.ir import ImpulseResponse, fibonacci_sphere_sorted
+
+    n_rays = n_rays or cfg.rays_per_source
+    if dirs is None:
+        dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
+
+    def one(_, src):
+        ir = trace_ir_pallas(
+            scene_arrays, src, listener, cfg=cfg, max_bounces=max_bounces,
+            dirs=dirs, include_direct=include_direct, interpret=interpret,
+            fused_hist=fused_hist, cull=cull,
+        )
+        return None, ir
+
+    _, irs = jax.lax.scan(one, None, sources)
+    return ImpulseResponse(energy=irs.energy, dir_sum=irs.dir_sum)

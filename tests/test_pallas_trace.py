@@ -80,3 +80,24 @@ def test_pallas_fused_hist_matches_emit(scene):
     np.testing.assert_allclose(
         float(b.energy.sum()), float(a.energy.sum()), rtol=2e-3
     )
+
+
+def test_multi_source_scan(scene):
+    from audio_raytracing_tpu.ops.pallas_trace import trace_irs_pallas_multi
+
+    srcs = jnp.asarray([[1.0, 0.5, 0.5], [-1.0, 0.0, 1.0]])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    irs = trace_irs_pallas_multi(
+        scene.device_arrays(), srcs, lst, cfg=CFG, max_bounces=2, dirs=dirs,
+        interpret=True,
+    )
+    assert irs.energy.shape == (2, 4, CFG.ir_n_bins)
+    for s in range(2):
+        want = trace_ir_pallas(
+            scene.device_arrays(), srcs[s], lst, cfg=CFG, max_bounces=2,
+            dirs=dirs, interpret=True, fused_hist=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(irs.energy[s]), np.asarray(want.energy), rtol=1e-5, atol=1e-9
+        )
