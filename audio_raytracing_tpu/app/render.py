@@ -2,13 +2,14 @@
 
 The reference renders with SDL_GPU + SPIR-V shaders (two passes:
 off-screen 800x600 then swapchain blit, src/main.zig:42-318, 791-939;
-shaders raw/shaders/shader.{vert,frag}: vp-transform + texture sample).
-Visuals are explicitly a non-goal there ("this is not about the renderer",
-main.zig:799-800); here the equivalent is a dependency-free NumPy
-rasterizer: vp-projected triangles, z-buffered, flat-shaded by face normal,
-with the music-source marker tetrahedron (main.zig:818-829), writing PPM
-frames. Enough to *see* a scene/camera/sources headlessly and to test the
-camera math end to end.
+shaders raw/shaders/shader.{vert,frag}: vp-transform + texture sample of a
+2x2 gradient). Visuals are explicitly a non-goal there ("this is not about
+the renderer", main.zig:799-800); here the equivalent is a dependency-free
+NumPy rasterizer: vp-projected triangles, z-buffered, barycentric-uv
+bilinear sampling of the same 2x2 gradient texture (main.zig:284-292)
+modulated by face-normal shading, with the music-source marker tetrahedron
+(main.zig:818-829), writing PPM frames. Enough to *see* a scene/camera/
+sources headlessly and to test the camera math end to end.
 """
 
 from __future__ import annotations
@@ -17,6 +18,27 @@ import numpy as np
 
 from ..models.scene import Scene
 from .camera import Camera
+
+# the reference's 2x2 gradient texture (main.zig:284-292): blue/red/green/
+# yellow, sampled with bilinear filtering and clamp-to-edge
+GRADIENT_TEXTURE = np.asarray(
+    [[[0, 0, 255], [255, 0, 0]], [[0, 255, 0], [255, 255, 0]]], np.float32
+)
+
+
+def sample_gradient(u, v):
+    """Bilinear clamp-to-edge sample of the 2x2 texture. u, v: arrays in
+    [0, 1] (texel centers at 0.25/0.75, like GPU linear filtering)."""
+    # map uv to texel space: centers at 0.25 and 0.75 -> s in [0, 1]
+    s = np.clip(np.asarray(u) * 2.0 - 0.5, 0.0, 1.0)
+    t = np.clip(np.asarray(v) * 2.0 - 0.5, 0.0, 1.0)
+    c00 = GRADIENT_TEXTURE[0, 0]
+    c10 = GRADIENT_TEXTURE[0, 1]
+    c01 = GRADIENT_TEXTURE[1, 0]
+    c11 = GRADIENT_TEXTURE[1, 1]
+    s = s[..., None]
+    t = t[..., None]
+    return (c00 * (1 - s) + c10 * s) * (1 - t) + (c01 * (1 - s) + c11 * s) * t
 
 
 def marker_tetrahedron(pos, size: float = 0.1) -> np.ndarray:
@@ -37,11 +59,21 @@ def render_frame(
     height: int = 600,
     markers=(),
     alpha: float = 1.0,
+    uvs=None,
 ) -> np.ndarray:
-    """Rasterize to an (H, W, 3) uint8 image (z-buffered, flat shaded)."""
+    """Rasterize to an (H, W, 3) uint8 image (z-buffered; textured via the
+    reference's 2x2 gradient when uvs (3T, 2) are given, flat-shaded base
+    color otherwise)."""
     tris = np.stack([scene.v0, scene.v1, scene.v2], axis=1)[: scene.n_triangles]
+    tri_uvs = None
+    if uvs is not None:
+        tri_uvs = np.asarray(uvs, np.float32).reshape(-1, 3, 2)[: scene.n_triangles]
     for m in markers:
         tris = np.concatenate([tris, marker_tetrahedron(m)], axis=0)
+        if tri_uvs is not None:
+            tri_uvs = np.concatenate(
+                [tri_uvs, np.tile(np.float32([[0, 0], [1, 0], [0, 1]]), (4, 1, 1))]
+            )
     vp = camera.vp(alpha=alpha, aspect=width / height)  # row-vector convention
 
     verts = tris.reshape(-1, 3)
@@ -95,10 +127,18 @@ def render_frame(
         upd = inside & (z < sub_z) & (z > 0.0) & (z < 1.0)
         sub_z[upd] = z[upd]
         is_marker = t >= scene.n_triangles
-        base = np.float32([240, 120, 80]) if is_marker else np.float32([120, 160, 220])
-        color = (base * shade[t]).astype(np.uint8)
         sub_img = img[y_min:y_max, x_min:x_max]
-        sub_img[upd] = color
+        if tri_uvs is not None:
+            uv = (
+                l0[..., None] * tri_uvs[t, 0]
+                + l1[..., None] * tri_uvs[t, 1]
+                + l2[..., None] * tri_uvs[t, 2]
+            )
+            tex = sample_gradient(uv[..., 0], uv[..., 1]) * shade[t]
+            sub_img[upd] = np.clip(tex, 0, 255).astype(np.uint8)[upd]
+        else:
+            base = np.float32([240, 120, 80]) if is_marker else np.float32([120, 160, 220])
+            sub_img[upd] = (base * shade[t]).astype(np.uint8)
     return img
 
 

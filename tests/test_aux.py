@@ -146,3 +146,22 @@ def test_obj_rejects_relative_indices():
 
     with pytest.raises(ValueError, match="relative"):
         parse_obj("v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nf -3/-1 -2/-1 -1/-1\n")
+
+
+def test_render_frame_textured(world_obj_path, tmp_path):
+    from audio_raytracing_tpu.app.render import render_frame
+    from audio_raytracing_tpu.utils.obj import load_obj
+
+    mesh = load_obj(world_obj_path)
+    scene = Scene.from_mesh(mesh)
+    cam = Camera()
+    cam.pos = np.float32([0.0, 0.0, 0.0])
+    cam.prev_pos = cam.pos
+    img = render_frame(scene, cam, width=160, height=120, uvs=mesh.uvs,
+                       markers=[[2.0, 0.0, 0.5]])
+    assert img.shape == (120, 160, 3)
+    drawn = (img != np.asarray([24, 26, 32], np.uint8)).any(axis=-1)
+    assert drawn.mean() > 0.3
+    # texturing produces more than a handful of distinct colors
+    colors = np.unique(img[drawn].reshape(-1, 3), axis=0)
+    assert len(colors) > 16

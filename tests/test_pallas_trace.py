@@ -89,13 +89,13 @@ def test_multi_source_scan(scene):
     lst = jnp.asarray([-1.0, -0.5, -1.0])
     dirs = jnp.asarray(fibonacci_sphere(1024))
     irs = trace_irs_pallas_multi(
-        scene.device_arrays(), srcs, lst, cfg=CFG, max_bounces=2, dirs=dirs,
+        scene.device_arrays(), srcs, lst, cfg=CFG, max_bounces=1, dirs=dirs,
         interpret=True,
     )
     assert irs.energy.shape == (2, 4, CFG.ir_n_bins)
     for s in range(2):
         want = trace_ir_pallas(
-            scene.device_arrays(), srcs[s], lst, cfg=CFG, max_bounces=2,
+            scene.device_arrays(), srcs[s], lst, cfg=CFG, max_bounces=1,
             dirs=dirs, interpret=True, fused_hist=True,
         )
         np.testing.assert_allclose(
