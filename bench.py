@@ -105,6 +105,7 @@ def main():
     aot_mod = _ilu.module_from_spec(spec)
     spec.loader.exec_module(aot_mod)
     aot = aot_mod.load()
+    aot_stale = aot is None and (ROOT / "benchmarks" / "pallas_trace_exec.pkl").exists()
     if aot is not None and aot[1] == n_rays and aot[2] == bounces:
         fn = aot[0]
 
@@ -198,6 +199,7 @@ def main():
             "audio_block_ms_amortized": audio_block_ms_amortized,
             "acoustic_update_ms": update_ms,
             "ray_triangle_tests_per_sec": rate * scene.v0.shape[0] * 2,
+            "aot_artifact_stale": aot_stale,
             **pallas,
         },
     }
