@@ -37,9 +37,13 @@ from .system import default_hrtf
 
 @partial(jax.jit, static_argnames=("block",))
 def _respectra(amb_irs, orientation, hrtf_l, hrtf_r, block: int):
-    """(S, 4, L) ambisonic IRs -> (S, 2, P, F) per-ear spectra."""
+    """(S, 4, L) ambisonic IRs -> ((S, 2, P, F) re, (S, 2, P, F) im).
+
+    Real-arithmetic path (ops/conv_partitioned real variants): some TPU
+    runtimes have no complex64 support at all, and the DFT matmuls run on
+    the MXU anyway."""
     return jax.vmap(
-        lambda ir: cp.binaural_ir_spectra(ir, orientation, hrtf_l, hrtf_r, block)
+        lambda ir: cp.binaural_ir_spectra_real(ir, orientation, hrtf_l, hrtf_r, block)
     )(amb_irs)
 
 
@@ -47,10 +51,10 @@ def _respectra(amb_irs, orientation, hrtf_l, hrtf_r, block: int):
 def _stream_block(x, state, spectra_old, spectra_new, crossfade):
     """x: (S, 2, B) per-source stereo-duplicated dry blocks. Sums sources."""
     def faded(x, st):
-        return cp.conv_block_crossfade(x, st, spectra_old, spectra_new)
+        return cp.conv_block_crossfade_real(x, st, spectra_old, spectra_new)
 
     def plain(x, st):
-        return cp.conv_block(x, st, spectra_new)
+        return cp.conv_block_real(x, st, *spectra_new)
 
     y, new_state = jax.lax.cond(crossfade, faded, plain, x, state)
     return jnp.sum(y, axis=0).T, new_state  # (B, 2)
@@ -127,9 +131,9 @@ class IRStreamRenderer:
         if self._spectra is None:
             self._spectra = spectra
             self._spectra_prev = spectra
-            P = spectra.shape[-2]
-            S = spectra.shape[0]
-            self._conv_state = cp.conv_init((S, 2), P, cfg.block_size)
+            P = spectra[0].shape[-2]
+            S = spectra[0].shape[0]
+            self._conv_state = cp.conv_init_real((S, 2), P, cfg.block_size)
         else:
             self._spectra_prev = self._spectra
             self._spectra = spectra
@@ -145,13 +149,15 @@ class IRStreamRenderer:
         cfg = self.cfg
         B = cfg.block_size
         S = self._dry.shape[0]
-        n = self._dry.shape[1]
-        idx = (self._cursor + np.arange(B)) % n
-        blocks = self._dry[:, idx].copy()  # loop all sources (host slice)
+        pos = self._cursor + np.arange(B)
+        blocks = np.zeros((S, B), np.float32)
         for i, s in enumerate(self._sources):
-            if not s["loop"]:
-                past = self._cursor + np.arange(B) >= len(s["samples"])
-                blocks[i] = np.where(past, 0.0, blocks[i])
+            m = len(s["samples"])  # wrap at each source's OWN length
+            if s["loop"]:
+                blocks[i] = self._dry[i, pos % m]
+            else:
+                valid = pos < m
+                blocks[i, valid] = self._dry[i, pos[valid]]
         x = jnp.asarray(blocks)[:, None, :].repeat(2, axis=1)  # (S, 2, B)
         with profiling.span("ir_stream_block"):
             y, self._conv_state = _stream_block(

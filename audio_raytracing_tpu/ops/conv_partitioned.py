@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -117,3 +118,147 @@ def binaural_ir_spectra(amb_ir, orientation, hrtf_l, hrtf_r, block: int):
     left = jnp.sum(convolve_offline(amb_rot, hrtf_l), axis=0)  # (L + m - 1,)
     right = jnp.sum(convolve_offline(amb_rot, hrtf_r), axis=0)
     return partition_ir(jnp.stack([left, right], axis=0), block)
+
+
+# ---------------------------------------------------------------------------
+# Real-arithmetic path (split re/im, DFT as matmul).
+#
+# Some TPU runtimes (including the axon backend this repo benches on) do not
+# implement complex64 at all — no jnp.fft, no complex arithmetic. For the
+# short transforms of streaming partitioned convolution (2B = 256 points)
+# the DFT is a pair of small dense matmuls, which the MXU eats; the FDL
+# complex multiply becomes four real multiplies. Numerically equivalent to
+# the complex path (differentially tested).
+# ---------------------------------------------------------------------------
+
+
+def _dft_matrices(block: int):
+    """Forward rFFT as matmul: X_re = seg @ CR, X_im = seg @ CI with
+    seg (2B,); inverse: y = X_re @ IR + X_im @ II giving (2B,)."""
+    import numpy as np  # host-side constant construction
+
+    N = 2 * block
+    F = block + 1
+    n = np.arange(N)[:, None]
+    k = np.arange(F)[None, :]
+    ang = 2.0 * np.pi * n * k / N
+    CR = np.cos(ang).astype(np.float32)  # (N, F)
+    CI = (-np.sin(ang)).astype(np.float32)
+    w = np.full(F, 2.0, np.float32)
+    w[0] = w[-1] = 1.0
+    ang_i = 2.0 * np.pi * k.T * np.arange(N)[None, :] / N  # (F, N)
+    IR = (w[:, None] * np.cos(ang_i) / N).astype(np.float32)
+    II = (-w[:, None] * np.sin(ang_i) / N).astype(np.float32)
+    return jnp.asarray(CR), jnp.asarray(CI), jnp.asarray(IR), jnp.asarray(II)
+
+
+def partition_ir_real(ir, block: int):
+    """ir (..., L) -> (H_re, H_im) each (..., P, F) float32."""
+    L = ir.shape[-1]
+    P = -(-L // block)
+    pad = P * block - L
+    irp = jnp.pad(ir, [(0, 0)] * (ir.ndim - 1) + [(0, pad)])
+    parts = irp.reshape(ir.shape[:-1] + (P, block))
+    parts = jnp.concatenate([parts, jnp.zeros_like(parts)], axis=-1)  # zero-pad 2B
+    CR, CI, _, _ = _dft_matrices(block)
+    hi = jax.lax.Precision.HIGHEST
+    return (
+        jnp.einsum("...pn,nf->...pf", parts, CR, precision=hi),
+        jnp.einsum("...pn,nf->...pf", parts, CI, precision=hi),
+    )
+
+
+class RealConvState(NamedTuple):
+    fdl_re: jnp.ndarray  # (..., P, F)
+    fdl_im: jnp.ndarray
+    prev_input: jnp.ndarray  # (..., B)
+
+
+def conv_init_real(shape_prefix: tuple, n_partitions: int, block: int) -> RealConvState:
+    F = block + 1
+    return RealConvState(
+        fdl_re=jnp.zeros(shape_prefix + (n_partitions, F), jnp.float32),
+        fdl_im=jnp.zeros(shape_prefix + (n_partitions, F), jnp.float32),
+        prev_input=jnp.zeros(shape_prefix + (block,), jnp.float32),
+    )
+
+
+def conv_block_real(x, state: RealConvState, h_re, h_im):
+    """Streaming block, real arithmetic. x (..., B); h_* (..., P, F)."""
+    B = x.shape[-1]
+    CR, CI, IR, II = _dft_matrices(B)
+    hi = jax.lax.Precision.HIGHEST
+    seg = jnp.concatenate([state.prev_input, x], axis=-1)  # (..., 2B)
+    x_re = jnp.einsum("...n,nf->...f", seg, CR, precision=hi)
+    x_im = jnp.einsum("...n,nf->...f", seg, CI, precision=hi)
+    fdl_re = jnp.concatenate([x_re[..., None, :], state.fdl_re[..., :-1, :]], axis=-2)
+    fdl_im = jnp.concatenate([x_im[..., None, :], state.fdl_im[..., :-1, :]], axis=-2)
+    y_re = jnp.sum(fdl_re * h_re - fdl_im * h_im, axis=-2)
+    y_im = jnp.sum(fdl_re * h_im + fdl_im * h_re, axis=-2)
+    y = (
+        jnp.einsum("...f,fn->...n", y_re, IR, precision=hi)
+        + jnp.einsum("...f,fn->...n", y_im, II, precision=hi)
+    )[..., B:]
+    return y, RealConvState(fdl_re=fdl_re, fdl_im=fdl_im, prev_input=x)
+
+
+def conv_block_crossfade_real(x, state: RealConvState, old, new):
+    """Crossfaded swap, real arithmetic. old/new: (h_re, h_im) pairs."""
+    B = x.shape[-1]
+    CR, CI, IR, II = _dft_matrices(B)
+    hi = jax.lax.Precision.HIGHEST
+    seg = jnp.concatenate([state.prev_input, x], axis=-1)
+    x_re = jnp.einsum("...n,nf->...f", seg, CR, precision=hi)
+    x_im = jnp.einsum("...n,nf->...f", seg, CI, precision=hi)
+    fdl_re = jnp.concatenate([x_re[..., None, :], state.fdl_re[..., :-1, :]], axis=-2)
+    fdl_im = jnp.concatenate([x_im[..., None, :], state.fdl_im[..., :-1, :]], axis=-2)
+
+    def out(h):
+        h_re, h_im = h
+        y_re = jnp.sum(fdl_re * h_re - fdl_im * h_im, axis=-2)
+        y_im = jnp.sum(fdl_re * h_im + fdl_im * h_re, axis=-2)
+        return (
+            jnp.einsum("...f,fn->...n", y_re, IR, precision=hi)
+            + jnp.einsum("...f,fn->...n", y_im, II, precision=hi)
+        )[..., B:]
+
+    w = (jnp.arange(B, dtype=jnp.float32) + 1.0) / B
+    y = out(old) * (1.0 - w) + out(new) * w
+    return y, RealConvState(fdl_re=fdl_re, fdl_im=fdl_im, prev_input=x)
+
+
+def convolve_direct(x, ir):
+    """'Full' convolution via lax.conv (real arithmetic, TPU-safe for any
+    runtime; use for offline combines where jnp.fft may be unavailable).
+    x (..., N), ir (..., L) broadcasting on leading dims -> (..., N+L-1)."""
+    xb = jnp.broadcast_arrays(x[..., :1], ir[..., :1])[0].shape[:-1]
+    n = x.shape[-1]
+    L = ir.shape[-1]
+    xf = jnp.broadcast_to(x, xb + (n,)).reshape(-1, 1, n)
+    irf = jnp.broadcast_to(ir, xb + (L,)).reshape(-1, 1, L)
+    xp = jnp.pad(xf, ((0, 0), (0, 0), (L - 1, L - 1)))
+    # grouped conv: each batch row convolves with its own kernel
+    out = jax.lax.conv_general_dilated(
+        xp.reshape(1, -1, n + 2 * L - 2),
+        jnp.flip(irf, -1).transpose(1, 0, 2).reshape(-1, 1, L),
+        window_strides=(1,),
+        padding="VALID",
+        feature_group_count=xf.shape[0],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(xb + (n + L - 1,))
+
+
+def binaural_ir_spectra_real(amb_ir, orientation, hrtf_l, hrtf_r, block: int):
+    """Real-arithmetic variant of binaural_ir_spectra: time-domain combine
+    via lax.conv, then DFT-matmul partitioning. Returns ((2, P, F) re,
+    (2, P, F) im)."""
+    from ..utils import quat
+
+    xyz = amb_ir[1:4].T
+    rot = quat.rotate(orientation[None, :], xyz).T
+    amb_rot = jnp.concatenate([amb_ir[:1], rot], axis=0)  # (4, L)
+    left = jnp.sum(convolve_direct(amb_rot, hrtf_l), axis=0)
+    right = jnp.sum(convolve_direct(amb_rot, hrtf_r), axis=0)
+    return partition_ir_real(jnp.stack([left, right], axis=0), block)

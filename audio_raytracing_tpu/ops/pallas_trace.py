@@ -69,13 +69,6 @@ def _morton3(q):
     return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
 
 
-def build_tri_table(scene_arrays) -> jnp.ndarray:
-    """(T, TRI_COLS) per-triangle constants from the SceneArrays woop
-    layout (woop_d[:, k*T:(k+1)*T] = A[k, :] columns)."""
-    table, _ = build_tri_tables(scene_arrays)
-    return table
-
-
 def build_tri_tables(scene_arrays):
     """(tri_table (T, TRI_COLS), group_aabbs (T/8, 8)).
 
@@ -442,6 +435,13 @@ def trace_contributions_pallas(
     HBM. Requires cfg.ir_n_bins % 128 == 0.
     """
     max_bounces = max_bounces or cfg.max_bounces
+    e = cfg.specular_exponent
+    if not (float(e).is_integer() and int(e) > 0 and (int(e) & (int(e) - 1)) == 0):
+        raise NotImplementedError(
+            "the Pallas kernel computes the specular term by repeated "
+            f"squaring and supports power-of-two exponents only (got {e}); "
+            "use models.ir.trace_ir for other exponents"
+        )
     R = dirs.shape[0]
     assert R % TILE == 0, R
     rows = R // LANES

@@ -71,8 +71,6 @@ def main():
     src = jnp.asarray([1.0, 0.3, 0.5])
     lst = jnp.asarray([-1.0, 0.0, -0.5])
 
-    import jax.numpy as _jnp
-
     srcs = [jnp.asarray([1.0 + 0.001 * i, 0.3, 0.5]) for i in range(16)]
     it = iter(range(10**9))
 
@@ -85,7 +83,7 @@ def main():
             max_bounces=bounces, dirs=dirs,
             intersector="mxu", scatter="matmul",
         )
-        float(_jnp.sum(ir.energy))
+        float(jnp.sum(ir.energy))
         return ir
 
     t_trace = _median_time(trace_step, iters=10, warmup=3)
@@ -111,7 +109,7 @@ def main():
 
         def pallas_aot_step():
             ir = fn(arrays, srcs[next(it) % len(srcs)], lst, dirs=dirs)
-            float(_jnp.sum(ir.energy))
+            float(jnp.sum(ir.energy))
 
         t_aot = _median_time(pallas_aot_step, iters=10, warmup=2)
         if t_aot < t_trace:
@@ -159,9 +157,11 @@ def main():
     from audio_raytracing_tpu.sim.probe import acoustic_update
 
     vt = system.state.voices
+    listeners = [jnp.asarray([0.001 * i, 0.0, 0.0]) for i in range(16)]
 
     def update_step():
-        p = acoustic_update(arrays, listener, vt.pos, vt.active, cfg=cfg)
+        # varied listener: the relay caches byte-identical dispatches
+        p = acoustic_update(arrays, listeners[next(it) % 16], vt.pos, vt.active, cfg=cfg)
         float(p.occlusion[0])
 
     update_ms = _median_time(update_step, iters=10, warmup=2) * 1e3
@@ -175,7 +175,7 @@ def main():
                 arrays, srcs[next(it) % len(srcs)], lst, cfg=cfg,
                 max_bounces=bounces, dirs=dirs,
             )
-            float(_jnp.sum(ir.energy))
+            float(jnp.sum(ir.energy))
 
         t_p = _median_time(pallas_step, iters=5, warmup=2)
         pallas = {

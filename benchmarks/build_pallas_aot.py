@@ -28,9 +28,22 @@ BENCH_BOUNCES = 8
 ARTIFACT = ROOT / "benchmarks" / "pallas_trace_exec.pkl"
 
 
+HASHED_SOURCES = (
+    # everything the compiled executable bakes in semantically
+    "audio_raytracing_tpu/ops/pallas_trace.py",
+    "audio_raytracing_tpu/ops/histogram.py",
+    "audio_raytracing_tpu/ops/intersect.py",
+    "audio_raytracing_tpu/ops/eq.py",
+    "audio_raytracing_tpu/models/ir.py",
+    "audio_raytracing_tpu/config.py",
+)
+
+
 def kernel_source_hash() -> str:
-    src = (ROOT / "audio_raytracing_tpu" / "ops" / "pallas_trace.py").read_bytes()
-    return hashlib.sha256(src).hexdigest()
+    h = hashlib.sha256()
+    for rel in HASHED_SOURCES:
+        h.update((ROOT / rel).read_bytes())
+    return h.hexdigest()
 
 
 def bench_inputs():

@@ -277,3 +277,54 @@ def test_golden_ir_world(world_obj_path):
     with np.load(golden_path) as z:
         np.testing.assert_allclose(np.asarray(ir.energy), z["energy"], rtol=1e-4, atol=1e-10)
         np.testing.assert_allclose(np.asarray(ir.dir_sum), z["dir_sum"], rtol=1e-4, atol=1e-10)
+
+
+def test_real_conv_path_matches_complex(rng):
+    """The split-re/im DFT-matmul convolver (for TPU runtimes without
+    complex64) must match the complex-FFT path."""
+    import jax.numpy as jnp
+
+    B = 128
+    ir = (rng.standard_normal(1000) * np.exp(-np.arange(1000) / 300)).astype(np.float32)
+    x = rng.standard_normal(6 * B).astype(np.float32)
+    sp = cp.partition_ir(jnp.asarray(ir), B)
+    hre, him = cp.partition_ir_real(jnp.asarray(ir), B)
+    np.testing.assert_allclose(np.asarray(sp.real), np.asarray(hre), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sp.imag), np.asarray(him), rtol=1e-3, atol=1e-4)
+
+    st_c = cp.conv_init((), sp.shape[0], B)
+    st_r = cp.conv_init_real((), sp.shape[0], B)
+    for b in range(6):
+        blk = jnp.asarray(x[b * B : (b + 1) * B])
+        yc, st_c = cp.conv_block(blk, st_c, sp)
+        yr, st_r = cp.conv_block_real(blk, st_r, hre, him)
+        np.testing.assert_allclose(np.asarray(yr), np.asarray(yc), rtol=1e-3, atol=2e-4)
+
+
+def test_convolve_direct_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((4, 300)).astype(np.float32)
+    ir = rng.standard_normal((4, 128)).astype(np.float32)
+    got = np.asarray(cp.convolve_direct(jnp.asarray(x), jnp.asarray(ir)))
+    for c in range(4):
+        np.testing.assert_allclose(
+            got[c], np.convolve(x[c], ir[c]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_binaural_spectra_real_matches_complex(rng):
+    import jax.numpy as jnp
+
+    from audio_raytracing_tpu.engine.system import default_hrtf
+    from audio_raytracing_tpu.utils import quat
+
+    hl, hr = default_hrtf()
+    amb = (rng.standard_normal((4, 512)) * 0.3).astype(np.float32)
+    orient = jnp.asarray(quat.quat_from_roll_pitch_yaw(0.1, 0.7, 0.0))
+    sp = cp.binaural_ir_spectra(jnp.asarray(amb), orient, jnp.asarray(hl), jnp.asarray(hr), 128)
+    hre, him = cp.binaural_ir_spectra_real(
+        jnp.asarray(amb), orient, jnp.asarray(hl), jnp.asarray(hr), 128
+    )
+    np.testing.assert_allclose(np.asarray(sp.real), np.asarray(hre), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sp.imag), np.asarray(him), rtol=1e-3, atol=1e-3)

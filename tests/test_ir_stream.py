@@ -77,3 +77,19 @@ def test_crossfade_continuity():
     boundary = jumps[510:514].max()
     typical = np.percentile(jumps, 99)
     assert boundary < 10 * typical + 1e-4
+
+
+def test_short_looping_source_wraps_at_own_length():
+    """A looping source shorter than the arena must wrap at ITS length,
+    not play the zero padding of the longest source (regression)."""
+    scene = make_scene()
+    r = IRStreamRenderer(scene, CFG)
+    short = (0.5 * np.sin(2 * np.pi * 880 * np.arange(300) / 44100)).astype(np.float32)
+    long_ = (0.3 * np.sin(2 * np.pi * 220 * np.arange(8000) / 44100)).astype(np.float32)
+    r.add_source(short, pos=[2.0, 0.0, 1.0])
+    r.add_source(long_, pos=[-2.0, 0.0, 1.0], gain=0.0)  # silent, sets arena len
+    r.update([0.0, 0.0, 0.0])
+    out = r.render(4096)
+    # with the bug, samples beyond index 300 of each arena cycle are silent:
+    # the window [512, 4096) would be ~all-zero; with the fix it is audible
+    assert np.abs(out[512:]).max() > 1e-5
