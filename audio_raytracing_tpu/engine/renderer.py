@@ -25,8 +25,7 @@ import jax.numpy as jnp
 from ..config import Config, DEFAULT_CONFIG
 from ..models.ir import ambisonic_ir, trace_ir
 from ..models.scene import Scene
-from ..ops.conv_partitioned import convolve_offline
-from ..ops.ambisonic import hrtf_decode_fft
+from ..ops.conv_partitioned import convolve_direct
 from ..utils import quat
 from .system import SoundSystem, default_hrtf
 
@@ -91,6 +90,9 @@ def render_ir_offline(
     ambisonic IR is traced on device, the dry signal convolved with all 4
     IR channels, the summed ambisonic bed rotated by the listener
     orientation and HRTF-decoded to stereo. Returns (n + ir - 1, 2) f32.
+
+    All convolutions go through lax.conv (real arithmetic) so the renderer
+    runs on TPU runtimes without complex64 support.
     """
     hl, hr = hrtf if hrtf is not None else default_hrtf()
     arrays = scene.device_arrays()
@@ -108,12 +110,13 @@ def render_ir_offline(
         )
         amb = ambisonic_ir(ir)  # (4, L)
         dry = jnp.asarray(np.pad(np.asarray(s["samples"], np.float32), (0, n_max - len(s["samples"]))))
-        wet = convolve_offline(dry[None, :] * float(s.get("gain", 1.0)), amb)  # (4, n+L-1)
+        wet = convolve_direct(dry[None, :] * float(s.get("gain", 1.0)), amb)  # (4, n+L-1)
         amb_total = wet if amb_total is None else amb_total + wet
 
     # rotate the summed bed by the listener orientation, then decode
     xyz = amb_total[1:4].T
     rot = quat.rotate(jnp.asarray(orient)[None, :], xyz).T
     amb_rot = jnp.concatenate([amb_total[:1], rot], axis=0)
-    stereo = hrtf_decode_fft(amb_rot, jnp.asarray(hl), jnp.asarray(hr))
-    return np.asarray(stereo)
+    left = jnp.sum(convolve_direct(amb_rot, jnp.asarray(hl)), axis=0)
+    right = jnp.sum(convolve_direct(amb_rot, jnp.asarray(hr)), axis=0)
+    return np.asarray(jnp.stack([left, right], axis=-1))
