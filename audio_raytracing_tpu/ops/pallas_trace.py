@@ -46,6 +46,13 @@ TRI_GROUP = 8
 TILE = SUBLANES * LANES  # rays per grid step
 N_BANDS = 4
 PAYLOAD_C = N_BANDS + 3  # energy per band + energy-weighted direction
+PAYLOAD_C_FLAT = 1 + 3  # flat-band mode: one energy + direction
+# NOTE (measured, do not re-derive): accumulating the one-hot coarse matmul
+# into a dynamic 8-aligned window of the histogram (pl.ds(base, 32) += h,
+# with a pl.when fallback for wide rows) is SLOWER than the full-height
+# (n_coarse, pc*128) accumulate on this hardware — 81 ms vs 64 ms at 1M
+# rays — the dynamic-slice read-modify-write plus the per-row-bounce scalar
+# min/max reductions cost more than the 8x MAC savings. Full height it is.
 
 # tri_table columns
 _A = 0  # 9: row-major world->unit-triangle linear map
@@ -116,7 +123,8 @@ def build_tri_tables(scene_arrays):
 
 def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   gaabb_ref, *out_refs, n_tris: int, max_bounces: int,
-                  cfg: Config, fused_hist: bool = False, cull: bool = False):
+                  cfg: Config, fused_hist: bool = False, cull: bool = False,
+                  flat_bands: bool = False):
     inf = jnp.float32(np.inf)
     sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
     lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
@@ -128,6 +136,10 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     freqs = [float(f) for f in EQ_FREQS]
     n_groups = n_tris // TRI_GROUP
     gshape = (TRI_GROUP, LANES)
+    # flat-band mode (fused_hist only): all bands share one absorption
+    # amplitude; per-band air absorption is reconstructed from the bin
+    # index outside the kernel, shrinking the binned payload from 7 to 4
+    n_keep = 1 if (fused_hist and flat_bands) else N_BANDS
 
     if fused_hist:
         # out_refs = (hist_out, hist_scratch): accumulate in scratch (safe
@@ -176,13 +188,16 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             e //= 2
         return x
 
-    def path_pass(ox, oy, oz, dx, dy, dz, preds=None):
+    def path_pass(ox, oy, oz, dx, dy, dz, preds=None, o_cols=None):
         """Nearest hit + attrs for a (1, 128) ray row. Returns per-sublane
         running (best_t, n_xyz, keep) (8, 128) arrays. preds: optional
-        (n_groups, 1) bool — groups with False are skipped at runtime."""
+        (n_groups, 1) bool — groups with False are skipped at runtime.
+        o_cols: when the whole row shares one origin (bounce 0: the source),
+        its per-triangle transformed origin is precomputed in opl columns
+        o_cols..o_cols+2 — skips the 12-op origin transform per group."""
         best_t = jnp.full(gshape, inf)
         sel = [jnp.zeros(gshape, jnp.float32) for _ in range(3)] + [
-            jnp.ones(gshape, jnp.float32) for _ in range(N_BANDS)
+            jnp.ones(gshape, jnp.float32) for _ in range(n_keep)
         ]
 
         def group_body(g, carry):
@@ -190,9 +205,14 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             a00, a01, a02 = cg(g, 0), cg(g, 1), cg(g, 2)
             a10, a11, a12 = cg(g, 3), cg(g, 4), cg(g, 5)
             a20, a21, a22 = cg(g, 6), cg(g, 7), cg(g, 8)
-            opx = a00 * ox + a01 * oy + a02 * oz + cg(g, _B)
-            opy = a10 * ox + a11 * oy + a12 * oz + cg(g, _B + 1)
-            opz = a20 * ox + a21 * oy + a22 * oz + cg(g, _B + 2)
+            if o_cols is not None:
+                opx = og(g, o_cols) + 0.0 * dx
+                opy = og(g, o_cols + 1) + 0.0 * dx
+                opz = og(g, o_cols + 2) + 0.0 * dx
+            else:
+                opx = a00 * ox + a01 * oy + a02 * oz + cg(g, _B)
+                opy = a10 * ox + a11 * oy + a12 * oz + cg(g, _B + 1)
+                opz = a20 * ox + a21 * oy + a22 * oz + cg(g, _B + 2)
             dpx = a00 * dx + a01 * dy + a02 * dz
             dpy = a10 * dx + a11 * dy + a12 * dz
             dpz = a20 * dx + a21 * dy + a22 * dz
@@ -211,7 +231,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             best_t = jnp.where(improved, tc, best_t)
             for c in range(3):
                 sel[c] = jnp.where(improved, cg(g, _N + c), sel[c])
-            for c in range(N_BANDS):
+            for c in range(n_keep):
                 sel[3 + c] = jnp.where(improved, cg(g, _K + c), sel[3 + c])
             return (best_t, *sel)
 
@@ -272,7 +292,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         ox = sx + 0.0 * dx
         oy = sy + 0.0 * dx
         oz = sz + 0.0 * dx
-        amp = [1.0 + 0.0 * dx for _ in range(N_BANDS)]
+        amp = [1.0 + 0.0 * dx for _ in range(n_keep)]
         path = 0.0 * dx
         alive = 1.0 + 0.0 * dx  # f32 mask (i1 loop carries don't legalize)
 
@@ -292,17 +312,20 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 preds = bundle_preds(o_bounds, reach_lo, reach_hi)
             else:
                 preds = None
-            best_t8, sel = path_pass(ox, oy, oz, dx, dy, dz, preds)
+            best_t8, sel = path_pass(
+                ox, oy, oz, dx, dy, dz, preds,
+                o_cols=(3 if b == 0 else None),
+            )
             min_t = jnp.min(best_t8, axis=0, keepdims=True)  # (1, 128)
             # first-winning-sublane select (no cumsum in Mosaic: static sweep)
             taken = 0.0 * min_t
-            acc = [0.0 * min_t for _ in range(3 + N_BANDS)]
+            acc = [0.0 * min_t for _ in range(3 + n_keep)]
             for s in range(TRI_GROUP):
                 row_min = (
                     jax.lax.slice(best_t8, (s, 0), (s + 1, LANES)) == min_t
                 ).astype(jnp.float32)
                 use = row_min * (1.0 - taken)
-                for c in range(3 + N_BANDS):
+                for c in range(3 + n_keep):
                     acc[c] = acc[c] + use * jax.lax.slice(
                         sel[c], (s, 0), (s + 1, LANES)
                     )
@@ -321,7 +344,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             s = jnp.sign(1e-30 - ndd)
             nx, ny, nz = nx * s, ny * s, nz * s
             path = path + t_safe * alive
-            for c in range(N_BANDS):
+            for c in range(n_keep):
                 # misses selected keep=1 only if no sublane won; force 1
                 kc = jnp.where(min_t < inf, keep[c], 1.0)
                 amp[c] = amp[c] * jnp.where(alive > 0, kc, 1.0)
@@ -358,47 +381,60 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             d_total = path + dl
             scale = lam / (d_total + 1.0)
             visf = visible.astype(jnp.float32)
-            es = []
-            for c in range(N_BANDS):
-                aab = jnp.clip(1.0 - air * d_total * freqs[c], 0.0, 1.0)
-                ac = amp[c] * scale * aab
-                es.append(ac * ac * inv_n * visf)
-            e_mean = (es[0] + es[1] + es[2] + es[3]) * (1.0 / N_BANDS)
+            if fused_hist and flat_bands:
+                # one amplitude, air absorption reconstructed from the bin
+                # index outside the kernel (trace_ir_pallas); direction
+                # weighted by the flat energy (rescaled outside to match)
+                a0 = amp[0] * scale
+                e_base = a0 * a0 * inv_n * visf
+                es = [e_base]
+                e_dir = e_base
+            else:
+                es = []
+                for c in range(N_BANDS):
+                    aab = jnp.clip(1.0 - air * d_total * freqs[c], 0.0, 1.0)
+                    ac = amp[c] * scale * aab
+                    es.append(ac * ac * inv_n * visf)
+                e_dir = (es[0] + es[1] + es[2] + es[3]) * (1.0 / N_BANDS)
             bins = jnp.clip(d_total * spm_bps + 0.5, 0.0, n_bins - 1.0)
             bins = jnp.where(visible, bins, n_bins).astype(jnp.int32)
 
             chans = es + [
-                wx * inv_dl * e_mean,
-                wy * inv_dl * e_mean,
-                wz * inv_dl * e_mean,
+                wx * inv_dl * e_dir,
+                wy * inv_dl * e_dir,
+                wz * inv_dl * e_dir,
             ]
             # dead/occluded rays can carry inf through the masked math
             # (inf * 0 = NaN); a select passes clean zeros regardless
             chans = [jnp.where(visible, c, 0.0) for c in chans]
             if fused_hist:
                 # in-kernel two-level one-hot binning on the MXU:
-                # H[coarse, c*128 + fine] += payload_c; the sentinel bin
-                # (n_bins) maps to coarse == n_coarse and drops out of the
-                # one-hot range automatically. bf16 inputs (f32 MXU
-                # accumulate): ~4e-3 relative rounding, below the
-                # Monte-Carlo noise floor.
+                # H[coarse, c*128 + fine] += payload_c, all channels stacked
+                # into ONE dot_general. Occluded/dead lanes carry zeroed
+                # payloads, so a lane landing anywhere (incl. the sentinel
+                # bin n_bins) adds zeros. bf16 inputs (f32 MXU accumulate):
+                # ~4e-3 relative rounding, below the Monte-Carlo noise.
+                pc = len(chans)
                 coarse = bins // LANES  # (1, 128)
                 fine = bins - coarse * LANES
-                a_oh = (
-                    jax.lax.broadcasted_iota(jnp.int32, (n_coarse, LANES), 0)
-                    == coarse
-                ).astype(jnp.bfloat16)  # (NC, 128 rays)
                 f_oh = (
                     jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                     == fine
                 ).astype(jnp.bfloat16)  # (128 fine, 128 rays)
-                for c in range(PAYLOAD_C):
-                    b_c = f_oh * chans[c].astype(jnp.bfloat16)  # (128f, 128r)
-                    h = jax.lax.dot_general(
-                        a_oh, b_c, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (NC, 128 fine)
-                    hist_ref[:, c * LANES : (c + 1) * LANES] += h
+                b_all = jnp.concatenate(
+                    [f_oh * chans[c].astype(jnp.bfloat16) for c in range(pc)],
+                    axis=0,
+                )  # (pc*128, 128 rays)
+
+                a_oh = (
+                    jax.lax.broadcasted_iota(jnp.int32, (n_coarse, LANES), 0)
+                    == coarse
+                ).astype(jnp.bfloat16)  # (NC, 128 rays)
+                h = jax.lax.dot_general(
+                    a_oh, b_all, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (NC, pc*128)
+                hist_ref[...] += h
             else:
                 bins_ref[b, pl.ds(r, 1), :] = bins
                 for c in range(PAYLOAD_C):
@@ -424,6 +460,7 @@ def trace_contributions_pallas(
     scene_arrays, source, listener, dirs, cfg: Config = DEFAULT_CONFIG,
     max_bounces: int | None = None, total_rays: int | None = None,
     interpret: bool = False, fused_hist: bool = False, cull: bool = False,
+    flat_bands: bool = False,
 ):
     """Run the fused kernel.
 
@@ -433,7 +470,13 @@ def trace_contributions_pallas(
     (MXU one-hot binning, bf16 inputs / f32 accumulate) and the return is
     the (n_bins, 7) histogram directly — no contribution stream touches
     HBM. Requires cfg.ir_n_bins % 128 == 0.
+    flat_bands=True (fused_hist only): the scene's absorption must be
+    band-uniform; the kernel carries a single amplitude and the return is
+    (n_bins, 4) = [flat energy | direction], with per-band air absorption
+    applied by the caller from the bin index.
     """
+    if flat_bands and not fused_hist:
+        raise ValueError("flat_bands requires fused_hist=True")
     max_bounces = max_bounces or cfg.max_bounces
     e = cfg.specular_exponent
     if not (float(e).is_integer() and int(e) > 0 and (int(e) & (int(e) - 1)) == 0):
@@ -448,13 +491,16 @@ def trace_contributions_pallas(
     tri, gaabb = build_tri_tables(scene_arrays)
     T = tri.shape[0]
     assert T % TRI_GROUP == 0, T
-    # listener's transformed origin per triangle: A @ l + b
+    # constant-origin transformed origins per triangle: A @ p + b for the
+    # listener (shadow pass, cols 0:3) and the source (bounce 0, cols 3:6)
     a_mat = tri[:, _A : _A + 9].reshape(T, 3, 3)
-    opl = jnp.einsum(
-        "tij,j->ti", a_mat, jnp.asarray(listener, jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    ) + tri[:, _B : _B + 3]
-    opl = jnp.pad(opl, ((0, 0), (0, 5)))  # (T, 8)
+    pts = jnp.stack(
+        [jnp.asarray(listener, jnp.float32), jnp.asarray(source, jnp.float32)]
+    )  # (2, 3)
+    op2 = jnp.einsum(
+        "tij,pj->tpi", a_mat, pts, precision=jax.lax.Precision.HIGHEST,
+    ) + tri[:, None, _B : _B + 3]  # (T, 2, 3)
+    opl = jnp.pad(op2.reshape(T, 6), ((0, 0), (0, 2)))  # (T, 8)
 
     src = jnp.asarray(source, jnp.float32)
     lst = jnp.asarray(listener, jnp.float32)
@@ -487,10 +533,11 @@ def trace_contributions_pallas(
     ]
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
-        fused_hist=fused_hist, cull=cull,
+        fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb)
     if fused_hist:
+        pc = PAYLOAD_C_FLAT if flat_bands else PAYLOAD_C
         n_bins = cfg.ir_n_bins
         assert n_bins % LANES == 0, n_bins
         n_coarse = n_bins // LANES
@@ -499,16 +546,16 @@ def trace_contributions_pallas(
             grid=(rows // SUBLANES,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (n_coarse, PAYLOAD_C * LANES), lambda i: (0, 0),
+                (n_coarse, pc * LANES), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((n_coarse, PAYLOAD_C * LANES), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((n_coarse, PAYLOAD_C * LANES), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((n_coarse, pc * LANES), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)],
             interpret=interpret,
         )(*args)
         # H[coarse, c*128 + fine] -> (n_bins, C)
-        return hist.reshape(n_coarse, PAYLOAD_C, LANES).transpose(0, 2, 1).reshape(
-            n_bins, PAYLOAD_C
+        return hist.reshape(n_coarse, pc, LANES).transpose(0, 2, 1).reshape(
+            n_bins, pc
         )
     bins, payload = pl.pallas_call(
         kernel,
@@ -538,7 +585,8 @@ def trace_contributions_pallas(
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "total_rays",
-                     "include_direct", "interpret", "fused_hist", "cull"),
+                     "include_direct", "interpret", "fused_hist", "cull",
+                     "flat_bands"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -553,6 +601,7 @@ def trace_ir_pallas(
     interpret: bool = False,
     fused_hist: bool = False,
     cull: bool = False,
+    flat_bands: bool = False,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -561,7 +610,15 @@ def trace_ir_pallas(
     Off by default: measured on world.obj, bundle pass rates are 76-93%
     (skip 7-24%) while Mosaic's per-cond overhead needs >35% skips to break
     even — it made tracing 1.8-3.5x SLOWER. Kept as an experimental hook
-    for large scenes with tighter bundles (see NEXT.md)."""
+    for large scenes with tighter bundles (see NEXT.md).
+
+    flat_bands=True (fused_hist only) is the band-uniform-absorption fast
+    path: the kernel bins a single energy channel + direction (payload 4
+    instead of 7) and the per-band air-absorption law
+    (sound_system.zig:229-234) is applied here from the bin index — exact
+    up to the half-bin delay quantization (~4 mm of path). The caller must
+    ensure every surface's absorption is equal across bands (the default
+    scene material is); band-dependent scenes need flat_bands=False."""
     from ..models.ir import ImpulseResponse, direct_ir, fibonacci_sphere_sorted
 
     n_rays = n_rays or cfg.rays_per_source
@@ -574,6 +631,7 @@ def trace_ir_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,
             max_bounces=max_bounces, total_rays=total_rays,
             interpret=interpret, fused_hist=True, cull=cull,
+            flat_bands=flat_bands,
         )
     else:
         bins, payload = trace_contributions_pallas(
@@ -582,8 +640,24 @@ def trace_ir_pallas(
             interpret=interpret, cull=cull,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
-    energy = seg[:, :N_BANDS].T
-    dir_sum = seg[:, N_BANDS:].T
+    if flat_bands:
+        # reconstruct per-band energies from the bin's delay: bin =
+        # round(d * spm * bps) so d(bin) = bin / (spm * bps), at most half
+        # a bin off the true path length
+        d_bin = jnp.arange(cfg.ir_n_bins, dtype=jnp.float32) / (
+            cfg.samples_per_meter * cfg.ir_bins_per_sample
+        )
+        aab2 = (
+            jnp.clip(
+                1.0 - cfg.air_absorption * d_bin[:, None] * EQ_FREQS, 0.0, 1.0
+            )
+            ** 2
+        )  # (n_bins, n_bands)
+        energy = (seg[:, :1] * aab2).T
+        dir_sum = (seg[:, 1:] * jnp.mean(aab2, axis=1, keepdims=True)).T
+    else:
+        energy = seg[:, :N_BANDS].T
+        dir_sum = seg[:, N_BANDS:].T
     if include_direct:
         dref = direct_ir(scene_arrays, source, listener, cfg=cfg)
         energy = energy + dref.energy
@@ -594,7 +668,7 @@ def trace_ir_pallas(
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
-                     "interpret", "fused_hist", "cull"),
+                     "interpret", "fused_hist", "cull", "flat_bands"),
 )
 def trace_irs_pallas_multi(
     scene_arrays,
@@ -608,6 +682,7 @@ def trace_irs_pallas_multi(
     interpret: bool = False,
     fused_hist: bool = True,
     cull: bool = False,
+    flat_bands: bool = False,
 ):
     """All sources' IRs in one compiled program (BASELINE config 5 on a
     single chip): lax.scan over sources around the fused kernel, so the
@@ -625,7 +700,7 @@ def trace_irs_pallas_multi(
         ir = trace_ir_pallas(
             scene_arrays, src, listener, cfg=cfg, max_bounces=max_bounces,
             dirs=dirs, include_direct=include_direct, interpret=interpret,
-            fused_hist=fused_hist, cull=cull,
+            fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
         )
         return None, ir
 

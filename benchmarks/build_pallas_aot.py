@@ -69,9 +69,11 @@ def main():
     src = jnp.asarray([1.0, 0.3, 0.5])
     lst = jnp.asarray([-1.0, 0.0, -0.5])
     t0 = time.perf_counter()
+    # flat_bands: world.obj's default material is band-uniform (0.1 across
+    # bands), so the payload-4 fast path is exact for the bench scene
     compiled = trace_ir_pallas.lower(
         arrays, src, lst, cfg=cfg, max_bounces=BENCH_BOUNCES, dirs=dirs,
-        fused_hist=True,
+        fused_hist=True, flat_bands=True,
     ).compile()
     print(f"compiled in {time.perf_counter() - t0:.1f} s")
     payload, in_tree, out_tree = se.serialize(compiled)

@@ -82,6 +82,53 @@ def test_pallas_fused_hist_matches_emit(scene):
     )
 
 
+def test_pallas_flat_bands_matches_full(scene):
+    """flat_bands payload-4 fast path vs the full 7-channel fused path on a
+    band-uniform scene (exact up to bf16 binning noise + the half-bin air
+    absorption quantization)."""
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        fused_hist=True)
+    b = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        fused_hist=True, flat_bands=True)
+    # atol floor covers the final (clipped) bin: paths beyond the IR length
+    # pile up there with true delays longer than the bin's nominal delay,
+    # so the reconstructed air absorption is slightly off for them only
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=2e-2, atol=5e-6
+    )
+    np.testing.assert_allclose(
+        float(b.energy.sum()), float(a.energy.sum()), rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.dir_sum), np.asarray(a.dir_sum), rtol=2e-2, atol=5e-7
+    )
+
+
+def test_pallas_long_hist_fused_matches_emit(scene):
+    """ir_length 8192 (64 coarse rows): the in-kernel accumulate must agree
+    with the exact external scatter at larger histogram heights too."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=8192)
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=cfg,
+                        max_bounces=3, dirs=dirs, interpret=True)
+    b = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=cfg,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        fused_hist=True)
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=2e-2, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(b.energy.sum()), float(a.energy.sum()), rtol=2e-3
+    )
+
+
 def test_multi_source_scan(scene):
     from audio_raytracing_tpu.ops.pallas_trace import trace_irs_pallas_multi
 
