@@ -121,6 +121,7 @@ def direct_ir(scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG) -> I
     static_argnames=(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
         "intersector", "scatter", "scattering", "bih_leaf_cap",
+        "material_scattering",
     ),
 )
 def trace_ir(
@@ -139,6 +140,7 @@ def trace_ir(
     key=None,
     bih_arena=None,
     bih_leaf_cap: int = 8,
+    material_scattering: bool = False,
 ) -> ImpulseResponse:
     """Trace one source -> listener impulse response.
 
@@ -161,6 +163,10 @@ def trace_ir(
     (the standard stochastic room-acoustics hybrid; the reference is purely
     specular). Requires `key` (jax PRNG) when > 0; results are
     deterministic per key.
+
+    material_scattering=True reads the diffuse probability per hit surface
+    from scene_arrays.scattering (models/materials.py) instead of the
+    global `scattering` constant; also requires `key`.
     """
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     normals, absorption = scene_arrays.normals, scene_arrays.absorption
@@ -232,10 +238,21 @@ def trace_ir(
     inv_n = 1.0 / float(total_rays or n_rays)
 
     # triangle attributes fetched by one-hot matmul instead of row gathers:
-    # TPU scatter/gather serializes, a (R, T) @ (T, 7) contraction does not
+    # TPU scatter/gather serializes, a (R, T) @ (T, 8) contraction does not
+    n_bands = len(EQ_FREQS)
+    scat_col = (
+        scene_arrays.scattering
+        if scene_arrays.scattering is not None
+        else jnp.zeros(normals.shape[0], jnp.float32)
+    )
     tri_attrs = jnp.concatenate(
-        [normals, jnp.sqrt(jnp.clip(1.0 - absorption, 0.0, 1.0))], axis=1
-    )  # (T, 3 + n_bands)
+        [
+            normals,
+            jnp.sqrt(jnp.clip(1.0 - absorption, 0.0, 1.0)),
+            scat_col[:, None],
+        ],
+        axis=1,
+    )  # (T, 3 + n_bands + 1)
     n_tris_padded = tri_attrs.shape[0]
 
     def _pow_spec(x):
@@ -259,7 +276,8 @@ def trace_ir(
         onehot = (jnp.arange(n_tris_padded)[None, :] == idx[:, None]).astype(jnp.float32)
         attrs = jnp.dot(onehot, tri_attrs, precision=jax.lax.Precision.HIGHEST)
         n = attrs[:, :3]
-        keep_amp = attrs[:, 3:]
+        keep_amp = attrs[:, 3 : 3 + n_bands]
+        scat_prob = attrs[:, 3 + n_bands]
         n = n * jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True) + 1e-30)
         path_dist = path_dist + jnp.where(alive, t_safe, 0.0)
         amp = amp * jnp.where(alive[:, None], keep_amp, 1.0)
@@ -293,7 +311,7 @@ def trace_ir(
         seg = scatter_fn(payload, bins.astype(jnp.int32), n_bins)
 
         d_new = reflect(d, n)
-        if scattering > 0.0:
+        if scattering > 0.0 or material_scattering:
             kb = jax.random.fold_in(key, b_i)
             ku, kd1, kd2 = jax.random.split(kb, 3)
             # cosine-weighted hemisphere sample about n
@@ -316,14 +334,15 @@ def trace_ir(
                 + ty * (r * jnp.sin(phi))[:, None]
                 + n * z[:, None]
             )
-            use_diff = jax.random.uniform(ku, (d.shape[0],)) < scattering
+            prob = scat_prob if material_scattering else scattering
+            use_diff = jax.random.uniform(ku, (d.shape[0],)) < prob
             d_new = jnp.where(use_diff[:, None], d_diff, d_new)
         return (vertex, jnp.where(alive[:, None], d_new, d), amp, path_dist, alive), seg
 
     amp0 = jnp.ones((n_rays, len(EQ_FREQS)), jnp.float32)
     carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))
-    if scattering > 0.0 and key is None:
-        raise ValueError("scattering > 0 requires a PRNG key")
+    if (scattering > 0.0 or material_scattering) and key is None:
+        raise ValueError("scattering requires a PRNG key")
     _, seg_all = jax.lax.scan(
         bounce_simple, carry0, jnp.arange(max_bounces), length=max_bounces
     )

@@ -43,6 +43,7 @@ class SceneArrays(NamedTuple):
     absorption: object
     woop_d: object  # (3, 3T) f32: d' = dirs @ woop_d
     woop_o: object  # (4, 3T) f32: o' = [origins, 1] @ woop_o
+    scattering: object = None  # (T,) f32 per-surface diffuse probability
 
 
 def woop_transforms(tris: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -87,6 +88,11 @@ class Scene:
     absorption: np.ndarray  # (T, n_bands) f32 in [0,1]; energy kept = 1-a
     bih: BIHArena
     n_triangles: int  # true (unpadded) count
+    scattering: np.ndarray = None  # (T,) f32 diffuse-bounce probability
+
+    def __post_init__(self):
+        if self.scattering is None:
+            self.scattering = np.zeros(self.v0.shape[0], np.float32)
 
     @classmethod
     def from_triangles(
@@ -94,6 +100,7 @@ class Scene:
         triangles: np.ndarray,
         cfg: Config = DEFAULT_CONFIG,
         absorption: np.ndarray | None = None,
+        scattering: np.ndarray | None = None,
     ) -> "Scene":
         """triangles: (T, 3, 3) float32."""
         tris = np.asarray(triangles, dtype=np.float32)
@@ -107,6 +114,9 @@ class Scene:
         absorption = np.asarray(absorption, dtype=np.float32)
         if absorption.ndim == 1:
             absorption = np.repeat(absorption[:, None], cfg.n_bands, axis=1)
+        if scattering is None:
+            scattering = np.zeros(t_true, np.float32)
+        scattering = np.asarray(scattering, dtype=np.float32).reshape(t_true)
 
         low = tris.min(axis=1)
         high = tris.max(axis=1)
@@ -131,6 +141,7 @@ class Scene:
             absorption=p(absorption),
             bih=bih,
             n_triangles=t_true,
+            scattering=p(scattering),
         )
 
     def device_bih(self):
@@ -144,13 +155,29 @@ class Scene:
         )
 
     @classmethod
-    def from_obj(cls, path, cfg: Config = DEFAULT_CONFIG, absorption=None) -> "Scene":
+    def from_obj(
+        cls, path, cfg: Config = DEFAULT_CONFIG, absorption=None,
+        materials=None,
+    ) -> "Scene":
         mesh = load_obj(path)
-        return cls.from_mesh(mesh, cfg, absorption)
+        return cls.from_mesh(mesh, cfg, absorption, materials)
 
     @classmethod
-    def from_mesh(cls, mesh: ObjMesh, cfg: Config = DEFAULT_CONFIG, absorption=None) -> "Scene":
-        return cls.from_triangles(mesh.triangles(), cfg, absorption)
+    def from_mesh(
+        cls, mesh: ObjMesh, cfg: Config = DEFAULT_CONFIG, absorption=None,
+        materials=None,
+    ) -> "Scene":
+        """materials: optional {obj usemtl name -> AcousticMaterial | preset
+        name} (models/materials.py); mutually exclusive with an explicit
+        absorption array."""
+        scattering = None
+        if materials is not None:
+            if absorption is not None:
+                raise ValueError("pass either absorption or materials, not both")
+            from .materials import mesh_surface_tables
+
+            absorption, scattering = mesh_surface_tables(mesh, materials)
+        return cls.from_triangles(mesh.triangles(), cfg, absorption, scattering)
 
     def device_arrays(self) -> SceneArrays:
         import jax.numpy as jnp
@@ -166,6 +193,7 @@ class Scene:
             absorption=jnp.asarray(self.absorption),
             woop_d=jnp.asarray(woop_d),
             woop_o=jnp.asarray(woop_o),
+            scattering=jnp.asarray(self.scattering),
         )
 
 
