@@ -37,6 +37,9 @@ def __getattr__(name):
         "trace_ir": ("models.ir", "trace_ir"),
         "trace_ir_pallas": ("ops.pallas_trace", "trace_ir_pallas"),
         "ambisonic_ir": ("models.ir", "ambisonic_ir"),
+        "ambisonic_ir_hoa": ("models.ir", "ambisonic_ir_hoa"),
+        "AcousticMaterial": ("models.materials", "AcousticMaterial"),
+        "MATERIAL_PRESETS": ("models.materials", "MATERIAL_PRESETS"),
         "ImpulseResponse": ("models.ir", "ImpulseResponse"),
         "acoustic_update": ("sim.probe", "acoustic_update"),
         "render_ir_offline": ("engine.renderer", "render_ir_offline"),
@@ -53,7 +56,8 @@ def __getattr__(name):
 __all__ = [
     "Config", "DEFAULT_CONFIG", "Scene", "SceneArrays", "box_room", "Space",
     "SpaceBuilder", "SoundSystem", "trace_ir", "trace_ir_pallas",
-    "ambisonic_ir", "ImpulseResponse", "acoustic_update", "render_ir_offline",
-    "render_engine_offline", "trace_ir_sharded", "trace_irs_multi_source",
-    "__version__",
+    "ambisonic_ir", "ambisonic_ir_hoa", "AcousticMaterial",
+    "MATERIAL_PRESETS", "ImpulseResponse", "acoustic_update",
+    "render_ir_offline", "render_engine_offline", "trace_ir_sharded",
+    "trace_irs_multi_source", "__version__",
 ]

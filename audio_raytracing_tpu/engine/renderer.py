@@ -83,18 +83,28 @@ def render_ir_offline(
     max_bounces: int | None = None,
     hrtf=None,
     intersector: str = "mt",
+    sh_order: int | None = None,
+    speaker_dirs=None,
 ) -> np.ndarray:
     """Physically-based offline render via traced impulse responses.
 
     sources: [{"samples": mono f32, "pos": (3,), "gain": g}]. Each source's
-    ambisonic IR is traced on device, the dry signal convolved with all 4
-    IR channels, the summed ambisonic bed rotated by the listener
-    orientation and HRTF-decoded to stereo. Returns (n + ir - 1, 2) f32.
+    ambisonic IR is traced on device, the dry signal convolved with the IR
+    channels, the summed ambisonic bed rotated by the listener orientation
+    and HRTF-decoded to stereo. Returns (n + ir - 1, 2) f32.
+
+    sh_order=N renders a higher-order bed (ops/hoa.py): (N+1)^2 traced SH
+    channels, full-order rotation, then either a binaural decode
+    (max-rE-truncated through the first-order MagLS bank) or, when
+    `speaker_dirs` (S, 3) is given, a mode-matching decode to speaker
+    feeds (n + ir - 1, S).
 
     All convolutions go through lax.conv (real arithmetic) so the renderer
     runs on TPU runtimes without complex64 support.
     """
     hl, hr = hrtf if hrtf is not None else default_hrtf()
+    if speaker_dirs is not None and sh_order is None:
+        sh_order = 1
     arrays = scene.device_arrays()
     listener = jnp.asarray(listener_pos, jnp.float32)
     orient = quat.quat_from_roll_pitch_yaw(
@@ -107,13 +117,34 @@ def render_ir_offline(
         ir = trace_ir(
             arrays, jnp.asarray(s["pos"], jnp.float32), listener, cfg=cfg,
             n_rays=n_rays, max_bounces=max_bounces, intersector=intersector,
+            sh_order=sh_order,
         )
-        amb = ambisonic_ir(ir)  # (4, L)
+        if sh_order is not None:
+            from ..models.ir import ambisonic_ir_hoa
+
+            amb = ambisonic_ir_hoa(ir)  # (n_sh, L)
+        else:
+            amb = ambisonic_ir(ir)  # (4, L)
         dry = jnp.asarray(np.pad(np.asarray(s["samples"], np.float32), (0, n_max - len(s["samples"]))))
-        wet = convolve_direct(dry[None, :] * float(s.get("gain", 1.0)), amb)  # (4, n+L-1)
+        wet = convolve_direct(dry[None, :] * float(s.get("gain", 1.0)), amb)  # (C, n+L-1)
         amb_total = wet if amb_total is None else amb_total + wet
 
     # rotate the summed bed by the listener orientation, then decode
+    if sh_order is not None:
+        from ..ops.hoa import (
+            decode_to_speakers,
+            hoa_first_order_to_reference,
+            hoa_truncate,
+            rotate_hoa,
+        )
+
+        amb_rot = rotate_hoa(amb_total, jnp.asarray(orient), sh_order)
+        if speaker_dirs is not None:
+            return np.asarray(decode_to_speakers(amb_rot, speaker_dirs).T)
+        amb4 = hoa_first_order_to_reference(hoa_truncate(amb_rot, 1))
+        left = jnp.sum(convolve_direct(amb4, jnp.asarray(hl)), axis=0)
+        right = jnp.sum(convolve_direct(amb4, jnp.asarray(hr)), axis=0)
+        return np.asarray(jnp.stack([left, right], axis=-1))
     xyz = amb_total[1:4].T
     rot = quat.rotate(jnp.asarray(orient)[None, :], xyz).T
     amb_rot = jnp.concatenate([amb_total[:1], rot], axis=0)

@@ -76,6 +76,10 @@ class ImpulseResponse(NamedTuple):
 
     energy: jnp.ndarray  # (n_bands, n_bins) summed energy
     dir_sum: jnp.ndarray  # (3, n_bins) energy-weighted arrival directions
+    # optional higher-order spherical-harmonic moments: (n_sh, n_bins)
+    # energy-weighted ACN/N3D SH of the arrival directions (ops/hoa.py);
+    # populated when tracing with sh_order is not None
+    sh_moments: jnp.ndarray = None
 
 
 def _air_absorption(d, air: float):
@@ -83,8 +87,11 @@ def _air_absorption(d, air: float):
     return jnp.clip(1.0 - air * d[..., None] * EQ_FREQS, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def direct_ir(scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG) -> ImpulseResponse:
+@partial(jax.jit, static_argnames=("cfg", "sh_order"))
+def direct_ir(
+    scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG,
+    sh_order: int | None = None,
+) -> ImpulseResponse:
     """The single deterministic direct-path term (occlusion-tested).
 
     Split out so the sharded tracer (parallel/sharding.py) can add it on
@@ -113,7 +120,23 @@ def direct_ir(scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG) -> I
         .at[bin_direct]
         .add(u_direct * jnp.mean(e_direct))
     )
-    return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T)
+    sh_moments = None
+    if sh_order is not None:
+        from ..ops.hoa import n_sh, sh_basis
+
+        y = jnp.where(
+            d_direct < 1e-6,
+            # co-located source: pure W, no directional content (matches
+            # the encode fade, sound_system.zig:203-208)
+            jnp.zeros(n_sh(sh_order)).at[0].set(1.0),
+            sh_basis(u_direct, sh_order),
+        )
+        sh_moments = (
+            jnp.zeros((n_bins, n_sh(sh_order)), jnp.float32)
+            .at[bin_direct]
+            .add(y * jnp.mean(e_direct))
+        ).T
+    return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T, sh_moments=sh_moments)
 
 
 @partial(
@@ -121,7 +144,7 @@ def direct_ir(scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG) -> I
     static_argnames=(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
         "intersector", "scatter", "scattering", "bih_leaf_cap",
-        "material_scattering",
+        "material_scattering", "sh_order",
     ),
 )
 def trace_ir(
@@ -141,6 +164,7 @@ def trace_ir(
     bih_arena=None,
     bih_leaf_cap: int = 8,
     material_scattering: bool = False,
+    sh_order: int | None = None,
 ) -> ImpulseResponse:
     """Trace one source -> listener impulse response.
 
@@ -167,6 +191,11 @@ def trace_ir(
     material_scattering=True reads the diffuse probability per hit surface
     from scene_arrays.scattering (models/materials.py) instead of the
     global `scattering` constant; also requires `key`.
+
+    sh_order (0-3) additionally accumulates energy-weighted spherical-
+    harmonic moments of the arrival directions per bin (ops/hoa.py,
+    ACN/N3D) into ImpulseResponse.sh_moments — the higher-order
+    generalization of dir_sum for HOA rendering (ambisonic_ir_hoa).
     """
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     normals, absorption = scene_arrays.normals, scene_arrays.absorption
@@ -228,12 +257,20 @@ def trace_ir(
         n_rays = dirs.shape[0]
     org = jnp.broadcast_to(source, (n_rays, 3))
 
+    if sh_order is not None:
+        from ..ops.hoa import n_sh, sh_basis
+
+        c_sh = n_sh(sh_order)
     if include_direct:
-        d = direct_ir(scene_arrays, source, listener, cfg=cfg)
+        d = direct_ir(scene_arrays, source, listener, cfg=cfg, sh_order=sh_order)
         energy, dir_sum = d.energy.T, d.dir_sum.T
+        sh_acc = d.sh_moments.T if sh_order is not None else None
     else:
         energy = jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32)
         dir_sum = jnp.zeros((n_bins, 3), jnp.float32)
+        sh_acc = (
+            jnp.zeros((n_bins, c_sh), jnp.float32) if sh_order is not None else None
+        )
 
     inv_n = 1.0 / float(total_rays or n_rays)
 
@@ -303,10 +340,13 @@ def trace_ir(
         )
         e_c = amp_c * amp_c * inv_n * jnp.where(visible, 1.0, 0.0)[:, None]
         u = (vertex - listener[None, :]) / jnp.maximum(d_l, 1e-20)[:, None]
-        # energy (4 bands) + energy-weighted direction (3) in ONE scatter
-        payload = jnp.concatenate(
-            [e_c, u * jnp.mean(e_c, axis=-1, keepdims=True)], axis=-1
-        )  # (R, 7)
+        # energy (4 bands) + energy-weighted direction (3) [+ SH moments]
+        # in ONE scatter
+        e_mean = jnp.mean(e_c, axis=-1, keepdims=True)
+        cols = [e_c, u * e_mean]
+        if sh_order is not None:
+            cols.append(sh_basis(u, sh_order) * e_mean)
+        payload = jnp.concatenate(cols, axis=-1)  # (R, 7 [+ n_sh])
         bins = jnp.where(visible, jnp.clip((d_total * spm * bps + 0.5), 0, n_bins - 1), n_bins)
         seg = scatter_fn(payload, bins.astype(jnp.int32), n_bins)
 
@@ -346,9 +386,14 @@ def trace_ir(
     _, seg_all = jax.lax.scan(
         bounce_simple, carry0, jnp.arange(max_bounces), length=max_bounces
     )
-    seg = jnp.sum(seg_all, axis=0)  # (n_bins, 7)
+    seg = jnp.sum(seg_all, axis=0)  # (n_bins, 7 [+ n_sh])
     energy = energy + seg[:, :4]
-    dir_sum = dir_sum + seg[:, 4:]
+    dir_sum = dir_sum + seg[:, 4:7]
+    if sh_order is not None:
+        sh_acc = sh_acc + seg[:, 7:]
+        return ImpulseResponse(
+            energy=energy.T, dir_sum=dir_sum.T, sh_moments=sh_acc.T
+        )
     return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T)
 
 
@@ -366,6 +411,21 @@ def ambisonic_ir(ir: ImpulseResponse, eps: float = 1e-12):
     mean_dir = mean_dir * jnp.where(norm > 1.0, 1.0 / jnp.maximum(norm, eps), 1.0)
     xyz = np.sqrt(3.0) * w[None, :] * mean_dir
     return jnp.concatenate([w[None, :], xyz], axis=0)
+
+
+def ambisonic_ir_hoa(ir: ImpulseResponse, eps: float = 1e-12):
+    """Order-N ambisonic IR (n_sh, n_bins) from traced SH moments.
+
+    amb_c = moment_c / sqrt(e_mean): channel 0 reduces to sqrt(e_mean)
+    (= ambisonic_ir's W, since moment_0 accumulates e_mean itself) and the
+    order-1 block reduces to ambisonic_ir's XYZ (without the unit-norm
+    clamp — SH moments of a distribution are naturally bounded). Requires
+    trace_ir(..., sh_order=N)."""
+    if ir.sh_moments is None:
+        raise ValueError("trace with sh_order=N to populate sh_moments")
+    e_mean = jnp.mean(ir.energy, axis=0)  # (n_bins,)
+    scale = jnp.where(e_mean > eps, 1.0 / jnp.sqrt(jnp.maximum(e_mean, eps)), 0.0)
+    return ir.sh_moments * scale[None, :]
 
 
 def band_irs(ir: ImpulseResponse):

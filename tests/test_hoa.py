@@ -1,0 +1,195 @@
+"""Higher-order ambisonics: basis orthonormality, rotation correctness,
+first-order compatibility with the reference pipeline, traced SH moments,
+decoders."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audio_raytracing_tpu.config import DEFAULT_CONFIG
+from audio_raytracing_tpu.models.ir import (
+    ambisonic_ir,
+    ambisonic_ir_hoa,
+    fibonacci_sphere,
+    trace_ir,
+)
+from audio_raytracing_tpu.models.scene import Scene, box_room
+from audio_raytracing_tpu.ops import hoa
+from audio_raytracing_tpu.ops.ambisonic import rotate_ambisonic, sh_encode
+from audio_raytracing_tpu.utils import quat
+
+CFG = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+
+
+def _rand_quats(rng, n):
+    q = rng.standard_normal((n, 4)).astype(np.float32)
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def test_sh_basis_orthonormal():
+    """N3D: (1/N) sum Y_m Y_n over near-uniform dirs ~= identity."""
+    dirs = fibonacci_sphere(50000)
+    y = np.asarray(hoa.sh_basis(dirs, 3))  # (N, 16)
+    gram = y.T @ y / y.shape[0]
+    np.testing.assert_allclose(gram, np.eye(16), atol=0.01)
+
+
+def test_sh_encode_first_order_matches_reference():
+    rng = np.random.default_rng(0)
+    rel = np.concatenate(
+        [
+            rng.uniform(-5, 5, (64, 3)),
+            rng.uniform(-0.05, 0.05, (16, 3)),  # sub-threshold fade region
+            np.zeros((1, 3)),
+        ]
+    ).astype(np.float32)
+    sh_ref, d_ref = sh_encode(jnp.asarray(rel))
+    sh_h, d_h = hoa.sh_encode_hoa(jnp.asarray(rel), 1)
+    np.testing.assert_allclose(np.asarray(d_h), np.asarray(d_ref), rtol=1e-6)
+    remapped = np.stack(
+        [
+            np.asarray(sh_h)[:, 0],
+            np.asarray(sh_h)[:, 3],
+            np.asarray(sh_h)[:, 2],
+            -np.asarray(sh_h)[:, 1],
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(remapped, np.asarray(sh_ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_sh_rotation_matrix_property(order):
+    """Y(R u) == R_sh Y(u) for random rotations and directions."""
+    rng = np.random.default_rng(1)
+    quats = _rand_quats(rng, 5)
+    u = fibonacci_sphere(64)
+    for q in quats:
+        r_sh = np.asarray(hoa.sh_rotation_matrix(jnp.asarray(q), order))
+        rotated = np.asarray(
+            quat.rotate(jnp.broadcast_to(jnp.asarray(q), (64, 4)), jnp.asarray(u))
+        )
+        want = np.asarray(hoa.sh_basis(rotated, order))
+        got = np.asarray(hoa.sh_basis(u, order)) @ r_sh.T
+        np.testing.assert_allclose(got, want, atol=2e-5)
+        # rotations are orthogonal in the N3D basis
+        np.testing.assert_allclose(
+            r_sh @ r_sh.T, np.eye(hoa.n_sh(order)), atol=2e-5
+        )
+
+
+def test_rotate_hoa_first_order_matches_reference_rotation():
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(_rand_quats(rng, 1)[0])
+    amb_ref = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    # reference channels [W, x, y, z] -> ACN [W, -z, y, x]
+    amb_acn = jnp.stack([amb_ref[0], -amb_ref[3], amb_ref[2], amb_ref[1]])
+    got = hoa.hoa_first_order_to_reference(hoa.rotate_hoa(amb_acn, q))
+    want = rotate_ambisonic(amb_ref, q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_max_re_weights_taper():
+    w = hoa.max_re_weights(3)
+    assert w.shape == (16,)
+    per_order = [w[0], w[1], w[4], w[9]]
+    assert per_order[0] == pytest.approx(1.0, abs=1e-6)
+    assert per_order[0] > per_order[1] > per_order[2] > per_order[3] > 0
+
+
+def test_speaker_decode_plane_wave_peaks_at_speaker():
+    speakers = fibonacci_sphere(32)
+    for weighting in (None, "max_re"):
+        d = np.asarray(hoa.speaker_decoder(speakers, 3, weighting))
+        for k in (0, 7, 19):
+            amb = np.asarray(hoa.sh_basis(speakers[k], 3))[:, None]  # (16, 1)
+            feeds = d @ amb
+            assert int(np.argmax(feeds[:, 0])) == k
+
+
+def test_trace_ir_sh_moments_consistent_with_dir_sum():
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), CFG)
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(512))
+    ir = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, max_bounces=3,
+                  dirs=dirs, sh_order=2)
+    assert ir.sh_moments.shape == (9, CFG.ir_n_bins)
+    e_mean = np.mean(np.asarray(ir.energy), axis=0)
+    np.testing.assert_allclose(
+        np.asarray(ir.sh_moments)[0], e_mean, rtol=1e-5, atol=1e-10
+    )
+    s3 = np.sqrt(3.0)
+    ds = np.asarray(ir.dir_sum)
+    np.testing.assert_allclose(
+        np.asarray(ir.sh_moments)[1], -s3 * ds[2], rtol=1e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(ir.sh_moments)[2], s3 * ds[1], rtol=1e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(ir.sh_moments)[3], s3 * ds[0], rtol=1e-4, atol=1e-9
+    )
+    # plain trace leaves the field empty
+    ir0 = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, max_bounces=1,
+                   dirs=dirs)
+    assert ir0.sh_moments is None
+
+
+def test_ambisonic_ir_hoa_first_order_block():
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), CFG)
+    src = jnp.asarray([1.5, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(512))
+    ir = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, max_bounces=2,
+                  dirs=dirs, sh_order=3)
+    amb_h = np.asarray(ambisonic_ir_hoa(ir))
+    amb_1 = np.asarray(ambisonic_ir(ir))
+    assert amb_h.shape == (16, CFG.ir_n_bins)
+    np.testing.assert_allclose(amb_h[0], amb_1[0], rtol=1e-4, atol=1e-8)
+    # first-order block matches (the moment-mean direction is <= unit norm,
+    # so ambisonic_ir's clamp is inactive up to fp noise)
+    np.testing.assert_allclose(amb_h[3], amb_1[1], rtol=1e-3, atol=2e-6)
+    np.testing.assert_allclose(amb_h[2], amb_1[2], rtol=1e-3, atol=2e-6)
+    np.testing.assert_allclose(-amb_h[1], amb_1[3], rtol=1e-3, atol=2e-6)
+
+
+def test_render_ir_offline_hoa_and_speakers():
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=1024)
+    scene = Scene.from_triangles(box_room(size=(8.0, 3.0, 6.0)), cfg)
+    rng = np.random.default_rng(4)
+    snd = (0.2 * rng.standard_normal(512)).astype(np.float32)
+    # a source to the listener's right (+z)
+    sources = [{"samples": snd, "pos": (0.0, 0.0, 2.0), "gain": 1.0}]
+    out = render_ir_offline(
+        scene, sources, (0.0, 0.0, 0.0), cfg=cfg, n_rays=256, max_bounces=1,
+        sh_order=2,
+    )
+    assert out.shape == (512 + 1024 - 1 + 127, 2)  # +127: HRTF taps - 1
+    assert np.isfinite(out).all() and np.abs(out).max() > 0
+    # right ear should carry more energy than the left
+    assert (out[:, 1] ** 2).sum() > (out[:, 0] ** 2).sum()
+
+    speakers = fibonacci_sphere(16)
+    feeds = render_ir_offline(
+        scene, sources, (0.0, 0.0, 0.0), cfg=cfg, n_rays=256, max_bounces=1,
+        sh_order=2, speaker_dirs=speakers,
+    )
+    assert feeds.shape == (512 + 1024 - 1, 16)
+    # the loudest feed points toward the source (+z)
+    loudest = int(np.argmax((feeds**2).sum(axis=0)))
+    assert speakers[loudest][2] > 0.5
+
+
+def test_hoa_to_stereo_shapes():
+    rng = np.random.default_rng(3)
+    amb = jnp.asarray(rng.standard_normal((16, 200)).astype(np.float32))
+    irs_l = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    irs_r = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    out = hoa.hoa_to_stereo(amb, irs_l, irs_r)
+    assert out.shape == (200 + 16 - 1, 2)
