@@ -80,6 +80,13 @@ class IRStreamRenderer:
         self._spectra_prev = None
         self._conv_state = None
         self._pending_fade = False
+        # pose-aware update cache: IR tracing depends only on positions, so
+        # rotation-only updates reuse the traced ambisonic IRs and pay just
+        # the respectra (listener rotation folds into the HRTF decode)
+        self._amb_cache = None  # (S, 4, L)
+        self._trace_key = None  # (listener pos, source positions)
+        self._orient_key = None  # (yaw, pitch)
+        self.last_update_retraced = False  # introspection/profiling
 
     # -- sources -----------------------------------------------------------
 
@@ -102,6 +109,8 @@ class IRStreamRenderer:
             ]
         ).astype(np.float32)
         self._spectra = None  # force re-trace
+        self._amb_cache = None
+        self._trace_key = None
         return len(self._sources) - 1
 
     def set_source_pos(self, idx: int, pos) -> None:
@@ -111,23 +120,43 @@ class IRStreamRenderer:
 
     def update(self, listener_pos, yaw: float = 0.0, pitch: float = 0.0) -> None:
         """Re-trace all source IRs for the new pose and swap spectra with a
-        one-block crossfade."""
+        one-block crossfade.
+
+        Pose-aware: translation (listener or any source moved) re-traces;
+        pure rotation only re-decodes the cached ambisonic IRs (~free next
+        to a trace); an identical pose is a no-op (no spectra swap, no
+        crossfade)."""
         cfg = self.cfg
-        listener = jnp.asarray(listener_pos, jnp.float32)
+        lp = np.asarray(listener_pos, np.float32)
+        trace_key = (lp.tobytes(), tuple(s["pos"].tobytes() for s in self._sources))
+        orient_key = (float(yaw), float(pitch))
+        fresh = self._spectra is None
+        if not fresh and trace_key == self._trace_key and orient_key == self._orient_key:
+            self.last_update_retraced = False
+            return  # nothing moved
+        listener = jnp.asarray(lp)
         orient = jnp.asarray(
             quat.quat_from_roll_pitch_yaw(np.float32(pitch), np.float32(yaw), np.float32(0.0))
         )
-        with profiling.span("ir_retrace"):
-            irs = []
-            for s in self._sources:
-                ir = trace_ir(
-                    self._arrays, jnp.asarray(s["pos"]), listener, cfg=cfg,
-                    n_rays=self.n_rays, max_bounces=self.max_bounces,
-                    intersector=self.intersector,
-                )
-                irs.append(ambisonic_ir(ir))
-            amb = jnp.stack(irs)  # (S, 4, L)
-            spectra = _respectra(amb, orient, self.hrtf_l, self.hrtf_r, cfg.block_size)
+        retrace = self._amb_cache is None or trace_key != self._trace_key
+        if retrace:
+            with profiling.span("ir_retrace"):
+                irs = []
+                for s in self._sources:
+                    ir = trace_ir(
+                        self._arrays, jnp.asarray(s["pos"]), listener, cfg=cfg,
+                        n_rays=self.n_rays, max_bounces=self.max_bounces,
+                        intersector=self.intersector,
+                    )
+                    irs.append(ambisonic_ir(ir))
+                self._amb_cache = jnp.stack(irs)  # (S, 4, L)
+                self._trace_key = trace_key
+        self.last_update_retraced = retrace
+        self._orient_key = orient_key
+        with profiling.span("ir_respectra"):
+            spectra = _respectra(
+                self._amb_cache, orient, self.hrtf_l, self.hrtf_r, cfg.block_size
+            )
         if self._spectra is None:
             self._spectra = spectra
             self._spectra_prev = spectra

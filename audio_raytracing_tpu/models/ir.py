@@ -397,6 +397,142 @@ def trace_ir(
     return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
+        "intersector", "scatter",
+    ),
+)
+def trace_ir_multi_listener(
+    scene_arrays,
+    source,
+    listeners,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+    dirs=None,
+    total_rays: int | None = None,
+    include_direct: bool = True,
+    intersector: str = "mt",
+    scatter: str = "segment",
+) -> ImpulseResponse:
+    """All listeners' IRs from ONE shared path trace.
+
+    listeners: (L, 3). The bounce path (nearest hit, reflection, surface
+    absorption) is listener-independent, so it is traced once; only the
+    next-event estimation — shadow ray, reflection strength, delay binning
+    — runs per listener (vmapped). For L listeners this costs ~one path
+    pass + L NEE passes instead of L full traces. Returns stacked
+    ImpulseResponse with leading axis L: energy (L, n_bands, n_bins),
+    dir_sum (L, 3, n_bins).
+
+    Semantics per listener are exactly trace_ir's (same formulas, forward
+    shadow rays); differentially tested against per-listener trace_ir.
+    """
+    v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
+    normals, absorption = scene_arrays.normals, scene_arrays.absorption
+    if intersector == "mxu":
+        hit_fn = lambda o, d: nearest_hit_mxu(  # noqa: E731
+            o, d, scene_arrays.woop_d, scene_arrays.woop_o
+        )
+    elif intersector == "mt":
+        hit_fn = lambda o, d: nearest_hit(o, d, v0, v1, v2)  # noqa: E731
+    else:
+        raise ValueError(f"multi-listener supports mt/mxu, got {intersector}")
+    scatter_fn = bin_matmul if scatter == "matmul" else bin_segment
+    n_rays = n_rays or cfg.rays_per_source
+    max_bounces = max_bounces or cfg.max_bounces
+    n_bins = cfg.ir_n_bins
+    bps = float(cfg.ir_bins_per_sample)
+    spm = cfg.samples_per_meter
+    listeners = jnp.asarray(listeners, jnp.float32)
+
+    if dirs is None:
+        dirs = jnp.asarray(fibonacci_sphere(n_rays))
+    else:
+        n_rays = dirs.shape[0]
+    org = jnp.broadcast_to(source, (n_rays, 3))
+    inv_n = 1.0 / float(total_rays or n_rays)
+
+    n_bands = len(EQ_FREQS)
+    tri_attrs = jnp.concatenate(
+        [normals, jnp.sqrt(jnp.clip(1.0 - absorption, 0.0, 1.0))], axis=1
+    )
+    n_tris_padded = tri_attrs.shape[0]
+
+    def _pow_spec(x):
+        e = cfg.specular_exponent
+        if float(e).is_integer() and int(e) > 0 and (int(e) & (int(e) - 1)) == 0:
+            k = int(e)
+            while k > 1:
+                x = x * x
+                k //= 2
+            return x
+        return jnp.power(x, e)
+
+    def nee(listener, vertex, n, d, amp, path_dist, alive):
+        """Per-listener next-event estimation -> (n_bins, 7) histogram."""
+        to_list = listener[None, :] - vertex
+        d_l = jnp.linalg.norm(to_list, axis=-1)
+        w_o = to_list / jnp.maximum(d_l, 1e-20)[:, None]
+        t_sh, _, sh_hit = hit_fn(vertex, w_o)
+        visible = alive & (~sh_hit | (t_sh >= d_l))
+        h = w_o - d
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+        lam = jnp.abs(jnp.sum(n * w_o, axis=-1)) + _pow_spec(
+            jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
+        )
+        d_total = path_dist + d_l
+        amp_c = (
+            amp
+            * (lam / (d_total + 1.0))[:, None]
+            * _air_absorption(d_total, cfg.air_absorption)
+        )
+        e_c = amp_c * amp_c * inv_n * jnp.where(visible, 1.0, 0.0)[:, None]
+        u = (vertex - listener[None, :]) / jnp.maximum(d_l, 1e-20)[:, None]
+        payload = jnp.concatenate(
+            [e_c, u * jnp.mean(e_c, axis=-1, keepdims=True)], axis=-1
+        )
+        bins = jnp.where(
+            visible, jnp.clip((d_total * spm * bps + 0.5), 0, n_bins - 1), n_bins
+        )
+        return scatter_fn(payload, bins.astype(jnp.int32), n_bins)
+
+    def bounce(carry, _):
+        org, d, amp, path_dist, alive = carry
+        t, idx, hit = hit_fn(org, d)
+        alive = alive & hit
+        t_safe = jnp.where(hit, t, 0.0)
+        vertex = org + d * (t_safe * cfg.backoff)[:, None]
+        onehot = (jnp.arange(n_tris_padded)[None, :] == idx[:, None]).astype(jnp.float32)
+        attrs = jnp.dot(onehot, tri_attrs, precision=jax.lax.Precision.HIGHEST)
+        n = attrs[:, :3]
+        keep_amp = attrs[:, 3 : 3 + n_bands]
+        n = n * jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True) + 1e-30)
+        path_dist = path_dist + jnp.where(alive, t_safe, 0.0)
+        amp = amp * jnp.where(alive[:, None], keep_amp, 1.0)
+        segs = jax.vmap(
+            lambda l: nee(l, vertex, n, d, amp, path_dist, alive)
+        )(listeners)  # (L, n_bins, 7)
+        d_new = reflect(d, n)
+        return (vertex, jnp.where(alive[:, None], d_new, d), amp, path_dist, alive), segs
+
+    amp0 = jnp.ones((n_rays, n_bands), jnp.float32)
+    carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))
+    _, seg_all = jax.lax.scan(bounce, carry0, None, length=max_bounces)
+    seg = jnp.sum(seg_all, axis=0)  # (L, n_bins, 7)
+    energy = jnp.moveaxis(seg[:, :, :4], 1, 2)  # (L, 4, n_bins)
+    dir_sum = jnp.moveaxis(seg[:, :, 4:7], 1, 2)
+    if include_direct:
+        d_ir = jax.vmap(
+            lambda l: direct_ir(scene_arrays, source, l, cfg=cfg)
+        )(listeners)
+        energy = energy + d_ir.energy
+        dir_sum = dir_sum + d_ir.dir_sum
+    return ImpulseResponse(energy=energy, dir_sum=dir_sum)
+
+
 def ambisonic_ir(ir: ImpulseResponse, eps: float = 1e-12):
     """First-order ambisonic IR (4, n_bins) from the histograms.
 

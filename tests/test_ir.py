@@ -328,3 +328,41 @@ def test_binaural_spectra_real_matches_complex(rng):
     )
     np.testing.assert_allclose(np.asarray(sp.real), np.asarray(hre), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(sp.imag), np.asarray(him), rtol=1e-3, atol=1e-3)
+
+
+def test_multi_listener_matches_per_listener():
+    """Shared-path multi-listener trace vs independent trace_ir calls."""
+    import dataclasses
+
+    from audio_raytracing_tpu.models.ir import trace_ir_multi_listener
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), cfg)
+    arrays = scene.device_arrays()
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    listeners = jnp.asarray(
+        [[-1.0, -0.5, -1.0], [0.5, 0.0, 1.5], [2.0, 1.0, -2.0]]
+    )
+    dirs = jnp.asarray(fibonacci_sphere(512))
+    for intersector in ("mt", "mxu"):
+        multi = trace_ir_multi_listener(
+            arrays, src, listeners, cfg=cfg, max_bounces=3, dirs=dirs,
+            intersector=intersector,
+        )
+        assert multi.energy.shape == (3, 4, cfg.ir_n_bins)
+        # mxu (Woop) resolves a handful of edge-grazing ties differently
+        # from the scalar MT formulation: tiny absolute floor for it
+        atol = 1e-9 if intersector == "mt" else 1e-5
+        for i in range(3):
+            one = trace_ir(
+                arrays, src, listeners[i], cfg=cfg, max_bounces=3, dirs=dirs,
+                intersector="mt",
+            )
+            np.testing.assert_allclose(
+                np.asarray(multi.energy[i]), np.asarray(one.energy),
+                rtol=1e-4, atol=atol,
+            )
+            np.testing.assert_allclose(
+                np.asarray(multi.dir_sum[i]), np.asarray(one.dir_sum),
+                rtol=1e-4, atol=atol,
+            )

@@ -39,6 +39,39 @@ def test_stream_renders_and_reacts_to_movement(rng):
     assert np.abs(b).mean() > np.abs(c).mean()
 
 
+def test_rotation_only_update_skips_retrace():
+    """Pure rotation reuses the cached ambisonic IRs (no re-trace) and
+    produces exactly the spectra a full-trace update would."""
+    scene = make_scene()
+    tone = (0.5 * np.sin(2 * np.pi * 440 * np.arange(4000) / 44100)).astype(np.float32)
+
+    a = IRStreamRenderer(scene, CFG)
+    a.add_source(tone, pos=[2.0, 0.0, 1.0])
+    a.update([0.0, 0.0, 0.0], yaw=0.0)
+    assert a.last_update_retraced
+    a.update([0.0, 0.0, 0.0], yaw=0.7)  # rotation only
+    assert not a.last_update_retraced
+
+    b = IRStreamRenderer(scene, CFG)
+    b.add_source(tone, pos=[2.0, 0.0, 1.0])
+    b.update([0.0, 0.0, 0.0], yaw=0.7)  # full trace at the same pose
+    assert b.last_update_retraced
+    for ga, gb in zip(a._spectra, b._spectra):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6, atol=1e-9)
+
+    # identical pose+orientation: no-op, no crossfade scheduled
+    a._pending_fade = False
+    a.update([0.0, 0.0, 0.0], yaw=0.7)
+    assert not a._pending_fade and not a.last_update_retraced
+
+    # translation re-traces; moving a source re-traces too
+    a.update([0.1, 0.0, 0.0], yaw=0.7)
+    assert a.last_update_retraced
+    a.set_source_pos(0, [1.0, 0.5, 0.5])
+    a.update([0.1, 0.0, 0.0], yaw=0.7)
+    assert a.last_update_retraced
+
+
 def test_stream_matches_static_offline():
     """With a static pose, streamed blocks equal the offline IR render."""
     from audio_raytracing_tpu.engine.renderer import render_ir_offline
