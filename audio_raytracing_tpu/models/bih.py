@@ -187,10 +187,36 @@ def slab_entry_distances(aabb_low, aabb_high, src, dir_normalized) -> np.ndarray
     return np.where(tmin <= tmax, tmin, np.float32(-1.0))
 
 
-def raycast_bih(arena: BIHArena, src, direction, capacity: int = 128):
+def slab_entry_distances_scalar(aabb_low, aabb_high, src, dir_normalized) -> np.ndarray:
+    """The reference's SCALAR slab test (BoundingBox.raydist,
+    src/raytracer.zig:67-78): running tmin starts at 0 / tmax at inf and
+    each axis clamps through them sequentially — so a box containing the
+    origin reports distance 0 (the SoA path drops it) and behind-the-origin
+    boxes still miss. Used for the tail lanes in exact_tail mode."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idir = np.float32(1.0) / dir_normalized
+        t1 = (aabb_low - src) * idir
+        t2 = (aabb_high - src) * idir
+    tmin = np.zeros(t1.shape[:-1], np.float32)
+    tmax = np.full(t1.shape[:-1], np.inf, np.float32)
+    for i in range(3):
+        tmin = np.minimum(np.maximum(t1[..., i], tmin), np.maximum(t2[..., i], tmin))
+        tmax = np.maximum(np.minimum(t1[..., i], tmax), np.minimum(t2[..., i], tmax))
+    return np.where(tmin <= tmax, tmin, np.float32(-1.0))
+
+
+def raycast_bih(arena: BIHArena, src, direction, capacity: int = 128,
+                exact_tail: bool = False):
     """Reference-parity query: (values[count], dists[count]) sorted by entry
     distance, nearest `capacity` kept. Traverses near-child-first by ray sign
     with the plane tests of raycastCapacityImpl (src/raytracer.zig:216-315).
+
+    exact_tail=True reproduces the reference's per-lane split byte for
+    byte: within each leaf run, full 8-lane chunks use the SoA semantics
+    (raydistSoA, origin-inside boxes skipped) and the remaining tail boxes
+    use the scalar clamped test (kept at distance 0) — the reference's own
+    two paths disagree there (src/raytracer.zig:115-149 vs 67-78). Default
+    False = uniform SoA semantics (documented divergence, module docstring).
     """
     src = np.asarray(src, dtype=np.float32)
     d = np.asarray(direction, dtype=np.float32)
@@ -212,9 +238,18 @@ def raycast_bih(arena: BIHArena, src, direction, capacity: int = 128):
             c = int(arena.leaf_count[node])
             if c == 0:
                 continue
-            dists = slab_entry_distances(
-                arena.aabb_low[s : s + c], arena.aabb_high[s : s + c], src, d
-            )
+            lo = arena.aabb_low[s : s + c]
+            hi = arena.aabb_high[s : s + c]
+            if exact_tail:
+                k8 = (c // 8) * 8
+                dists = np.concatenate(
+                    [
+                        slab_entry_distances(lo[:k8], hi[:k8], src, d),
+                        slab_entry_distances_scalar(lo[k8:], hi[k8:], src, d),
+                    ]
+                )
+            else:
+                dists = slab_entry_distances(lo, hi, src, d)
             ok = dists >= 0
             out_vals.extend(arena.values[s : s + c][ok].tolist())
             out_dists.extend(dists[ok].tolist())

@@ -27,10 +27,13 @@ class Space:
     def __init__(self, arena: BIHArena):
         self.arena = arena
 
-    def raycast(self, src, direction, capacity: int = 128):
+    def raycast(self, src, direction, capacity: int = 128,
+                exact_tail: bool = False):
         """(values, dists): nearest `capacity` AABB candidates along the ray
-        (cf. raycastCapacity, raytracer.zig:171-187)."""
-        return raycast_bih(self.arena, src, direction, capacity)
+        (cf. raycastCapacity, raytracer.zig:171-187). exact_tail=True
+        reproduces the reference's scalar-clamped tail lanes (see
+        models/bih.raycast_bih)."""
+        return raycast_bih(self.arena, src, direction, capacity, exact_tail)
 
     def depth(self) -> int:
         return self.arena.depth()

@@ -250,6 +250,92 @@ def convolve_direct(x, ir):
     return out.reshape(xb + (n + L - 1,))
 
 
+# ---------------------------------------------------------------------------
+# Two-level non-uniform partitioning (real arithmetic).
+#
+# A uniform partitioning of an L-sample IR costs P = L/B spectra MACs per
+# block. The standard real-time convolver upgrade splits the IR into a
+# B-partitioned HEAD (the first K*B samples — latency-critical) and a
+# (K*B)-partitioned TAIL run once every K blocks: amortized tail cost drops
+# by ~K while the per-block latency stays B. Alignment is chosen so the
+# tail chunk computed at the end of input group g is EXACTLY the tail
+# contribution to output group g+1 (head covers taps [0, K*B), tail taps
+# [K*B, L) delayed one group), so the only extra state is one K*B input
+# accumulator and one K*B output buffer — no ring arithmetic.
+# ---------------------------------------------------------------------------
+
+
+class NUPConvState(NamedTuple):
+    head: RealConvState  # B-block convolver over the first K*B taps
+    tail: RealConvState  # (K*B)-block convolver over the remaining taps
+    inbuf: jnp.ndarray  # (..., K*B) current input group accumulator
+    outbuf: jnp.ndarray  # (..., K*B) tail output for the CURRENT group
+    step: jnp.ndarray  # () int32 block counter
+
+
+def nup_partition_ir_real(ir, block: int, k: int = 8):
+    """ir (..., L) -> (head (h_re, h_im) with K partitions of `block`,
+    tail (h_re, h_im) with ceil((L - K*block)/(K*block)) partitions of
+    K*block). L may be shorter than K*block (tail is a zero partition)."""
+    kb = k * block
+    L = ir.shape[-1]
+    lead = [(0, 0)] * (ir.ndim - 1)
+    head_ir = ir[..., :kb]
+    head_ir = jnp.pad(head_ir, lead + [(0, max(0, kb - L))])
+    tail_ir = ir[..., kb:]
+    if tail_ir.shape[-1] == 0:
+        tail_ir = jnp.zeros(ir.shape[:-1] + (kb,), ir.dtype)
+    return (
+        partition_ir_real(head_ir, block),
+        partition_ir_real(tail_ir, kb),
+    )
+
+
+def nup_init_real(shape_prefix: tuple, n_tail_partitions: int, block: int,
+                  k: int = 8) -> NUPConvState:
+    kb = k * block
+    return NUPConvState(
+        head=conv_init_real(shape_prefix, k, block),
+        tail=conv_init_real(shape_prefix, n_tail_partitions, kb),
+        inbuf=jnp.zeros(shape_prefix + (kb,), jnp.float32),
+        outbuf=jnp.zeros(shape_prefix + (kb,), jnp.float32),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def conv_block_nup_real(x, state: NUPConvState, head, tail):
+    """One streaming block through the two-level convolver.
+
+    x: (..., B); head/tail: (h_re, h_im) spectra pairs from
+    nup_partition_ir_real. Returns (y (..., B), state). Output is
+    bit-equivalent to the uniform convolver (same DFT matmuls, same taps),
+    at ~1/k of the tail's frequency-domain MAC cost per block."""
+    B = x.shape[-1]
+    k = state.head.fdl_re.shape[-2]
+    y_head, head_state = conv_block_real(x, state.head, *head)
+    r = state.step % k
+    # the tail contribution to THIS block, computed at the last group edge
+    y_tail = jax.lax.dynamic_slice_in_dim(state.outbuf, r * B, B, axis=-1)
+    inbuf = jax.lax.dynamic_update_slice_in_dim(state.inbuf, x, r * B, axis=-1)
+
+    def run_tail(op):
+        inbuf, tail_state = op
+        out, new_tail = conv_block_real(inbuf, tail_state, *tail)
+        return out, new_tail, jnp.zeros_like(inbuf)
+
+    def keep_tail(op):
+        inbuf, tail_state = op
+        return state.outbuf, tail_state, inbuf
+
+    outbuf, tail_state, inbuf = jax.lax.cond(
+        r == k - 1, run_tail, keep_tail, (inbuf, state.tail)
+    )
+    return y_head + y_tail, NUPConvState(
+        head=head_state, tail=tail_state, inbuf=inbuf, outbuf=outbuf,
+        step=state.step + 1,
+    )
+
+
 def binaural_ir_spectra_real(amb_ir, orientation, hrtf_l, hrtf_r, block: int):
     """Real-arithmetic variant of binaural_ir_spectra: time-domain combine
     via lax.conv, then DFT-matmul partitioning. Returns ((2, P, F) re,

@@ -124,7 +124,7 @@ def build_tri_tables(scene_arrays):
 def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   gaabb_ref, *out_refs, n_tris: int, max_bounces: int,
                   cfg: Config, fused_hist: bool = False, cull: bool = False,
-                  flat_bands: bool = False):
+                  flat_bands: bool = False, mxu_xform: bool = False):
     inf = jnp.float32(np.inf)
     sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
     lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
@@ -155,6 +155,23 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
 
     tri_all = tri_ref[...]  # (T, TRI_COLS) register/VMEM-resident constants
     opl_all = opl_ref[...]  # (T, 8)
+    if mxu_xform:
+        # EXPERIMENT (measured SLOWER, kept off): op/dp for ALL triangles
+        # via (T, 3) @ (3, 128) dot_generals per component, hoping to free
+        # the VPU of half the per-group flops. On this hardware the f32
+        # (HIGHEST) matmuls are multi-pass bf16 and serialize against the
+        # VPU pipeline: 140 ms vs 64-70 ms at 1M rays. Don't re-derive;
+        # revisit only with a native-f32 MXU path or bf16-safe geometry.
+        a_rows = [tri_all[:, 3 * k : 3 * k + 3] for k in range(3)]  # (T, 3)
+        b_cols = [tri_all[:, _B + k : _B + k + 1] for k in range(3)]  # (T, 1)
+
+        def _xf(mat, vec):
+            return jax.lax.dot_general(
+                mat, vec, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (T, 128)
+
     gaabb_all = gaabb_ref[...]  # (n_groups, 8): [lo xyz | hi xyz | pad]
     g_lo = [gaabb_all[:, j : j + 1] for j in range(3)]  # each (n_groups, 1)
     g_hi = [gaabb_all[:, 3 + j : 4 + j] for j in range(3)]
@@ -199,23 +216,41 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         sel = [jnp.zeros(gshape, jnp.float32) for _ in range(3)] + [
             jnp.ones(gshape, jnp.float32) for _ in range(n_keep)
         ]
+        if mxu_xform:
+            dvec = jnp.concatenate([dx, dy, dz], axis=0)  # (3, 128)
+            dp_all = [_xf(a_rows[k], dvec) for k in range(3)]
+            if o_cols is None:
+                ovec = jnp.concatenate([ox, oy, oz], axis=0)
+                op_all = [_xf(a_rows[k], ovec) + b_cols[k] for k in range(3)]
+
+        def gslice(arr, g):
+            return jax.lax.slice(arr, (g * TRI_GROUP, 0), ((g + 1) * TRI_GROUP, LANES))
 
         def group_body(g, carry):
             best_t, sel = carry[0], list(carry[1:])
-            a00, a01, a02 = cg(g, 0), cg(g, 1), cg(g, 2)
-            a10, a11, a12 = cg(g, 3), cg(g, 4), cg(g, 5)
-            a20, a21, a22 = cg(g, 6), cg(g, 7), cg(g, 8)
-            if o_cols is not None:
-                opx = og(g, o_cols) + 0.0 * dx
-                opy = og(g, o_cols + 1) + 0.0 * dx
-                opz = og(g, o_cols + 2) + 0.0 * dx
+            if mxu_xform:
+                dpx, dpy, dpz = (gslice(dp_all[k], g) for k in range(3))
+                if o_cols is not None:
+                    opx = og(g, o_cols) + 0.0 * dx
+                    opy = og(g, o_cols + 1) + 0.0 * dx
+                    opz = og(g, o_cols + 2) + 0.0 * dx
+                else:
+                    opx, opy, opz = (gslice(op_all[k], g) for k in range(3))
             else:
-                opx = a00 * ox + a01 * oy + a02 * oz + cg(g, _B)
-                opy = a10 * ox + a11 * oy + a12 * oz + cg(g, _B + 1)
-                opz = a20 * ox + a21 * oy + a22 * oz + cg(g, _B + 2)
-            dpx = a00 * dx + a01 * dy + a02 * dz
-            dpy = a10 * dx + a11 * dy + a12 * dz
-            dpz = a20 * dx + a21 * dy + a22 * dz
+                a00, a01, a02 = cg(g, 0), cg(g, 1), cg(g, 2)
+                a10, a11, a12 = cg(g, 3), cg(g, 4), cg(g, 5)
+                a20, a21, a22 = cg(g, 6), cg(g, 7), cg(g, 8)
+                if o_cols is not None:
+                    opx = og(g, o_cols) + 0.0 * dx
+                    opy = og(g, o_cols + 1) + 0.0 * dx
+                    opz = og(g, o_cols + 2) + 0.0 * dx
+                else:
+                    opx = a00 * ox + a01 * oy + a02 * oz + cg(g, _B)
+                    opy = a10 * ox + a11 * oy + a12 * oz + cg(g, _B + 1)
+                    opz = a20 * ox + a21 * oy + a22 * oz + cg(g, _B + 2)
+                dpx = a00 * dx + a01 * dy + a02 * dz
+                dpy = a10 * dx + a11 * dy + a12 * dz
+                dpz = a20 * dx + a21 * dy + a22 * dz
             t = -opz / dpz
             u = opx + t * dpx
             v = opy + t * dpy
@@ -250,17 +285,26 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         """Any-hit within the listener->vertex segment for a (1, 128) row.
         Constant (precomputed) transformed origins; t <= 1 blocks. preds:
         optional (n_groups, 1) runtime group skip."""
+        if mxu_xform:
+            wvec = jnp.concatenate([wx, wy, wz], axis=0)  # (3, 128)
+            dp_all = [_xf(a_rows[k], wvec) for k in range(3)]
+
+        def gslice(arr, g):
+            return jax.lax.slice(arr, (g * TRI_GROUP, 0), ((g + 1) * TRI_GROUP, LANES))
 
         def group_body(g, blocked):
-            a00, a01, a02 = cg(g, 0), cg(g, 1), cg(g, 2)
-            a10, a11, a12 = cg(g, 3), cg(g, 4), cg(g, 5)
-            a20, a21, a22 = cg(g, 6), cg(g, 7), cg(g, 8)
+            if mxu_xform:
+                dpx, dpy, dpz = (gslice(dp_all[k], g) for k in range(3))
+            else:
+                a00, a01, a02 = cg(g, 0), cg(g, 1), cg(g, 2)
+                a10, a11, a12 = cg(g, 3), cg(g, 4), cg(g, 5)
+                a20, a21, a22 = cg(g, 6), cg(g, 7), cg(g, 8)
+                dpx = a00 * wx + a01 * wy + a02 * wz
+                dpy = a10 * wx + a11 * wy + a12 * wz
+                dpz = a20 * wx + a21 * wy + a22 * wz
             opx = og(g, 0) + 0.0 * wx
             opy = og(g, 1) + 0.0 * wx
             opz = og(g, 2) + 0.0 * wx
-            dpx = a00 * wx + a01 * wy + a02 * wz
-            dpy = a10 * wx + a11 * wy + a12 * wz
-            dpz = a20 * wx + a21 * wy + a22 * wz
             t = -opz / dpz
             u = opx + t * dpx
             v = opy + t * dpy
@@ -460,7 +504,7 @@ def trace_contributions_pallas(
     scene_arrays, source, listener, dirs, cfg: Config = DEFAULT_CONFIG,
     max_bounces: int | None = None, total_rays: int | None = None,
     interpret: bool = False, fused_hist: bool = False, cull: bool = False,
-    flat_bands: bool = False,
+    flat_bands: bool = False, mxu_xform: bool = False,
 ):
     """Run the fused kernel.
 
@@ -534,6 +578,7 @@ def trace_contributions_pallas(
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
+        mxu_xform=mxu_xform,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb)
     if fused_hist:
@@ -586,7 +631,7 @@ def trace_contributions_pallas(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "total_rays",
                      "include_direct", "interpret", "fused_hist", "cull",
-                     "flat_bands"),
+                     "flat_bands", "mxu_xform"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -602,6 +647,7 @@ def trace_ir_pallas(
     fused_hist: bool = False,
     cull: bool = False,
     flat_bands: bool = False,
+    mxu_xform: bool = False,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -631,13 +677,13 @@ def trace_ir_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,
             max_bounces=max_bounces, total_rays=total_rays,
             interpret=interpret, fused_hist=True, cull=cull,
-            flat_bands=flat_bands,
+            flat_bands=flat_bands, mxu_xform=mxu_xform,
         )
     else:
         bins, payload = trace_contributions_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,
             max_bounces=max_bounces, total_rays=total_rays,
-            interpret=interpret, cull=cull,
+            interpret=interpret, cull=cull, mxu_xform=mxu_xform,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     if flat_bands:

@@ -185,3 +185,61 @@ def test_rotate_ambisonic_yaw():
     np.testing.assert_allclose(r[1:, 0], v, atol=1e-6)
     np.testing.assert_allclose(r[0], 1e0 * a[0], atol=1e-7)  # W untouched
     assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+
+
+def test_nonuniform_partitioned_conv_matches_uniform():
+    """Two-level (head B / tail K*B) convolver vs uniform streaming conv
+    and np.convolve over several groups, odd IR length."""
+    import jax.numpy as jnp
+
+    from audio_raytracing_tpu.ops import conv_partitioned as cp
+
+    rng = np.random.default_rng(11)
+    B, k = 32, 4
+    L = 700  # not a multiple of k*B; tail has a ragged final partition
+    ir = rng.standard_normal(L).astype(np.float32) * np.exp(
+        -np.arange(L, dtype=np.float32) / 200.0
+    )
+    n_blocks = 24
+    x = rng.standard_normal(n_blocks * B).astype(np.float32)
+
+    head, tail = cp.nup_partition_ir_real(jnp.asarray(ir), B, k)
+    st = cp.nup_init_real((), tail[0].shape[-2], B, k)
+    h_re, h_im = cp.partition_ir_real(jnp.asarray(ir), B)
+    stu = cp.conv_init_real((), h_re.shape[-2], B)
+
+    ref = np.convolve(x, ir)
+    got_n, got_u = [], []
+    for b in range(n_blocks):
+        blk = jnp.asarray(x[b * B:(b + 1) * B])
+        y_n, st = cp.conv_block_nup_real(blk, st, head, tail)
+        y_u, stu = cp.conv_block_real(blk, stu, h_re, h_im)
+        got_n.append(np.asarray(y_n))
+        got_u.append(np.asarray(y_u))
+    got_n = np.concatenate(got_n)
+    got_u = np.concatenate(got_u)
+    np.testing.assert_allclose(got_u, ref[: n_blocks * B], atol=2e-4)
+    np.testing.assert_allclose(got_n, ref[: n_blocks * B], atol=2e-4)
+    np.testing.assert_allclose(got_n, got_u, atol=2e-5)
+
+
+def test_nonuniform_conv_short_ir_no_tail():
+    """IR shorter than one group: tail is a zero partition, head carries
+    everything."""
+    import jax.numpy as jnp
+
+    from audio_raytracing_tpu.ops import conv_partitioned as cp
+
+    rng = np.random.default_rng(12)
+    B, k = 16, 4
+    ir = rng.standard_normal(40).astype(np.float32)
+    x = rng.standard_normal(10 * B).astype(np.float32)
+    head, tail = cp.nup_partition_ir_real(jnp.asarray(ir), B, k)
+    st = cp.nup_init_real((), tail[0].shape[-2], B, k)
+    out = []
+    for b in range(10):
+        y, st = cp.conv_block_nup_real(jnp.asarray(x[b * B:(b + 1) * B]), st, head, tail)
+        out.append(np.asarray(y))
+    np.testing.assert_allclose(
+        np.concatenate(out), np.convolve(x, ir)[: 10 * B], atol=2e-5
+    )

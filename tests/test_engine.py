@@ -152,3 +152,29 @@ def test_full_pipeline_with_scene(hrtf):
     assert out.shape == (512, 2)
     assert np.isfinite(out).all()
     assert np.abs(out).max() > 0.0
+
+
+def test_golden_engine_wav():
+    """End-to-end golden WAV: the full engine pipeline (trace -> voice DSP
+    -> ambisonic -> HRTF) on a deterministic scenario must reproduce the
+    committed waveform (regenerate deliberately via
+    tests/golden/regenerate.py when semantics change)."""
+    import importlib.util as ilu
+    from pathlib import Path
+
+    golden_dir = Path(__file__).parent / "golden"
+    spec = ilu.spec_from_file_location("regen", golden_dir / "regenerate.py")
+    regen = ilu.module_from_spec(spec)
+    spec.loader.exec_module(regen)
+
+    from audio_raytracing_tpu.engine.renderer import render_engine_offline
+
+    cfg, scene, sounds, events, track = regen.golden_engine_scene()
+    out = render_engine_offline(
+        scene, sounds, events, track, duration_s=0.5, cfg=cfg,
+        updates_per_second=10.0,
+    )
+    with np.load(golden_dir / "engine_wav.npz") as z:
+        want = z["stereo"]
+    assert out.shape == want.shape
+    np.testing.assert_allclose(out, want, atol=1e-4)

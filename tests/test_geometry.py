@@ -143,3 +143,38 @@ def test_bih_save_load(tmp_path, rng):
     v2, d2 = raycast_bih(arena2, src, d)
     np.testing.assert_array_equal(v1, v2)
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_exact_tail_lane_semantics():
+    """exact_tail=True reproduces the reference's per-lane split: within a
+    leaf run, tail boxes (beyond the last full 8-lane chunk) use the scalar
+    clamped slab test — a box containing the ray origin is reported at
+    distance 0 — while full chunks keep the SoA semantics (dropped)."""
+    from audio_raytracing_tpu.models.bih import (
+        build_bih,
+        raycast_bih,
+        slab_entry_distances_scalar,
+    )
+
+    # 9 coincident boxes around the origin in ONE leaf: positions 0..7 are
+    # the SIMD chunk, position 8 is the scalar tail
+    n = 9
+    low = np.tile(np.float32([-1, -1, -1]), (n, 1))
+    high = np.tile(np.float32([1, 1, 1]), (n, 1))
+    vals = np.arange(n, dtype=np.int32)
+    arena = build_bih(low, high, vals, max_leaf_size=16)
+    src = np.float32([0.0, 0.0, 0.0])
+    d = np.float32([1.0, 0.0, 0.0])
+
+    v_soa, _ = raycast_bih(arena, src, d)
+    assert v_soa.size == 0  # SoA: origin-inside boxes skipped everywhere
+
+    v_ex, d_ex = raycast_bih(arena, src, d, exact_tail=True)
+    assert v_ex.size == 1 and d_ex[0] == 0.0  # the single tail lane reports
+    assert int(v_ex[0]) == int(arena.values[8])  # ...the 9th box of the run
+
+    # scalar semantics: behind-the-origin boxes still miss
+    behind = slab_entry_distances_scalar(
+        np.float32([[-5, -1, -1]]), np.float32([[-3, 1, 1]]), src, d
+    )
+    assert behind[0] == -1.0

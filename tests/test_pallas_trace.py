@@ -129,6 +129,23 @@ def test_pallas_long_hist_fused_matches_emit(scene):
     )
 
 
+def test_pallas_mxu_xform_parity(scene):
+    """The (off-by-default, measured-slower) MXU transform offload must
+    stay numerically equivalent."""
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        fused_hist=True)
+    b = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        fused_hist=True, mxu_xform=True)
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=1e-3, atol=1e-7
+    )
+
+
 def test_multi_source_scan(scene):
     from audio_raytracing_tpu.ops.pallas_trace import trace_irs_pallas_multi
 
