@@ -124,7 +124,14 @@ def build_tri_tables(scene_arrays):
 def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   gaabb_ref, *out_refs, n_tris: int, max_bounces: int,
                   cfg: Config, fused_hist: bool = False, cull: bool = False,
-                  flat_bands: bool = False, mxu_xform: bool = False):
+                  flat_bands: bool = False, mxu_xform: bool = False,
+                  group_fori: bool = False):
+    # large-scene mode: iterate triangle groups with lax.fori_loop +
+    # 8-aligned dynamic VMEM loads instead of a fully unrolled Python loop
+    # (which explodes trace/compile time past ~32 groups). Incompatible
+    # with the register-resident experiments.
+    if group_fori:
+        assert not cull and not mxu_xform, "group_fori excludes cull/mxu_xform"
     inf = jnp.float32(np.inf)
     sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
     lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
@@ -153,8 +160,9 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     else:
         bins_ref, payload_ref = out_refs
 
-    tri_all = tri_ref[...]  # (T, TRI_COLS) register/VMEM-resident constants
-    opl_all = opl_ref[...]  # (T, 8)
+    if not group_fori:
+        tri_all = tri_ref[...]  # (T, TRI_COLS) register-resident constants
+        opl_all = opl_ref[...]  # (T, 8)
     if mxu_xform:
         # EXPERIMENT (measured SLOWER, kept off): op/dp for ALL triangles
         # via (T, 3) @ (3, 128) dot_generals per component, hoping to free
@@ -205,6 +213,20 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             e //= 2
         return x
 
+    # groups per fori iteration: a bare 1-group loop body measured 5x
+    # slower per group-pass than unrolled code (carry copies + no
+    # cross-iteration pipelining); unrolling 8 inside the loop recovers it
+    fori_unroll = 8 if (n_groups % 8 == 0 and n_groups >= 8) else 1
+
+    def _fori_cols(base, k):
+        """Column accessors for group (base_iter*unroll + k): per-column
+        (8, 1) VMEM loads at 8-aligned dynamic starts (static lane index ->
+        strided load + sublane broadcast, no lane rotations)."""
+        g8 = pl.multiple_of(base * (fori_unroll * TRI_GROUP), TRI_GROUP) + k * TRI_GROUP
+        col = lambda j: tri_ref[pl.ds(g8, TRI_GROUP), pl.ds(j, 1)]  # noqa: E731
+        ocol = lambda j: opl_ref[pl.ds(g8, TRI_GROUP), pl.ds(j, 1)]  # noqa: E731
+        return col, ocol
+
     def path_pass(ox, oy, oz, dx, dy, dz, preds=None, o_cols=None):
         """Nearest hit + attrs for a (1, 128) ray row. Returns per-sublane
         running (best_t, n_xyz, keep) (8, 128) arrays. preds: optional
@@ -226,28 +248,28 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         def gslice(arr, g):
             return jax.lax.slice(arr, (g * TRI_GROUP, 0), ((g + 1) * TRI_GROUP, LANES))
 
-        def group_body(g, carry):
+        def group_body(col, ocol, carry, g=None):
             best_t, sel = carry[0], list(carry[1:])
             if mxu_xform:
                 dpx, dpy, dpz = (gslice(dp_all[k], g) for k in range(3))
                 if o_cols is not None:
-                    opx = og(g, o_cols) + 0.0 * dx
-                    opy = og(g, o_cols + 1) + 0.0 * dx
-                    opz = og(g, o_cols + 2) + 0.0 * dx
+                    opx = ocol(o_cols) + 0.0 * dx
+                    opy = ocol(o_cols + 1) + 0.0 * dx
+                    opz = ocol(o_cols + 2) + 0.0 * dx
                 else:
                     opx, opy, opz = (gslice(op_all[k], g) for k in range(3))
             else:
-                a00, a01, a02 = cg(g, 0), cg(g, 1), cg(g, 2)
-                a10, a11, a12 = cg(g, 3), cg(g, 4), cg(g, 5)
-                a20, a21, a22 = cg(g, 6), cg(g, 7), cg(g, 8)
+                a00, a01, a02 = col(0), col(1), col(2)
+                a10, a11, a12 = col(3), col(4), col(5)
+                a20, a21, a22 = col(6), col(7), col(8)
                 if o_cols is not None:
-                    opx = og(g, o_cols) + 0.0 * dx
-                    opy = og(g, o_cols + 1) + 0.0 * dx
-                    opz = og(g, o_cols + 2) + 0.0 * dx
+                    opx = ocol(o_cols) + 0.0 * dx
+                    opy = ocol(o_cols + 1) + 0.0 * dx
+                    opz = ocol(o_cols + 2) + 0.0 * dx
                 else:
-                    opx = a00 * ox + a01 * oy + a02 * oz + cg(g, _B)
-                    opy = a10 * ox + a11 * oy + a12 * oz + cg(g, _B + 1)
-                    opz = a20 * ox + a21 * oy + a22 * oz + cg(g, _B + 2)
+                    opx = a00 * ox + a01 * oy + a02 * oz + col(_B)
+                    opy = a10 * ox + a11 * oy + a12 * oz + col(_B + 1)
+                    opz = a20 * ox + a21 * oy + a22 * oz + col(_B + 2)
                 dpx = a00 * dx + a01 * dy + a02 * dz
                 dpy = a10 * dx + a11 * dy + a12 * dz
                 dpz = a20 * dx + a21 * dy + a22 * dz
@@ -265,18 +287,30 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             improved = tc < best_t
             best_t = jnp.where(improved, tc, best_t)
             for c in range(3):
-                sel[c] = jnp.where(improved, cg(g, _N + c), sel[c])
+                sel[c] = jnp.where(improved, col(_N + c), sel[c])
             for c in range(n_keep):
-                sel[3 + c] = jnp.where(improved, cg(g, _K + c), sel[3 + c])
+                sel[3 + c] = jnp.where(improved, col(_K + c), sel[3 + c])
             return (best_t, *sel)
 
         carry = (best_t, *sel)
+        if group_fori:
+            def fori_body(base, carry):
+                for k in range(fori_unroll):
+                    col, ocol = _fori_cols(base, k)
+                    carry = group_body(col, ocol, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, n_groups // fori_unroll, fori_body, carry)
+            return carry[0], list(carry[1:])
         for g in range(n_groups):
+            col = partial(cg, g)
+            ocol = partial(og, g)
             if preds is None:
-                carry = group_body(g, carry)
+                carry = group_body(col, ocol, carry, g)
             else:
                 carry = jax.lax.cond(
-                    preds[g, 0] > 0, lambda c, _g=g: group_body(_g, c),
+                    preds[g, 0] > 0,
+                    lambda c, _c=col, _o=ocol, _g=g: group_body(_c, _o, c, _g),
                     lambda c: c, carry,
                 )
         return carry[0], list(carry[1:])
@@ -292,19 +326,19 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         def gslice(arr, g):
             return jax.lax.slice(arr, (g * TRI_GROUP, 0), ((g + 1) * TRI_GROUP, LANES))
 
-        def group_body(g, blocked):
+        def group_body(col, ocol, blocked, g=None):
             if mxu_xform:
                 dpx, dpy, dpz = (gslice(dp_all[k], g) for k in range(3))
             else:
-                a00, a01, a02 = cg(g, 0), cg(g, 1), cg(g, 2)
-                a10, a11, a12 = cg(g, 3), cg(g, 4), cg(g, 5)
-                a20, a21, a22 = cg(g, 6), cg(g, 7), cg(g, 8)
+                a00, a01, a02 = col(0), col(1), col(2)
+                a10, a11, a12 = col(3), col(4), col(5)
+                a20, a21, a22 = col(6), col(7), col(8)
                 dpx = a00 * wx + a01 * wy + a02 * wz
                 dpy = a10 * wx + a11 * wy + a12 * wz
                 dpz = a20 * wx + a21 * wy + a22 * wz
-            opx = og(g, 0) + 0.0 * wx
-            opy = og(g, 1) + 0.0 * wx
-            opz = og(g, 2) + 0.0 * wx
+            opx = ocol(0) + 0.0 * wx
+            opy = ocol(1) + 0.0 * wx
+            opz = ocol(2) + 0.0 * wx
             t = -opz / dpz
             u = opx + t * dpx
             v = opy + t * dpy
@@ -319,12 +353,24 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             return jnp.maximum(blocked, ok.astype(jnp.float32))
 
         blocked = jnp.zeros(gshape, jnp.float32)
+        if group_fori:
+            def fori_body(base, blocked):
+                for k in range(fori_unroll):
+                    col, ocol = _fori_cols(base, k)
+                    blocked = group_body(col, ocol, blocked)
+                return blocked
+
+            blocked = jax.lax.fori_loop(0, n_groups // fori_unroll, fori_body, blocked)
+            return jnp.max(blocked, axis=0, keepdims=True)
         for g in range(n_groups):
+            col = partial(cg, g)
+            ocol = partial(og, g)
             if preds is None:
-                blocked = group_body(g, blocked)
+                blocked = group_body(col, ocol, blocked, g)
             else:
                 blocked = jax.lax.cond(
-                    preds[g, 0] > 0, lambda b, _g=g: group_body(_g, b),
+                    preds[g, 0] > 0,
+                    lambda b, _c=col, _o=ocol, _g=g: group_body(_c, _o, b, _g),
                     lambda b: b, blocked,
                 )
         return jnp.max(blocked, axis=0, keepdims=True)  # (1, 128)
@@ -505,8 +551,14 @@ def trace_contributions_pallas(
     max_bounces: int | None = None, total_rays: int | None = None,
     interpret: bool = False, fused_hist: bool = False, cull: bool = False,
     flat_bands: bool = False, mxu_xform: bool = False,
+    group_fori: bool | None = None,
 ):
     """Run the fused kernel.
+
+    group_fori: loop triangle groups with lax.fori_loop (dynamic VMEM
+    loads) instead of full unrolling — required for large scenes where
+    unrolling explodes compile time. Default: automatic (None -> True when
+    the scene has more than 32 groups of 8 triangles).
 
     fused_hist=False: returns (bins (B*R,), payload (B*R, 7)) for an
     external scatter (exact f32).
@@ -575,10 +627,12 @@ def trace_contributions_pallas(
         pl.BlockSpec((T, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T // TRI_GROUP, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
+    if group_fori is None:
+        group_fori = T // TRI_GROUP > 32
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
-        mxu_xform=mxu_xform,
+        mxu_xform=mxu_xform, group_fori=group_fori,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb)
     if fused_hist:
@@ -631,7 +685,7 @@ def trace_contributions_pallas(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "total_rays",
                      "include_direct", "interpret", "fused_hist", "cull",
-                     "flat_bands", "mxu_xform"),
+                     "flat_bands", "mxu_xform", "group_fori"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -648,6 +702,7 @@ def trace_ir_pallas(
     cull: bool = False,
     flat_bands: bool = False,
     mxu_xform: bool = False,
+    group_fori: bool | None = None,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -678,12 +733,14 @@ def trace_ir_pallas(
             max_bounces=max_bounces, total_rays=total_rays,
             interpret=interpret, fused_hist=True, cull=cull,
             flat_bands=flat_bands, mxu_xform=mxu_xform,
+            group_fori=group_fori,
         )
     else:
         bins, payload = trace_contributions_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,
             max_bounces=max_bounces, total_rays=total_rays,
             interpret=interpret, cull=cull, mxu_xform=mxu_xform,
+            group_fori=group_fori,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     if flat_bands:

@@ -129,6 +129,39 @@ def test_pallas_long_hist_fused_matches_emit(scene):
     )
 
 
+def test_pallas_group_fori_matches_unrolled(scene):
+    """Large-scene fori-loop group iteration (forced on a small scene) is
+    numerically identical to the unrolled loop."""
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        fused_hist=True)
+    b = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        fused_hist=True, group_fori=True)
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=1e-6, atol=1e-12
+    )
+
+
+def test_pallas_group_fori_large_scene_vs_xla():
+    """Auto-engaged fori mode on a 768-triangle scene vs the XLA tracer."""
+    from audio_raytracing_tpu.models.scene import box_room_subdivided
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    sc = Scene.from_triangles(box_room_subdivided(k=8), cfg)
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    x = trace_ir(sc.device_arrays(), src, lst, cfg=cfg, max_bounces=2, dirs=dirs)
+    c = trace_ir_pallas(sc.device_arrays(), src, lst, cfg=cfg, max_bounces=2,
+                        dirs=dirs, interpret=True, fused_hist=True)
+    e, ex = np.asarray(c.energy), np.asarray(x.energy)
+    assert np.abs(e - ex).sum() / np.abs(ex).sum() < 2e-3
+
+
 def test_pallas_mxu_xform_parity(scene):
     """The (off-by-default, measured-slower) MXU transform offload must
     stay numerically equivalent."""
