@@ -215,8 +215,13 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
 
     # groups per fori iteration: a bare 1-group loop body measured 5x
     # slower per group-pass than unrolled code (carry copies + no
-    # cross-iteration pipelining); unrolling 8 inside the loop recovers it
-    fori_unroll = 8 if (n_groups % 8 == 0 and n_groups >= 8) else 1
+    # cross-iteration pipelining). Measured at 3072 tris: unroll 8 = 62 ms,
+    # 16 = 56 ms, 32 = 55 ms (best), 64 = 56 ms with 60 s compiles.
+    fori_unroll = 1
+    for cand in (32, 16, 8):
+        if n_groups % cand == 0 and n_groups >= cand:
+            fori_unroll = cand
+            break
 
     def _fori_cols(base, k):
         """Column accessors for group (base_iter*unroll + k): per-column
