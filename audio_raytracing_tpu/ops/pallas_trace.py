@@ -817,3 +817,45 @@ def trace_irs_pallas_multi(
 
     _, irs = jax.lax.scan(one, None, sources)
     return ImpulseResponse(energy=irs.energy, dir_sum=irs.dir_sum)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
+                     "interpret", "fused_hist", "flat_bands"),
+)
+def trace_irs_pallas_multi_listener(
+    scene_arrays,
+    source,
+    listeners,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+    dirs=None,
+    include_direct: bool = True,
+    interpret: bool = False,
+    fused_hist: bool = True,
+    flat_bands: bool = False,
+):
+    """All listeners' IRs from one source in one compiled program: lax.scan
+    over listeners around the fused kernel (the kernel compiles once; the
+    listener is a traced operand — its transformed origins are recomputed
+    per step). listeners: (L, 3). Returns stacked ImpulseResponse
+    (L, n_bands/3, n_bins). For the shared-path XLA variant (one path
+    trace, per-listener NEE only) see models.ir.trace_ir_multi_listener."""
+    from ..models.ir import ImpulseResponse, fibonacci_sphere_sorted
+
+    n_rays = n_rays or cfg.rays_per_source
+    if dirs is None:
+        dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
+
+    def one(_, lst):
+        ir = trace_ir_pallas(
+            scene_arrays, source, lst, cfg=cfg, max_bounces=max_bounces,
+            dirs=dirs, include_direct=include_direct, interpret=interpret,
+            fused_hist=fused_hist, flat_bands=flat_bands,
+        )
+        return None, ir
+
+    _, irs = jax.lax.scan(one, None, jnp.asarray(listeners, jnp.float32))
+    return ImpulseResponse(energy=irs.energy, dir_sum=irs.dir_sum)

@@ -162,6 +162,30 @@ def test_pallas_group_fori_large_scene_vs_xla():
     assert np.abs(e - ex).sum() / np.abs(ex).sum() < 2e-3
 
 
+def test_multi_listener_scan(scene):
+    from audio_raytracing_tpu.ops.pallas_trace import (
+        trace_irs_pallas_multi_listener,
+    )
+
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lsts = jnp.asarray([[-1.0, -0.5, -1.0], [0.5, 0.0, 1.5]])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    irs = trace_irs_pallas_multi_listener(
+        scene.device_arrays(), src, lsts, cfg=CFG, max_bounces=1, dirs=dirs,
+        interpret=True,
+    )
+    assert irs.energy.shape == (2, 4, CFG.ir_n_bins)
+    for i in range(2):
+        want = trace_ir_pallas(
+            scene.device_arrays(), src, lsts[i], cfg=CFG, max_bounces=1,
+            dirs=dirs, interpret=True, fused_hist=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(irs.energy[i]), np.asarray(want.energy), rtol=1e-5,
+            atol=1e-9,
+        )
+
+
 def test_pallas_mxu_xform_parity(scene):
     """The (off-by-default, measured-slower) MXU transform offload must
     stay numerically equivalent."""
