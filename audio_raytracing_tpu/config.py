@@ -64,6 +64,13 @@ class Config:
     # main.zig:745 bins z reflections on `ld[0] > 2` where symmetry says
     # `ld[2] > 0`.
     quirk_zbin_ld0: bool = True
+    # The reference's scalar slab test (tail lanes of each leaf run,
+    # raytracer.zig:67-78) clamps tmin to 0 — an origin-inside box is
+    # reported at distance 0 — while its 8-lane SIMD path (115-149) drops
+    # it. "Parity" is therefore ambiguous; we default to the SIMD semantics
+    # uniformly (the reference's hot path) and True reproduces the mixed
+    # per-lane behavior byte for byte (Space.raycast / models/bih.py).
+    quirk_tail_lane_clamp: bool = False
 
     # --- BIH / spatial index (reference: raytracer.zig:17) ---
     bih_max_leaf_size: int = 8

@@ -131,17 +131,12 @@ def render_ir_offline(
 
     # rotate the summed bed by the listener orientation, then decode
     if sh_order is not None:
-        from ..ops.hoa import (
-            decode_to_speakers,
-            hoa_first_order_to_reference,
-            hoa_truncate,
-            rotate_hoa,
-        )
+        from ..ops.hoa import decode_to_speakers, hoa_to_reference_foa, rotate_hoa
 
         amb_rot = rotate_hoa(amb_total, jnp.asarray(orient), sh_order)
         if speaker_dirs is not None:
             return np.asarray(decode_to_speakers(amb_rot, speaker_dirs).T)
-        amb4 = hoa_first_order_to_reference(hoa_truncate(amb_rot, 1))
+        amb4 = hoa_to_reference_foa(amb_rot)
         left = jnp.sum(convolve_direct(amb4, jnp.asarray(hl)), axis=0)
         right = jnp.sum(convolve_direct(amb4, jnp.asarray(hr)), axis=0)
         return np.asarray(jnp.stack([left, right], axis=-1))

@@ -24,15 +24,20 @@ from .bih import BIHArena, build_bih, raycast_bih
 
 
 class Space:
-    def __init__(self, arena: BIHArena):
+    def __init__(self, arena: BIHArena, cfg=None):
+        from ..config import DEFAULT_CONFIG
+
         self.arena = arena
+        self.cfg = cfg or DEFAULT_CONFIG
 
     def raycast(self, src, direction, capacity: int = 128,
-                exact_tail: bool = False):
+                exact_tail: bool | None = None):
         """(values, dists): nearest `capacity` AABB candidates along the ray
-        (cf. raycastCapacity, raytracer.zig:171-187). exact_tail=True
-        reproduces the reference's scalar-clamped tail lanes (see
-        models/bih.raycast_bih)."""
+        (cf. raycastCapacity, raytracer.zig:171-187). exact_tail reproduces
+        the reference's scalar-clamped tail lanes (see models/bih.raycast_bih);
+        defaults to Config.quirk_tail_lane_clamp."""
+        if exact_tail is None:
+            exact_tail = self.cfg.quirk_tail_lane_clamp
         return raycast_bih(self.arena, src, direction, capacity, exact_tail)
 
     def depth(self) -> int:
@@ -48,8 +53,9 @@ class Space:
 
 
 class SpaceBuilder:
-    def __init__(self, max_leaf_size: int = 8):
+    def __init__(self, max_leaf_size: int = 8, cfg=None):
         self.max_leaf_size = max_leaf_size
+        self.cfg = cfg
         self._low: list = []
         self._high: list = []
         self._values: list = []
@@ -73,4 +79,4 @@ class SpaceBuilder:
         arena = native.build_bih_native(low, high, values, self.max_leaf_size)
         if arena is None:
             arena = build_bih(low, high, values, self.max_leaf_size)
-        return Space(arena)
+        return Space(arena, cfg=self.cfg)

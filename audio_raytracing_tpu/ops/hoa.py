@@ -181,15 +181,19 @@ def max_re_weights(order: int) -> np.ndarray:
 
 
 def hoa_truncate(amb, order_out: int, weighting: str | None = "max_re"):
-    """Truncate (C_in, N) HOA channels to order_out, optionally applying
-    max-rE weights to the kept channels (reduces truncation sidelobes)."""
+    """Truncate (C_in, N) HOA channels to order_out. max-rE weights are
+    applied ONLY when channels are actually dropped (they tame truncation
+    sidelobes); an already-order_out bed passes through unchanged, keeping
+    order-1 beds exactly compatible with the reference pipeline."""
     amb = jnp.asarray(amb)
     c_out = n_sh(order_out)
     if amb.shape[0] < c_out:
         raise ValueError("cannot truncate upward")
+    truncating = amb.shape[0] > c_out
     out = amb[:c_out]
     if weighting == "max_re":
-        out = out * jnp.asarray(max_re_weights(order_out))[:, None]
+        if truncating:
+            out = out * jnp.asarray(max_re_weights(order_out))[:, None]
     elif weighting is not None:
         raise ValueError(f"unknown weighting {weighting!r}")
     return out
@@ -201,16 +205,30 @@ def hoa_first_order_to_reference(amb4):
     return jnp.stack([amb4[0], amb4[3], amb4[2], -amb4[1]], axis=0)
 
 
+def hoa_to_reference_foa(amb, weighting: str | None = "max_re"):
+    """Any-order bed (C, N) -> the reference's [W, x, y, z] (4, N):
+    higher orders max-rE-truncate, order 1 passes through exactly, order 0
+    pads silent XYZ (a pure-W omni bed)."""
+    amb = jnp.asarray(amb)
+    if amb.shape[0] < 4:
+        amb4 = jnp.concatenate(
+            [amb, jnp.zeros((4 - amb.shape[0],) + amb.shape[1:], amb.dtype)],
+            axis=0,
+        )
+    else:
+        amb4 = hoa_truncate(amb, 1, weighting)
+    return hoa_first_order_to_reference(amb4)
+
+
 def hoa_to_stereo(amb, irs_l, irs_r, weighting: str | None = "max_re"):
     """Binaural decode of an HOA bed through the reference's first-order
-    MagLS HRTF bank: max-rE-truncate to order 1, remap channels, convolve
-    (ops/ambisonic.ambisonic_to_stereo). Higher-order content contributes
-    through the truncation only — the MagLS bank is 4-channel
-    (src/hrtf.zon). Returns (N + taps - 1, 2)."""
+    MagLS HRTF bank: truncate/pad to order 1 (hoa_to_reference_foa), remap
+    channels, convolve (ops/ambisonic.ambisonic_to_stereo). Higher-order
+    content contributes through the truncation only — the MagLS bank is
+    4-channel (src/hrtf.zon). Returns (N + taps - 1, 2)."""
     from .ambisonic import ambisonic_to_stereo
 
-    amb4 = hoa_truncate(jnp.asarray(amb), 1, weighting)
-    return ambisonic_to_stereo(hoa_first_order_to_reference(amb4), irs_l, irs_r)
+    return ambisonic_to_stereo(hoa_to_reference_foa(amb, weighting), irs_l, irs_r)
 
 
 def speaker_decoder(speaker_dirs, order: int, weighting: str | None = "max_re"):

@@ -223,6 +223,11 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             fori_unroll = cand
             break
 
+    def gslice(arr, g):
+        """(8, 128) group slice of a (T, 128) per-triangle array
+        (mxu_xform experiment only)."""
+        return jax.lax.slice(arr, (g * TRI_GROUP, 0), ((g + 1) * TRI_GROUP, LANES))
+
     def _fori_cols(base, k):
         """Column accessors for group (base_iter*unroll + k): per-column
         (8, 1) VMEM loads at 8-aligned dynamic starts (static lane index ->
@@ -249,9 +254,6 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             if o_cols is None:
                 ovec = jnp.concatenate([ox, oy, oz], axis=0)
                 op_all = [_xf(a_rows[k], ovec) + b_cols[k] for k in range(3)]
-
-        def gslice(arr, g):
-            return jax.lax.slice(arr, (g * TRI_GROUP, 0), ((g + 1) * TRI_GROUP, LANES))
 
         def group_body(col, ocol, carry, g=None):
             best_t, sel = carry[0], list(carry[1:])
@@ -327,9 +329,6 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         if mxu_xform:
             wvec = jnp.concatenate([wx, wy, wz], axis=0)  # (3, 128)
             dp_all = [_xf(a_rows[k], wvec) for k in range(3)]
-
-        def gslice(arr, g):
-            return jax.lax.slice(arr, (g * TRI_GROUP, 0), ((g + 1) * TRI_GROUP, LANES))
 
         def group_body(col, ocol, blocked, g=None):
             if mxu_xform:
@@ -635,7 +634,13 @@ def trace_contributions_pallas(
         pl.BlockSpec((T // TRI_GROUP, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     if group_fori is None:
-        group_fori = T // TRI_GROUP > 32
+        # auto mode never collides with the unrolled-only experiments
+        group_fori = T // TRI_GROUP > 32 and not (cull or mxu_xform)
+    elif group_fori and (cull or mxu_xform):
+        raise ValueError(
+            "group_fori is incompatible with cull/mxu_xform (unrolled-only "
+            "experiments); pass group_fori=False for them"
+        )
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
@@ -730,6 +735,8 @@ def trace_ir_pallas(
     scene material is); band-dependent scenes need flat_bands=False."""
     from ..models.ir import ImpulseResponse, direct_ir, fibonacci_sphere_sorted
 
+    if flat_bands and not fused_hist:
+        raise ValueError("flat_bands requires fused_hist=True")
     n_rays = n_rays or cfg.rays_per_source
     if dirs is None:
         # spatially-sorted order: same direction set (histograms are

@@ -85,16 +85,24 @@ def trace_ir_multislice(
     return fn(dirs, jnp.asarray(source), jnp.asarray(listener), scene_arrays)
 
 
-def _ckpt_meta(source, listener, n_rays, n_chunks, cfg: Config):
-    return np.asarray(
-        [
-            *np.asarray(source, np.float64),
-            *np.asarray(listener, np.float64),
-            float(n_rays),
-            float(n_chunks),
-            float(cfg.ir_n_bins),
-        ]
+def _ckpt_meta(scene_arrays, source, listener, n_rays, n_chunks,
+               max_bounces, intersector: str, cfg: Config) -> str:
+    """Digest of EVERYTHING the chunk histograms depend on — a checkpoint
+    written under different physics (other scene, bounce count,
+    intersector, pose, binning) must be rejected, not summed into."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in (scene_arrays.v0, scene_arrays.normals, scene_arrays.absorption):
+        h.update(np.asarray(a).tobytes())
+    h.update(np.asarray(source, np.float64).tobytes())
+    h.update(np.asarray(listener, np.float64).tobytes())
+    h.update(
+        f"{n_rays}|{n_chunks}|{max_bounces}|{intersector}|{cfg.ir_n_bins}|"
+        f"{cfg.ir_bins_per_sample}|{cfg.air_absorption}|"
+        f"{cfg.specular_exponent}".encode()
     )
+    return h.hexdigest()
 
 
 def trace_ir_checkpointed(
@@ -127,17 +135,18 @@ def trace_ir_checkpointed(
     ckpt_path = Path(ckpt_path)
     dirs = fibonacci_sphere(n_rays)
     chunk = n_rays // n_chunks
-    meta = _ckpt_meta(source, listener, n_rays, n_chunks, cfg)
+    meta = _ckpt_meta(scene_arrays, source, listener, n_rays, n_chunks,
+                      max_bounces, intersector, cfg)
 
     start = 0
     energy = np.zeros((cfg.n_bands, cfg.ir_n_bins), np.float32)
     dir_sum = np.zeros((3, cfg.ir_n_bins), np.float32)
     if ckpt_path.exists():
         blob = np.load(ckpt_path)
-        if not np.allclose(blob["meta"], meta):
+        if str(blob["meta"]) != meta:
             raise ValueError(
                 f"checkpoint {ckpt_path} was written by a different trace "
-                "(source/listener/rays/chunks/bins mismatch)"
+                "(scene/pose/rays/chunks/bounces/intersector/bins mismatch)"
             )
         start = int(blob["next_chunk"])
         energy = blob["energy"]

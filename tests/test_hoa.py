@@ -193,3 +193,50 @@ def test_hoa_to_stereo_shapes():
     irs_r = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
     out = hoa.hoa_to_stereo(amb, irs_l, irs_r)
     assert out.shape == (200 + 16 - 1, 2)
+
+
+def test_hoa_truncate_weighting_only_when_dropping():
+    """An order-1 bed passes through hoa_truncate(_, 1) unchanged (no
+    spurious max-rE attenuation vs the reference pipeline); order-0 beds
+    pad silent XYZ instead of raising."""
+    rng = np.random.default_rng(5)
+    amb1 = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(hoa.hoa_truncate(amb1, 1)), np.asarray(amb1)
+    )
+    amb3 = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+    w = hoa.max_re_weights(1)
+    np.testing.assert_allclose(
+        np.asarray(hoa.hoa_truncate(amb3, 1)),
+        np.asarray(amb3[:4]) * w[:, None], rtol=1e-6,
+    )
+    amb0 = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+    foa = np.asarray(hoa.hoa_to_reference_foa(amb0))
+    np.testing.assert_array_equal(foa[0], np.asarray(amb0[0]))
+    assert (foa[1:] == 0).all()
+
+
+def test_render_ir_offline_order0_and_order1():
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=1024)
+    scene = Scene.from_triangles(box_room(size=(8.0, 3.0, 6.0)), cfg)
+    snd = (0.2 * np.random.default_rng(6).standard_normal(256)).astype(np.float32)
+    sources = [{"samples": snd, "pos": (0.0, 0.0, 2.0), "gain": 1.0}]
+    # order 0: W-only omni bed renders (no crash), both ears equal
+    out0 = render_ir_offline(scene, sources, (0.0, 0.0, 0.0), cfg=cfg,
+                             n_rays=128, max_bounces=1, sh_order=0)
+    assert np.isfinite(out0).all() and np.abs(out0).max() > 0
+    # W-only bed: same-ballpark ear energies (the MagLS W filters are
+    # per-ear optimized, not symmetric — measured ratio ~1.3)
+    e_l, e_r = float((out0[:, 0] ** 2).sum()), float((out0[:, 1] ** 2).sum())
+    assert 0.5 < e_l / e_r < 2.0
+    # order 1 carries the same information as the default first-order path:
+    # no max-rE attenuation applies (same trace, different bed assembly)
+    out1 = render_ir_offline(scene, sources, (0.0, 0.0, 0.0), cfg=cfg,
+                             n_rays=128, max_bounces=1, sh_order=1)
+    outd = render_ir_offline(scene, sources, (0.0, 0.0, 0.0), cfg=cfg,
+                             n_rays=128, max_bounces=1)
+    e1 = float((out1**2).sum())
+    ed = float((outd**2).sum())
+    assert 0.9 < e1 / ed < 1.1

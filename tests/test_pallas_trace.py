@@ -222,3 +222,19 @@ def test_multi_source_scan(scene):
         np.testing.assert_allclose(
             np.asarray(irs.energy[s]), np.asarray(want.energy), rtol=1e-5, atol=1e-9
         )
+
+
+def test_flat_bands_and_group_fori_guards(scene):
+    import pytest as _pytest
+
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    with _pytest.raises(ValueError):
+        trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=1, dirs=dirs, interpret=True,
+                        flat_bands=True)  # fused_hist=False
+    with _pytest.raises(ValueError):
+        trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=1, dirs=dirs, interpret=True,
+                        fused_hist=True, group_fori=True, cull=True)

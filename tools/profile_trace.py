@@ -9,8 +9,9 @@ upload the .trace.json.gz from plugins/profile/ to ui.perfetto.dev).
 
     python tools/profile_trace.py [outdir] [--what trace|engine|all]
 
-Captures: the fused-kernel IR trace (AOT executable when fresh, else the
-jitted kernel), the XLA MXU tracer, and a 16-block audio-engine render.
+Captures: the jit-compiled fused Pallas IR trace (the same kernel program
+bench.py's AOT artifact serializes — compiled fresh here so any ray count
+works), the XLA MXU tracer, and a 16-block audio-engine render.
 """
 
 import argparse
