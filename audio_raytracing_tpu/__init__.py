@@ -38,6 +38,8 @@ def __getattr__(name):
         "trace_ir_pallas": ("ops.pallas_trace", "trace_ir_pallas"),
         "ambisonic_ir": ("models.ir", "ambisonic_ir"),
         "ambisonic_ir_hoa": ("models.ir", "ambisonic_ir_hoa"),
+        "image_source_ir": ("models.ism", "image_source_ir"),
+        "trace_ir_multi_listener": ("models.ir", "trace_ir_multi_listener"),
         "AcousticMaterial": ("models.materials", "AcousticMaterial"),
         "MATERIAL_PRESETS": ("models.materials", "MATERIAL_PRESETS"),
         "ImpulseResponse": ("models.ir", "ImpulseResponse"),
@@ -56,7 +58,8 @@ def __getattr__(name):
 __all__ = [
     "Config", "DEFAULT_CONFIG", "Scene", "SceneArrays", "box_room", "Space",
     "SpaceBuilder", "SoundSystem", "trace_ir", "trace_ir_pallas",
-    "ambisonic_ir", "ambisonic_ir_hoa", "AcousticMaterial",
+    "ambisonic_ir", "ambisonic_ir_hoa", "image_source_ir",
+    "trace_ir_multi_listener", "AcousticMaterial",
     "MATERIAL_PRESETS", "ImpulseResponse", "acoustic_update",
     "render_ir_offline", "render_engine_offline", "trace_ir_sharded",
     "trace_irs_multi_source", "__version__",

@@ -1,0 +1,196 @@
+"""Image-source model (ISM): exact deterministic specular reflections.
+
+The third acoustic model family, complementing the Monte-Carlo specular
+tracer and its stochastic-scattering hybrid (models/ir.py): classical
+image sources (Allen & Berkley) generalized to arbitrary triangle scenes.
+Each triangle's plane mirrors the source; a mirrored source is audible iff
+the straight segment listener->image crosses the actual triangle(s) in
+order and every leg of the unfolded path is unoccluded. Contributions are
+exact delta arrivals at delay |image - listener| — the early-reflection
+structure the wavefront tracer can only resolve statistically.
+
+Energy law matches the framework's (reference-derived) conventions:
+amplitude = prod sqrt(1 - a_band) per bounce (surface), * 1/(d_total + 1)
+(sound_system.zig:237), * the air-absorption clamp per band
+(sound_system.zig:229-234). NOTE no `lam` term: lam (|cos| + Blinn^16,
+main.zig:710-722) is the reference's next-event estimator for scattering
+toward the listener; an image source IS the exact specular path, so its
+reflection factor is the surface energy kept, nothing angular.
+
+TPU mapping: orders are fully batched — order 1 tests all T planes at
+once, order 2 all T^2 ordered plane pairs ((T^2, 3) arrays; 128-padded
+world scenes = 16k images, trivial); every visibility/occlusion leg is a
+dense nearest-hit against the whole scene (ops/intersect.py). All static
+shapes, one jit per (scene size, order).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, DEFAULT_CONFIG
+from ..ops.eq import EQ_FREQS
+from ..ops.intersect import nearest_hit
+from .ir import ImpulseResponse, direct_ir
+
+_LEG_EPS = 1e-3  # fractional backoff when casting between surface points
+
+
+def _mirror(p, n, d):
+    """Mirror points p (..., 3) across planes (n (..., 3) unit, n.x = d)."""
+    return p - 2.0 * (jnp.sum(p * n, axis=-1, keepdims=True) - d[..., None]) * n
+
+
+def _seg_tri(p0, p1, v0, v1, v2, eps=1e-6):
+    """Möller–Trumbore of segment p0->p1 against ONE triangle per row.
+
+    All (..., 3). Returns (hit point (..., 3), valid (...,)) with the
+    segment parameter required in (eps, 1 - eps)."""
+    d = p1 - p0
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pv = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    tv = p0 - v0
+    u = jnp.sum(tv * pv, axis=-1) * inv
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(d * qv, axis=-1) * inv
+    t = jnp.sum(e2 * qv, axis=-1) * inv
+    ok = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > eps) & (t < 1.0 - eps)
+    )
+    return p0 + t[..., None] * d, ok
+
+
+def _leg_clear(scene_arrays, a, b):
+    """Is the straight leg a->b free of scene geometry? Endpoints may lie
+    ON surfaces: both ends are backed off fractionally before the cast."""
+    d = b - a
+    length = jnp.linalg.norm(d, axis=-1)
+    safe = jnp.maximum(length, 1e-12)
+    a2 = a + d * _LEG_EPS
+    t_hit, _, hit = nearest_hit(
+        a2, d / safe[..., None],
+        scene_arrays.v0, scene_arrays.v1, scene_arrays.v2,
+    )
+    span = length * (1.0 - 2.0 * _LEG_EPS)
+    return (~hit) | (t_hit >= span)
+
+
+def _air_amp(d, air):
+    return jnp.clip(1.0 - air * d[..., None] * EQ_FREQS, 0.0, 1.0)
+
+
+def _bin_contribs(d_total, amp, u, valid, cfg: Config):
+    """Scatter per-image per-band energies into (energy (n_bins, B),
+    dir_sum (n_bins, 3))."""
+    n_bins = cfg.ir_n_bins
+    bps = float(cfg.ir_bins_per_sample)
+    spm = cfg.samples_per_meter
+    e = amp * amp * jnp.where(valid, 1.0, 0.0)[..., None]
+    bins = jnp.where(
+        valid,
+        jnp.clip(d_total * spm * bps + 0.5, 0, n_bins - 1),
+        n_bins,
+    ).astype(jnp.int32)
+    energy = jax.ops.segment_sum(e, bins, num_segments=n_bins + 1)[:-1]
+    dsum = jax.ops.segment_sum(
+        u * jnp.mean(e, axis=-1, keepdims=True), bins, num_segments=n_bins + 1
+    )[:-1]
+    return energy, dsum
+
+
+@partial(jax.jit, static_argnames=("cfg", "order", "include_direct"))
+def image_source_ir(
+    scene_arrays,
+    source,
+    listener,
+    cfg: Config = DEFAULT_CONFIG,
+    order: int = 2,
+    include_direct: bool = True,
+) -> ImpulseResponse:
+    """Deterministic early-reflection IR via image sources, orders 1..order
+    (order <= 2), plus the occlusion-tested direct path.
+
+    Returns the same ImpulseResponse histograms as trace_ir — exact delta
+    arrivals instead of Monte-Carlo estimates. Padding triangles have zero
+    normals, so their mirrors collapse to identity and fail the segment
+    validity tests (self-masking)."""
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2 (got {order})")
+    v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
+    n = scene_arrays.normals  # (T, 3) unit (zero rows for padding)
+    dpl = jnp.sum(n * v0, axis=-1)  # plane offsets
+    keep = jnp.sqrt(jnp.clip(1.0 - scene_arrays.absorption, 0.0, 1.0))
+    src = jnp.asarray(source, jnp.float32)
+    lst = jnp.asarray(listener, jnp.float32)
+    T = v0.shape[0]
+    air = cfg.air_absorption
+
+    n_bins = cfg.ir_n_bins
+    energy = jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32)
+    dir_sum = jnp.zeros((n_bins, 3), jnp.float32)
+
+    # ---- order 1: one image per triangle plane --------------------------
+    i1 = _mirror(src[None, :], n, dpl)  # (T, 3)
+    p, on_tri = _seg_tri(
+        jnp.broadcast_to(lst, (T, 3)), i1, v0, v1, v2
+    )  # reflection points on each triangle
+    d_total = jnp.linalg.norm(i1 - lst[None, :], axis=-1)
+    clear = _leg_clear(scene_arrays, jnp.broadcast_to(lst, (T, 3)), p) & _leg_clear(
+        scene_arrays, p, jnp.broadcast_to(src, (T, 3))
+    )
+    valid1 = on_tri & clear
+    amp1 = keep / (d_total[:, None] + 1.0) * _air_amp(d_total, air)
+    # unit arrival direction = listener -> first reflection point (the last
+    # leg of the path, matching trace_ir's convention)
+    u1 = (p - lst[None, :]) / jnp.maximum(
+        jnp.linalg.norm(p - lst[None, :], axis=-1, keepdims=True), 1e-9
+    )
+    e1, d1 = _bin_contribs(d_total, amp1, u1, valid1, cfg)
+    energy = energy + e1
+    dir_sum = dir_sum + d1
+
+    if order >= 2:
+        # ---- order 2: ordered plane pairs (t1 = first bounce from the
+        # source, t2 = second). Unfolded: I1 = M1(src), I12 = M2(I1);
+        # walk back from the listener: P2 on tri2 along lst->I12, then P1
+        # on tri1 along P2->I1.
+        t1 = jnp.repeat(jnp.arange(T), T)  # (T*T,)
+        t2 = jnp.tile(jnp.arange(T), T)
+        i1p = i1[t1]  # (T*T, 3) first-order images
+        i12 = _mirror(i1p, n[t2], dpl[t2])
+        lstb = jnp.broadcast_to(lst, (T * T, 3))
+        p2, ok2 = _seg_tri(lstb, i12, v0[t2], v1[t2], v2[t2])
+        p1, ok1 = _seg_tri(p2, i1p, v0[t1], v1[t1], v2[t1])
+        d2_total = jnp.linalg.norm(i12 - lst[None, :], axis=-1)
+        valid2 = (
+            ok2 & ok1 & (t1 != t2)
+            & _leg_clear(scene_arrays, lstb, p2)
+            & _leg_clear(scene_arrays, p2, p1)
+            & _leg_clear(scene_arrays, p1, jnp.broadcast_to(src, (T * T, 3)))
+        )
+        amp2 = (
+            keep[t1] * keep[t2]
+            / (d2_total[:, None] + 1.0)
+            * _air_amp(d2_total, air)
+        )
+        u2 = (p2 - lst[None, :]) / jnp.maximum(
+            jnp.linalg.norm(p2 - lst[None, :], axis=-1, keepdims=True), 1e-9
+        )
+        e2, dd2 = _bin_contribs(d2_total, amp2, u2, valid2, cfg)
+        energy = energy + e2
+        dir_sum = dir_sum + dd2
+
+    if include_direct:
+        d = direct_ir(scene_arrays, src, lst, cfg=cfg)
+        return ImpulseResponse(
+            energy=energy.T + d.energy, dir_sum=dir_sum.T + d.dir_sum
+        )
+    return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T)
