@@ -194,3 +194,56 @@ def image_source_ir(
             energy=energy.T + d.energy, dir_sum=dir_sum.T + d.dir_sum
         )
     return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "order", "n_rays", "max_bounces", "scattering",
+                     "material_scattering"),
+)
+def hybrid_ir(
+    scene_arrays,
+    source,
+    listener,
+    cfg: Config = DEFAULT_CONFIG,
+    order: int = 2,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+    scattering: float = 0.5,
+    material_scattering: bool = False,
+    key=None,
+    transition_bin: int | None = None,
+) -> ImpulseResponse:
+    """The standard room-acoustics hybrid: exact image sources for the
+    early reflections + the Monte-Carlo (optionally scattering) tracer for
+    the late field, windowed to start after the transition bin so the two
+    estimators don't double-count the specular arrivals ISM resolves
+    exactly.
+
+    transition_bin defaults to one past the last ISM arrival. Known
+    approximation (documented, standard): diffuse energy arriving BEFORE
+    the transition is dropped along with the double-counted specular part —
+    pass an explicit earlier transition_bin to trade the other way."""
+    from .ir import trace_ir
+
+    early = image_source_ir(
+        scene_arrays, source, listener, cfg=cfg, order=order,
+        include_direct=True,
+    )
+    late = trace_ir(
+        scene_arrays, source, listener, cfg=cfg, n_rays=n_rays,
+        max_bounces=max_bounces, include_direct=False,
+        scattering=scattering, material_scattering=material_scattering,
+        key=key,
+    )
+    if transition_bin is None:
+        idx = jnp.arange(cfg.ir_n_bins)
+        has = jnp.sum(early.energy, axis=0) > 0.0
+        tb = jnp.max(jnp.where(has, idx, -1)) + 1
+    else:
+        tb = jnp.asarray(transition_bin)
+    m = (jnp.arange(cfg.ir_n_bins) >= tb).astype(jnp.float32)
+    return ImpulseResponse(
+        energy=early.energy + late.energy * m[None, :],
+        dir_sum=early.dir_sum + late.dir_sum * m[None, :],
+    )

@@ -136,3 +136,40 @@ def test_ism_arrivals_align_with_traced_peaks():
     for b in bins:
         # tracer bins are +-1 from NEE quantization of nearby paths
         assert e_tr[max(0, b - 1) : b + 2].sum() > 0, b
+
+
+def test_hybrid_ir_composition():
+    """Early bins are exactly the ISM field; the traced tail only starts
+    after the transition; explicit transition_bin overrides."""
+    import jax
+
+    from audio_raytracing_tpu.models.ism import hybrid_ir
+
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 4.0, 6.0)), CFG,
+        absorption=np.full(12, 0.2, np.float32),
+    )
+    src = jnp.asarray([1.0, 0.2, 0.3])
+    lst = jnp.asarray([-1.0, -0.2, 0.1])
+    key = jax.random.PRNGKey(3)
+    hy = hybrid_ir(scene.device_arrays(), src, lst, cfg=CFG, order=1,
+                   n_rays=512, max_bounces=6, scattering=0.5, key=key)
+    ism = image_source_ir(scene.device_arrays(), src, lst, cfg=CFG, order=1)
+    e_ism = np.asarray(ism.energy)
+    e_hy = np.asarray(hy.energy)
+    last = int(np.nonzero(e_ism.sum(axis=0))[0].max())
+    np.testing.assert_allclose(e_hy[:, : last + 1], e_ism[:, : last + 1],
+                               rtol=1e-6, atol=1e-12)
+    assert e_hy[:, last + 1 :].sum() > 0  # traced tail present
+    # explicit transition: nothing traced before it
+    tr = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, n_rays=512,
+                  max_bounces=6, include_direct=False, scattering=0.5,
+                  key=key)
+    tb = 600
+    hy2 = hybrid_ir(scene.device_arrays(), src, lst, cfg=CFG, order=1,
+                    n_rays=512, max_bounces=6, scattering=0.5, key=key,
+                    transition_bin=tb)
+    want = e_ism.copy()
+    want[:, tb:] += np.asarray(tr.energy)[:, tb:]
+    np.testing.assert_allclose(np.asarray(hy2.energy), want, rtol=1e-5,
+                               atol=1e-12)
