@@ -118,3 +118,42 @@ def test_render_engine_offline():
     )
     assert out.shape == (int(0.5 * cfg.sample_rate), 2)
     assert np.isfinite(out).all() and np.abs(out).max() > 1e-6
+
+
+def test_offline_cli_models(tmp_path):
+    """The offline IR-render CLI end to end for each model family."""
+    import numpy as np
+    from pathlib import Path
+
+    from audio_raytracing_tpu.app.offline import main as offline_main
+    from audio_raytracing_tpu.utils.wav import read_wav, write_wav
+
+    dry = (0.3 * np.sin(2 * np.pi * 440 * np.arange(2000) / 44100)).astype(np.float32)
+    src_wav = tmp_path / "dry.wav"
+    write_wav(src_wav, dry, 44100)
+
+    common = [
+        str(Path(__file__).resolve().parent.parent / "data" / "world.obj"),
+        "--source", str(src_wav), "2,0.5,1",
+        "--listener", "0,0,0", "--yaw", "0.3",
+        "--rays", "256", "--bounces", "2", "--ir-length", "2048",
+        "--material", "Material=brick",
+    ]
+    for model, extra in [
+        ("trace", []),
+        ("trace", ["--sh-order", "2"]),
+        ("trace", ["--speakers", "8"]),
+        ("ism", ["--ism-order", "1"]),
+        ("hybrid", ["--ism-order", "1"]),
+    ]:
+        out = tmp_path / f"out_{model}_{len(extra)}.wav"
+        msg = offline_main([common[0], str(out)] + common[1:] +
+                           ["--model", model] + extra)
+        assert "wrote" in msg
+        audio, rate = read_wav(out)
+        assert rate == 44100 and np.isfinite(audio).all()
+        assert np.abs(audio).max() > 0
+        if "--speakers" in extra:
+            assert audio.shape[1] == 8
+        else:
+            assert audio.shape[1] == 2
