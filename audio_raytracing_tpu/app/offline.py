@@ -73,14 +73,14 @@ def main(argv=None) -> str:
     import jax.numpy as jnp
 
     from ..engine.renderer import render_ir_offline
-    from ..models.ir import ambisonic_ir, fibonacci_sphere
+    from ..models.ir import fibonacci_sphere
     from ..models.scene import Scene
-    from ..ops.conv_partitioned import convolve_direct
-    from ..utils import quat
 
     args = build_parser().parse_args(argv)
     cfg = DEFAULT_CONFIG
-    if args.ir_length:
+    if args.ir_length is not None:
+        if args.ir_length <= 0:
+            raise SystemExit("--ir-length must be positive")
         cfg = dataclasses.replace(cfg, ir_length=args.ir_length)
 
     materials = None
@@ -93,60 +93,45 @@ def main(argv=None) -> str:
             materials[name] = preset
     scene = Scene.from_obj(args.scene, cfg, materials=materials)
 
-    sources = [
-        {"samples": load_sound(w, cfg.sample_rate), "pos": _vec3(p),
-         "gain": args.gain}
-        for w, p in args.source
-    ]
+    try:
+        sources = [
+            {"samples": load_sound(w, cfg.sample_rate), "pos": _vec3(p),
+             "gain": args.gain}
+            for w, p in args.source
+        ]
+    except argparse.ArgumentTypeError as e:
+        raise SystemExit(f"--source position: {e}")
 
-    if args.model == "trace":
-        speaker_dirs = (
-            jnp.asarray(fibonacci_sphere(args.speakers))
-            if args.speakers else None
-        )
-        out = render_ir_offline(
-            scene, sources, args.listener, listener_yaw=args.yaw,
-            listener_pitch=args.pitch, cfg=cfg, n_rays=args.rays,
-            max_bounces=args.bounces, sh_order=args.sh_order,
-            speaker_dirs=speaker_dirs,
-        )
-    else:
-        # deterministic ISM / hybrid models: build each source's first-order
-        # ambisonic IR from the model family, then the same decode chain
-        from ..engine.system import default_hrtf
+    ir_fn = None
+    if args.model != "trace":
+        # deterministic ISM / hybrid model families, sharing the renderer's
+        # decode chain through its ir_fn hook
         from ..models.ism import hybrid_ir, image_source_ir
 
-        if args.speakers or args.sh_order:
+        if args.speakers is not None or args.sh_order is not None:
             raise SystemExit(
                 "--speakers/--sh-order currently require --model trace"
             )
-        hl, hr = (jnp.asarray(h) for h in default_hrtf())
-        arrays = scene.device_arrays()
-        listener = jnp.asarray(args.listener, jnp.float32)
-        orient = quat.quat_from_roll_pitch_yaw(
-            np.float32(args.pitch), np.float32(args.yaw), np.float32(0.0)
-        )
-        n_max = max(len(s["samples"]) for s in sources)
-        amb_total = None
-        for s in sources:
-            if args.model == "ism":
-                ir = image_source_ir(arrays, jnp.asarray(s["pos"], jnp.float32),
-                                     listener, cfg=cfg, order=args.ism_order)
-            else:
-                ir = hybrid_ir(arrays, jnp.asarray(s["pos"], jnp.float32),
-                               listener, cfg=cfg, order=args.ism_order,
-                               n_rays=args.rays, max_bounces=args.bounces,
-                               key=jax.random.PRNGKey(args.seed))
-            amb = ambisonic_ir(ir)
-            dry = jnp.asarray(np.pad(s["samples"], (0, n_max - len(s["samples"]))))
-            wet = convolve_direct(dry[None, :] * s["gain"], amb)
-            amb_total = wet if amb_total is None else amb_total + wet
-        xyz = amb_total[1:4].T
-        rot = quat.rotate(jnp.asarray(orient)[None, :], xyz).T
-        amb_rot = jnp.concatenate([amb_total[:1], rot], axis=0)
-        left = jnp.sum(convolve_direct(amb_rot, hl), axis=0)
-        right = jnp.sum(convolve_direct(amb_rot, hr), axis=0)
-        out = np.asarray(jnp.stack([left, right], axis=-1))
+        if args.model == "ism":
+            ir_fn = lambda arrays, pos, lst: image_source_ir(  # noqa: E731
+                arrays, pos, lst, cfg=cfg, order=args.ism_order
+            )
+        else:
+            ir_fn = lambda arrays, pos, lst: hybrid_ir(  # noqa: E731
+                arrays, pos, lst, cfg=cfg, order=args.ism_order,
+                n_rays=args.rays, max_bounces=args.bounces,
+                key=jax.random.PRNGKey(args.seed),
+            )
+    speaker_dirs = (
+        jnp.asarray(fibonacci_sphere(args.speakers))
+        if args.speakers is not None else None
+    )
+    out = render_ir_offline(
+        scene, sources, args.listener, listener_yaw=args.yaw,
+        listener_pitch=args.pitch, cfg=cfg, n_rays=args.rays,
+        max_bounces=args.bounces, sh_order=args.sh_order,
+        speaker_dirs=speaker_dirs, ir_fn=ir_fn,
+    )
 
     write_wav(args.out, out.astype(np.float32), cfg.sample_rate)
     peak = float(np.abs(out).max()) if out.size else 0.0

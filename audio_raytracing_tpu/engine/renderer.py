@@ -85,6 +85,7 @@ def render_ir_offline(
     intersector: str = "mt",
     sh_order: int | None = None,
     speaker_dirs=None,
+    ir_fn=None,
 ) -> np.ndarray:
     """Physically-based offline render via traced impulse responses.
 
@@ -99,10 +100,18 @@ def render_ir_offline(
     `speaker_dirs` (S, 3) is given, a mode-matching decode to speaker
     feeds (n + ir - 1, S).
 
+    ir_fn(scene_arrays, source_pos, listener) -> ImpulseResponse swaps the
+    acoustic model per source (e.g. models.ism.image_source_ir or
+    hybrid_ir) while reusing this decode chain; incompatible with sh_order
+    (the alternate families produce first-order fields only).
+
     All convolutions go through lax.conv (real arithmetic) so the renderer
     runs on TPU runtimes without complex64 support.
     """
     hl, hr = hrtf if hrtf is not None else default_hrtf()
+    if ir_fn is not None and sh_order is not None:
+        raise ValueError("ir_fn produces first-order IRs; sh_order requires "
+                         "the default tracer")
     if speaker_dirs is not None and sh_order is None:
         sh_order = 1
     arrays = scene.device_arrays()
@@ -114,11 +123,14 @@ def render_ir_offline(
     n_max = max(len(s["samples"]) for s in sources)
     amb_total = None
     for s in sources:
-        ir = trace_ir(
-            arrays, jnp.asarray(s["pos"], jnp.float32), listener, cfg=cfg,
-            n_rays=n_rays, max_bounces=max_bounces, intersector=intersector,
-            sh_order=sh_order,
-        )
+        if ir_fn is not None:
+            ir = ir_fn(arrays, jnp.asarray(s["pos"], jnp.float32), listener)
+        else:
+            ir = trace_ir(
+                arrays, jnp.asarray(s["pos"], jnp.float32), listener, cfg=cfg,
+                n_rays=n_rays, max_bounces=max_bounces, intersector=intersector,
+                sh_order=sh_order,
+            )
         if sh_order is not None:
             from ..models.ir import ambisonic_ir_hoa
 

@@ -34,9 +34,10 @@ import jax.numpy as jnp
 from ..config import Config, DEFAULT_CONFIG
 from ..ops.eq import EQ_FREQS
 from ..ops.intersect import nearest_hit
-from .ir import ImpulseResponse, direct_ir
+from .ir import ImpulseResponse, _air_absorption, direct_ir
 
 _LEG_EPS = 1e-3  # fractional backoff when casting between surface points
+_LEG_CHUNK = 4096  # occlusion legs processed in chunks (memory: chunk x T)
 
 
 def _mirror(p, n, d):
@@ -70,21 +71,36 @@ def _seg_tri(p0, p1, v0, v1, v2, eps=1e-6):
 
 def _leg_clear(scene_arrays, a, b):
     """Is the straight leg a->b free of scene geometry? Endpoints may lie
-    ON surfaces: both ends are backed off fractionally before the cast."""
+    ON surfaces: both ends are backed off fractionally before the cast.
+
+    Chunked over the leg axis: nearest_hit materializes (rows, T)
+    intermediates, so order-2's T^2 legs would otherwise cost T^3 memory —
+    lax.map over _LEG_CHUNK-row chunks caps it at chunk x T."""
     d = b - a
     length = jnp.linalg.norm(d, axis=-1)
     safe = jnp.maximum(length, 1e-12)
     a2 = a + d * _LEG_EPS
-    t_hit, _, hit = nearest_hit(
-        a2, d / safe[..., None],
-        scene_arrays.v0, scene_arrays.v1, scene_arrays.v2,
-    )
-    span = length * (1.0 - 2.0 * _LEG_EPS)
-    return (~hit) | (t_hit >= span)
+    dn = d / safe[..., None]
 
+    def clear(a_c, d_c, len_c):
+        t_hit, _, hit = nearest_hit(
+            a_c, d_c, scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
+        )
+        return (~hit) | (t_hit >= len_c * (1.0 - 2.0 * _LEG_EPS))
 
-def _air_amp(d, air):
-    return jnp.clip(1.0 - air * d[..., None] * EQ_FREQS, 0.0, 1.0)
+    n = a2.shape[0]
+    if n % _LEG_CHUNK == 0 and n > _LEG_CHUNK:
+        k = n // _LEG_CHUNK
+        out = jax.lax.map(
+            lambda op: clear(*op),
+            (
+                a2.reshape(k, _LEG_CHUNK, 3),
+                dn.reshape(k, _LEG_CHUNK, 3),
+                length.reshape(k, _LEG_CHUNK),
+            ),
+        )
+        return out.reshape(n)
+    return clear(a2, dn, length)
 
 
 def _bin_contribs(d_total, amp, u, valid, cfg: Config):
@@ -94,10 +110,14 @@ def _bin_contribs(d_total, amp, u, valid, cfg: Config):
     bps = float(cfg.ir_bins_per_sample)
     spm = cfg.samples_per_meter
     e = amp * amp * jnp.where(valid, 1.0, 0.0)[..., None]
+    # arrivals beyond the histogram window are DROPPED, not clamped into
+    # the last bin: these are exact deterministic delays (clamping would
+    # misplace them, and hybrid_ir's auto transition would then see a fake
+    # final-bin arrival and zero the whole Monte-Carlo tail)
+    b_raw = d_total * spm * bps + 0.5
+    in_range = b_raw < n_bins
     bins = jnp.where(
-        valid,
-        jnp.clip(d_total * spm * bps + 0.5, 0, n_bins - 1),
-        n_bins,
+        valid & in_range, jnp.clip(b_raw, 0, n_bins - 1), n_bins
     ).astype(jnp.int32)
     energy = jax.ops.segment_sum(e, bins, num_segments=n_bins + 1)[:-1]
     dsum = jax.ops.segment_sum(
@@ -147,7 +167,7 @@ def image_source_ir(
         scene_arrays, p, jnp.broadcast_to(src, (T, 3))
     )
     valid1 = on_tri & clear
-    amp1 = keep / (d_total[:, None] + 1.0) * _air_amp(d_total, air)
+    amp1 = keep / (d_total[:, None] + 1.0) * _air_absorption(d_total, air)
     # unit arrival direction = listener -> first reflection point (the last
     # leg of the path, matching trace_ir's convention)
     u1 = (p - lst[None, :]) / jnp.maximum(
@@ -179,7 +199,7 @@ def image_source_ir(
         amp2 = (
             keep[t1] * keep[t2]
             / (d2_total[:, None] + 1.0)
-            * _air_amp(d2_total, air)
+            * _air_absorption(d2_total, air)
         )
         u2 = (p2 - lst[None, :]) / jnp.maximum(
             jnp.linalg.norm(p2 - lst[None, :], axis=-1, keepdims=True), 1e-9
@@ -221,9 +241,14 @@ def hybrid_ir(
     exactly.
 
     transition_bin defaults to one past the last ISM arrival. Known
-    approximation (documented, standard): diffuse energy arriving BEFORE
-    the transition is dropped along with the double-counted specular part —
-    pass an explicit earlier transition_bin to trade the other way."""
+    approximations (documented, standard for ISM+ray hybrids):
+      * diffuse energy arriving BEFORE the transition is dropped along
+        with the double-counted specular part — pass an explicit earlier
+        transition_bin to trade the other way;
+      * the two estimators use different reflection weights (ISM: exact
+        surface energy; tracer: the reference's lam = |cos| + Blinn^16 NEE
+        law), so energy levels can step at the transition — acceptable
+        for rendering, but don't fit decay slopes across it."""
     from .ir import trace_ir
 
     early = image_source_ir(

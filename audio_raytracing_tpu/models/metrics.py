@@ -10,10 +10,12 @@ tracer measures directly:
   * rt60 — reverberation time, extrapolated from the T20/T30 linear fit
     of the decay curve (least squares over [-5, -25]/[-5, -35] dB);
   * edt — early decay time (fit over [0, -10] dB, x6);
-  * clarity (C50/C80) — early/late energy ratio in dB at a split time;
-  * definition (D50) — early fraction of total energy;
+  * clarity (C50/C80) — early/late energy ratio in dB at a split time
+    AFTER the direct-sound onset (ISO 3382 windows are onset-relative);
+  * definition (D50) — early fraction of total energy, onset-relative;
   * drr — direct-to-reverberant ratio (direct window vs the rest);
-  * ts — center time (first moment of the energy histogram).
+  * ts — center time (first moment of the energy histogram, measured from
+    the onset so source distance doesn't inflate it).
 
 All operate on ImpulseResponse energy histograms (per band or band-mean),
 pure jnp, and jit-friendly (fixed shapes, no data-dependent control flow),
@@ -93,23 +95,34 @@ def _split_bin(ms: float, cfg: Config) -> int:
     return int(round(ms * 1e-3 * cfg.sample_rate * cfg.ir_bins_per_sample))
 
 
+def _onset(e, rel_db: float = 20.0):
+    """First bin within rel_db of the peak — the direct-sound arrival
+    (source-listener propagation delay precedes it in the histogram)."""
+    peak = jnp.max(e)
+    return jnp.argmax(e >= peak * 10.0 ** (-rel_db / 10.0))
+
+
 def clarity(ir_energy, split_ms: float = 80.0, band: int | None = None,
             cfg: Config = DEFAULT_CONFIG, eps: float = 1e-30):
-    """C{split_ms}: 10 log10(early energy / late energy) dB. C80 (music) by
+    """C{split_ms}: 10 log10(early energy / late energy) dB, with the split
+    measured from the direct-sound onset (ISO 3382). C80 (music) by
     default; split_ms=50 gives C50 (speech)."""
     e = _band_energy(ir_energy, band)
-    k = _split_bin(split_ms, cfg)
-    early = e[:k].sum()
-    late = e[k:].sum()
+    k = _onset(e) + _split_bin(split_ms, cfg)
+    idx = jnp.arange(e.shape[0])
+    early = jnp.where(idx < k, e, 0.0).sum()
+    late = jnp.where(idx >= k, e, 0.0).sum()
     return 10.0 * jnp.log10(jnp.maximum(early, eps) / jnp.maximum(late, eps))
 
 
 def definition(ir_energy, split_ms: float = 50.0, band: int | None = None,
                cfg: Config = DEFAULT_CONFIG, eps: float = 1e-30):
-    """D{split_ms}: early / total energy fraction in [0, 1]."""
+    """D{split_ms}: early / total energy fraction in [0, 1], onset-relative
+    split (ISO 3382)."""
     e = _band_energy(ir_energy, band)
-    k = _split_bin(split_ms, cfg)
-    return e[:k].sum() / jnp.maximum(e.sum(), eps)
+    k = _onset(e) + _split_bin(split_ms, cfg)
+    idx = jnp.arange(e.shape[0])
+    return jnp.where(idx < k, e, 0.0).sum() / jnp.maximum(e.sum(), eps)
 
 
 def drr(ir_energy, direct_ms: float = 2.5, band: int | None = None,
@@ -118,8 +131,7 @@ def drr(ir_energy, direct_ms: float = 2.5, band: int | None = None,
     first arrival vs everything after. The first arrival is the energy-
     histogram argmax's onset (first bin within 20 dB of the peak)."""
     e = _band_energy(ir_energy, band)
-    peak = jnp.max(e)
-    onset = jnp.argmax(e >= peak * 1e-2)  # first bin within 20 dB of peak
+    onset = _onset(e)
     w = _split_bin(direct_ms, cfg)
     idx = jnp.arange(e.shape[0])
     direct = jnp.where((idx >= onset) & (idx < onset + w), e, 0.0).sum()
@@ -129,11 +141,13 @@ def drr(ir_energy, direct_ms: float = 2.5, band: int | None = None,
 
 def center_time(ir_energy, band: int | None = None,
                 cfg: Config = DEFAULT_CONFIG, eps: float = 1e-30):
-    """Ts: first moment of the energy histogram, in seconds."""
+    """Ts: first moment of the energy histogram in seconds, measured from
+    the direct-sound onset (propagation delay excluded, ISO 3382)."""
     e = _band_energy(ir_energy, band)
     bps = cfg.sample_rate * cfg.ir_bins_per_sample
-    t = jnp.arange(e.shape[0], dtype=jnp.float32) / bps
-    return (e * t).sum() / jnp.maximum(e.sum(), eps)
+    t0 = _onset(e).astype(jnp.float32) / bps
+    t = jnp.arange(e.shape[0], dtype=jnp.float32) / bps - t0
+    return (e * jnp.maximum(t, 0.0)).sum() / jnp.maximum(e.sum(), eps)
 
 
 def sabine_rt60(volume: float, surface_area: float, absorption: float,
