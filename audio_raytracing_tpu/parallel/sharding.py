@@ -76,6 +76,57 @@ def trace_ir_sharded(
     return fn(dirs, jnp.asarray(source), jnp.asarray(listener), scene_arrays)
 
 
+def trace_irs_multi_listener_sharded(
+    scene_arrays,
+    source,
+    listeners,
+    mesh: Mesh,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+) -> ImpulseResponse:
+    """Multi-listener trace over a ("listeners", "rays") mesh.
+
+    listeners: (L, 3) with L divisible by the listeners axis. Each listener
+    subgrid runs the shared-path tracer (models.ir.trace_ir_multi_listener:
+    ONE path trace per ray shard, per-listener NEE) on its ray shard; the
+    per-listener histograms psum over "rays". Returns stacked IRs
+    (L, n_bands/3, n_bins) sharded over "listeners"."""
+    n_rays = n_rays or cfg.rays_per_source
+    l_shards = mesh.shape["listeners"]
+    r_shards = mesh.shape["rays"]
+    L = listeners.shape[0]
+    assert L % l_shards == 0, (L, l_shards)
+    assert n_rays % r_shards == 0, (n_rays, r_shards)
+    dirs = jnp.asarray(fibonacci_sphere(n_rays))
+
+    def shard_fn(listeners_local, dirs_local, source, scene_local):
+        from ..models.ir import trace_ir_multi_listener
+
+        lead = (jax.lax.axis_index("rays") == 0).astype(jnp.float32)
+        ir = trace_ir_multi_listener(
+            scene_local, source, listeners_local, cfg=cfg,
+            max_bounces=max_bounces, dirs=dirs_local, total_rays=n_rays,
+            include_direct=False,
+        )
+        d = jax.vmap(
+            lambda l: direct_ir(scene_local, source, l, cfg=cfg)
+        )(listeners_local)
+        return ImpulseResponse(
+            energy=jax.lax.psum(ir.energy + d.energy * lead, "rays"),
+            dir_sum=jax.lax.psum(ir.dir_sum + d.dir_sum * lead, "rays"),
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("listeners"), P("rays"), P(), P()),
+        out_specs=ImpulseResponse(energy=P("listeners"), dir_sum=P("listeners")),
+        check_vma=False,
+    )
+    return fn(jnp.asarray(listeners), dirs, jnp.asarray(source), scene_arrays)
+
+
 def trace_irs_multi_source(
     scene_arrays,
     sources,

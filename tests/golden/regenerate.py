@@ -85,6 +85,34 @@ def engine_wav():
     print("wrote engine_wav.npz", out.shape, float(np.abs(out).max()))
 
 
+def golden_offline_scene():
+    """Deterministic offline IR-render scenario (shared with the test)."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    scene = Scene.from_obj(
+        ROOT / "data" / "world.obj", cfg, materials={"Material": "brick"}
+    )
+    t = np.arange(4000, dtype=np.float32) / cfg.sample_rate
+    tone = (0.4 * np.sin(2 * np.pi * 523.25 * t)).astype(np.float32)
+    sources = [
+        {"samples": tone, "pos": (2.0, 0.5, 1.0), "gain": 0.8},
+        {"samples": tone[:2000], "pos": (-1.5, 0.0, -1.0), "gain": 0.5},
+    ]
+    return cfg, scene, sources
+
+
+def offline_wav():
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+
+    cfg, scene, sources = golden_offline_scene()
+    out = render_ir_offline(
+        scene, sources, (0.0, 0.0, 0.0), listener_yaw=0.3, cfg=cfg,
+        n_rays=512, max_bounces=3,
+    )
+    np.savez(HERE / "offline_wav.npz", stereo=out.astype(np.float32))
+    print("wrote offline_wav.npz", out.shape, float(np.abs(out).max()))
+
+
 if __name__ == "__main__":
     world_ir()
     engine_wav()
+    offline_wav()

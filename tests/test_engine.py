@@ -178,3 +178,27 @@ def test_golden_engine_wav():
         want = z["stereo"]
     assert out.shape == want.shape
     np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_golden_offline_render():
+    """Golden fixture for the offline IR-render path (the CLI's engine):
+    materials-mapped world.obj, two sources, rotated listener."""
+    import importlib.util as ilu
+    from pathlib import Path
+
+    golden_dir = Path(__file__).parent / "golden"
+    spec = ilu.spec_from_file_location("regen2", golden_dir / "regenerate.py")
+    regen = ilu.module_from_spec(spec)
+    spec.loader.exec_module(regen)
+
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+
+    cfg, scene, sources = regen.golden_offline_scene()
+    out = render_ir_offline(
+        scene, sources, (0.0, 0.0, 0.0), listener_yaw=0.3, cfg=cfg,
+        n_rays=512, max_bounces=3,
+    )
+    with np.load(golden_dir / "offline_wav.npz") as z:
+        want = z["stereo"]
+    assert out.shape == want.shape
+    np.testing.assert_allclose(out, want, atol=1e-5)

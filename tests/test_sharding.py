@@ -115,3 +115,38 @@ def test_sharded_partitioned_conv_matches_unsharded(rng):
         got.append(np.asarray(y))
     got = np.concatenate(got)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_multi_listener_sharded_matches_single_device():
+    """("listeners", "rays") mesh vs per-listener single-device trace_ir."""
+    import dataclasses
+
+    from audio_raytracing_tpu.models.ir import trace_ir
+    from audio_raytracing_tpu.parallel.mesh import make_mesh
+    from audio_raytracing_tpu.parallel.sharding import (
+        trace_irs_multi_listener_sharded,
+    )
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), cfg)
+    arrays = scene.device_arrays()
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    listeners = jnp.asarray(
+        [[-1.0, -0.5, -1.0], [0.5, 0.0, 1.5], [2.0, 1.0, -2.0], [0.0, 0.8, 0.0]]
+    )
+    mesh = make_mesh(8, ("listeners", "rays"), (4, 2))
+    n_rays = 512
+    got = trace_irs_multi_listener_sharded(
+        arrays, src, listeners, mesh, cfg=cfg, n_rays=n_rays, max_bounces=3
+    )
+    assert got.energy.shape == (4, 4, cfg.ir_n_bins)
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere
+
+    dirs = jnp.asarray(fibonacci_sphere(n_rays))
+    for i in range(4):
+        want = trace_ir(arrays, src, listeners[i], cfg=cfg, max_bounces=3,
+                        dirs=dirs)
+        np.testing.assert_allclose(
+            np.asarray(got.energy[i]), np.asarray(want.energy),
+            rtol=1e-4, atol=1e-9,
+        )
