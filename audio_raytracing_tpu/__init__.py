@@ -48,6 +48,8 @@ def __getattr__(name):
         "render_engine_offline": ("engine.renderer", "render_engine_offline"),
         "trace_ir_sharded": ("parallel.sharding", "trace_ir_sharded"),
         "trace_irs_multi_source": ("parallel.sharding", "trace_irs_multi_source"),
+        "trace_irs_multi_listener_sharded": ("parallel.sharding", "trace_irs_multi_listener_sharded"),
+        "hybrid_ir": ("models.ism", "hybrid_ir"),
     }
     if name in table:
         mod, attr = table[name]
@@ -62,5 +64,6 @@ __all__ = [
     "trace_ir_multi_listener", "AcousticMaterial",
     "MATERIAL_PRESETS", "ImpulseResponse", "acoustic_update",
     "render_ir_offline", "render_engine_offline", "trace_ir_sharded",
-    "trace_irs_multi_source", "__version__",
+    "trace_irs_multi_source", "trace_irs_multi_listener_sharded",
+    "hybrid_ir", "__version__",
 ]

@@ -47,6 +47,26 @@ def _respectra(amb_irs, orientation, hrtf_l, hrtf_r, block: int):
     )(amb_irs)
 
 
+@partial(jax.jit, static_argnames=("block",))
+def _respectra_speakers(amb_irs, orientation, decoder, block: int):
+    """(S, 4, L) ambisonic IRs -> per-speaker partitioned spectra
+    ((S, n_spk, P, F) re/im): rotate the bed by the listener, decode to
+    speaker IRs with the (n_spk, 4) mode-matching matrix (ops/hoa.py),
+    partition. No HRTF — speaker feeds go to a physical rig."""
+    from ..utils import quat as _quat
+
+    def one(ir):
+        xyz = ir[1:4].T
+        rot = _quat.rotate(orientation[None, :], xyz).T
+        amb_rot = jnp.concatenate([ir[:1], rot], axis=0)  # (4, L)
+        spk_irs = jnp.matmul(
+            decoder, amb_rot, precision=jax.lax.Precision.HIGHEST
+        )  # (n_spk, L)
+        return cp.partition_ir_real(spk_irs, block)
+
+    return jax.vmap(one)(amb_irs)
+
+
 @jax.jit
 def _stream_block(x, state, spectra_old, spectra_new, crossfade):
     """x: (S, 2, B) per-source stereo-duplicated dry blocks. Sums sources."""
@@ -63,13 +83,25 @@ def _stream_block(x, state, spectra_old, spectra_new, crossfade):
 class IRStreamRenderer:
     def __init__(self, scene: Scene, cfg: Config = DEFAULT_CONFIG,
                  hrtf=None, n_rays: int | None = None,
-                 max_bounces: int | None = None, intersector: str = "mt"):
+                 max_bounces: int | None = None, intersector: str = "mt",
+                 speaker_dirs=None):
+        """speaker_dirs (n_spk, 3): stream to a physical speaker rig
+        (mode-matching first-order decode, no HRTF) instead of binaural
+        stereo; render_block then returns (B, n_spk) feeds."""
         self.cfg = cfg
         self.scene = scene
         self._arrays = scene.device_arrays()
         hl, hr = hrtf if hrtf is not None else default_hrtf()
         self.hrtf_l = jnp.asarray(hl)
         self.hrtf_r = jnp.asarray(hr)
+        if speaker_dirs is not None:
+            from ..ops.hoa import speaker_decoder_foa_reference
+
+            self._decoder = speaker_decoder_foa_reference(speaker_dirs)
+            self.n_out = self._decoder.shape[0]
+        else:
+            self._decoder = None
+            self.n_out = 2
         self.n_rays = n_rays or cfg.rays_per_source
         self.max_bounces = max_bounces or cfg.max_bounces
         self.intersector = intersector
@@ -154,15 +186,21 @@ class IRStreamRenderer:
         self.last_update_retraced = retrace
         self._orient_key = orient_key
         with profiling.span("ir_respectra"):
-            spectra = _respectra(
-                self._amb_cache, orient, self.hrtf_l, self.hrtf_r, cfg.block_size
-            )
+            if self._decoder is not None:
+                spectra = _respectra_speakers(
+                    self._amb_cache, orient, self._decoder, cfg.block_size
+                )
+            else:
+                spectra = _respectra(
+                    self._amb_cache, orient, self.hrtf_l, self.hrtf_r,
+                    cfg.block_size,
+                )
         if self._spectra is None:
             self._spectra = spectra
             self._spectra_prev = spectra
             P = spectra[0].shape[-2]
             S = spectra[0].shape[0]
-            self._conv_state = cp.conv_init_real((S, 2), P, cfg.block_size)
+            self._conv_state = cp.conv_init_real((S, self.n_out), P, cfg.block_size)
         else:
             self._spectra_prev = self._spectra
             self._spectra = spectra
@@ -171,7 +209,8 @@ class IRStreamRenderer:
     # -- audio stream --------------------------------------------------------
 
     def render_block(self) -> np.ndarray:
-        """One 128-sample stereo block; crossfades on the first block after
+        """One 128-sample block — (B, 2) stereo, or (B, n_spk) feeds when
+        constructed with speaker_dirs; crossfades on the first block after
         an update()."""
         if self._spectra is None:
             raise RuntimeError("call update() once before rendering")
@@ -187,7 +226,7 @@ class IRStreamRenderer:
             else:
                 valid = pos < m
                 blocks[i, valid] = self._dry[i, pos[valid]]
-        x = jnp.asarray(blocks)[:, None, :].repeat(2, axis=1)  # (S, 2, B)
+        x = jnp.asarray(blocks)[:, None, :].repeat(self.n_out, axis=1)  # (S, n_out, B)
         with profiling.span("ir_stream_block"):
             y, self._conv_state = _stream_block(
                 x, self._conv_state, self._spectra_prev, self._spectra,

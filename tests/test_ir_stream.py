@@ -126,3 +126,40 @@ def test_short_looping_source_wraps_at_own_length():
     # with the bug, samples beyond index 300 of each arena cycle are silent:
     # the window [512, 4096) would be ~all-zero; with the fix it is audible
     assert np.abs(out[512:]).max() > 1e-5
+
+
+def test_speaker_rig_streaming():
+    """speaker_dirs mode: (B, n_spk) feeds, loudest speaker faces the
+    source, static-pose stream matches the offline speaker decode."""
+    from audio_raytracing_tpu.models.ir import ambisonic_ir, fibonacci_sphere, trace_ir
+    from audio_raytracing_tpu.ops.hoa import speaker_decoder_foa_reference
+
+    import jax.numpy as jnp
+
+    scene = make_scene()
+    speakers = np.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float32,
+    )
+    r = IRStreamRenderer(scene, CFG, speaker_dirs=speakers)
+    tone = (0.5 * np.sin(2 * np.pi * 330 * np.arange(4000) / 44100)).astype(np.float32)
+    r.add_source(tone, pos=[2.5, 0.0, 0.0])  # straight ahead (+x)
+    r.update([0.0, 0.0, 0.0])
+    out = r.render(2048)
+    assert out.shape == (2048, 6) and np.isfinite(out).all()
+    energies = (out**2).sum(axis=0)
+    assert int(np.argmax(energies)) == 0  # the +x speaker
+
+    # static pose: streaming equals direct convolution of the dry signal
+    # with the decoded speaker IRs
+    ir = trace_ir(scene.device_arrays(), jnp.asarray([2.5, 0.0, 0.0]),
+                  jnp.asarray([0.0, 0.0, 0.0]), cfg=CFG,
+                  dirs=jnp.asarray(fibonacci_sphere(CFG.rays_per_source)))
+    amb = np.asarray(ambisonic_ir(ir))
+    d = np.asarray(speaker_decoder_foa_reference(speakers))
+    spk_irs = d @ amb  # (6, L)
+    # looped dry signal: reconstruct the first 2048 samples of the stream
+    loop = np.tile(tone, 2048 // len(tone) + 2)[:2048]
+    for k in range(6):
+        want = np.convolve(loop, spk_irs[k])[:2048]
+        np.testing.assert_allclose(out[:, k], want, atol=5e-4)
