@@ -54,6 +54,16 @@ def _load():
     ]
     lib.arbih_parse_obj.restype = ctypes.c_int32
     lib.arbih_parse_obj.argtypes = [ctypes.c_char_p, ctypes.c_int64, f32p]
+    lib.arbih_mailbox_create.restype = ctypes.c_void_p
+    lib.arbih_mailbox_create.argtypes = [ctypes.c_int64]
+    lib.arbih_mailbox_destroy.restype = None
+    lib.arbih_mailbox_destroy.argtypes = [ctypes.c_void_p]
+    lib.arbih_mailbox_write.restype = None
+    lib.arbih_mailbox_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.arbih_mailbox_read.restype = ctypes.c_int32
+    lib.arbih_mailbox_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.arbih_mailbox_seq.restype = ctypes.c_uint64
+    lib.arbih_mailbox_seq.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -143,3 +153,71 @@ def parse_obj_native(text: str):
     out = np.empty((n, 3, 3), np.float32)
     lib.arbih_parse_obj(raw, len(raw), _fp(out))
     return out
+
+
+class Mailbox:
+    """Lock-free triple-buffer mailbox (native/mailbox.cpp) — the design
+    the reference's own comment recommends instead of its mutex
+    (main.zig:518-521): a writer thread publishes fixed-size float32
+    blocks at any rate; a reader thread always receives the latest
+    COMPLETE block without blocking either side. Single writer, single
+    reader. Falls back to a Python-lock implementation when the native
+    library is unavailable (same semantics, not lock-free)."""
+
+    def __init__(self, n_floats: int):
+        self.n = int(n_floats)
+        lib = _load()
+        self._lib = lib
+        if lib is not None:
+            self._h = lib.arbih_mailbox_create(4 * self.n)
+            if not self._h:
+                raise MemoryError("mailbox allocation failed")
+        else:  # pure-Python fallback (locked, same interface)
+            import threading
+
+            self._h = None
+            self._lock = threading.Lock()
+            self._latest = None
+            self._taken = True
+
+    def write(self, block) -> None:
+        import numpy as _np
+
+        a = _np.ascontiguousarray(block, _np.float32).reshape(self.n)
+        if self._h:
+            self._lib.arbih_mailbox_write(self._h, _fp(a))
+        else:
+            with self._lock:
+                self._latest = a.copy()
+                self._taken = False
+
+    def read(self):
+        """Latest unseen block as (n,) float32, or None."""
+        import numpy as _np
+
+        if self._h:
+            out = _np.empty(self.n, _np.float32)
+            if self._lib.arbih_mailbox_read(self._h, _fp(out)):
+                return out
+            return None
+        with self._lock:
+            if self._taken or self._latest is None:
+                return None
+            self._taken = True
+            return self._latest
+
+    @property
+    def seq(self) -> int:
+        """Writer publish count (native backend only; diagnostic)."""
+        return int(self._lib.arbih_mailbox_seq(self._h)) if self._h else -1
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.arbih_mailbox_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # best effort
+        try:
+            self.close()
+        except Exception:
+            pass

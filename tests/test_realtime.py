@@ -1,0 +1,95 @@
+"""Native triple-buffer mailbox + decoupled real-time loop."""
+
+import dataclasses
+import threading
+
+import numpy as np
+
+from audio_raytracing_tpu import native
+from audio_raytracing_tpu.config import DEFAULT_CONFIG
+from audio_raytracing_tpu.engine.realtime import RealtimeEngine
+from audio_raytracing_tpu.models.scene import Scene, box_room
+
+CFG = dataclasses.replace(
+    DEFAULT_CONFIG, ir_length=2048, rays_per_source=256, max_voices=4
+)
+
+
+def test_mailbox_semantics():
+    m = native.Mailbox(4)
+    assert m.read() is None
+    m.write([1, 2, 3, 4])
+    np.testing.assert_array_equal(m.read(), [1, 2, 3, 4])
+    assert m.read() is None  # consumed
+    m.write(np.full(4, 5.0))
+    m.write(np.full(4, 6.0))
+    np.testing.assert_array_equal(m.read(), np.full(4, 6.0))  # latest wins
+    m.close()
+
+
+def test_mailbox_no_torn_reads_under_concurrency():
+    """Writer hammers blocks where every element equals the block id; the
+    reader must never observe a mixed (torn) block."""
+    n = 256
+    m = native.Mailbox(n)
+    stop = threading.Event()
+    torn = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            i += 1
+            m.write(np.full(n, float(i % 100000), np.float32))
+
+    def reader():
+        seen = 0
+        while seen < 20000 and not stop.is_set():
+            out = m.read()
+            if out is None:
+                continue
+            seen += 1
+            if not (out == out[0]).all():
+                torn.append(out.copy())
+                break
+        stop.set()
+
+    tw = threading.Thread(target=writer)
+    tr = threading.Thread(target=reader)
+    tw.start()
+    tr.start()
+    tr.join(timeout=30)
+    stop.set()
+    tw.join(timeout=5)
+    assert not torn, f"torn block observed: {torn[:1]}"
+    if m.seq >= 0:
+        assert m.seq > 0
+    m.close()
+
+
+def test_realtime_engine_decoupled_updates():
+    """The update thread re-traces at its own rate and hands parameters to
+    the render path through the mailbox; audio renders concurrently."""
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 3.0, 6.0)), CFG,
+        absorption=np.full(12, 0.3, np.float32),
+    )
+    eng = RealtimeEngine(scene, CFG, updates_per_second=40.0)
+    rng = np.random.default_rng(0)
+    tone = (0.4 * rng.standard_normal(8000)).astype(np.float32)
+    sid = eng.system.load_sound(tone)
+    eng.play_sound(sid, pos=[2.0, 0.5, 1.0], gain=0.5, repeat=True)
+    eng.set_listener([0.0, 0.0, 0.0], yaw=0.2)
+    with eng:
+        out = []
+        deadline = 4.0
+        import time
+
+        t0 = time.time()
+        while eng.updates_done < 3 and time.time() - t0 < deadline:
+            out.append(eng.render(CFG.block_size))
+        out.append(eng.render(CFG.block_size))
+    audio = np.concatenate(out)
+    assert np.isfinite(audio).all() and np.abs(audio).max() > 0
+    assert eng.updates_done >= 3  # the update thread really ran
+    # parameters actually crossed the mailbox: wet/feedback set by tracing
+    assert float(np.asarray(eng.system.params.wet)[0]) > 0.0
