@@ -197,6 +197,53 @@ class Scene:
         )
 
 
+def rigid_transform_arrays(arrays: SceneArrays, rotation, translation) -> SceneArrays:
+    """Rigidly transform a device-resident scene WITHOUT a host rebuild.
+
+    rotation (3, 3) orthonormal, translation (3,): every vertex moves to
+    R v + t. The Woop transforms update in closed form — for M' = the new
+    world->unit-triangle map, M' = M R^T and offset' = offset - M R^T t
+    (derivation: new edge columns are R * old columns) — so animated rigid
+    geometry re-traces with zero host work; jit/scan-friendly (all jnp).
+
+    The BIH arena (host) is NOT touched: dense/MXU/Pallas tracing never
+    reads it; Space/BIH queries on a moved scene need a rebuild or use the
+    inverse-transformed query (tested equivalence in tests/test_geometry).
+    """
+    import jax.numpy as jnp  # module stays importable without jax
+
+    r = jnp.asarray(rotation, jnp.float32)
+    t = jnp.asarray(translation, jnp.float32)
+
+    def pt(v):
+        return v @ r.T + t
+
+    T = arrays.v0.shape[0]
+    # woop_d layout: (3, 3T) with columns grouped by output component —
+    # rows of each triangle's M sit at [:, k*T + i]; reshape to (T, 3, 3)
+    m = jnp.stack(
+        [arrays.woop_d[:, k * T : (k + 1) * T].T for k in range(3)], axis=1
+    )  # (T, 3row, 3col)
+    m2 = jnp.einsum("tij,kj->tik", m, r)  # M R^T
+    offs = jnp.stack(
+        [arrays.woop_o[3, k * T : (k + 1) * T] for k in range(3)], axis=1
+    )  # (T, 3)
+    offs2 = offs - jnp.einsum("tij,j->ti", m2, t)
+    woop_d = jnp.concatenate([m2[:, k, :].T for k in range(3)], axis=1)  # (3, 3T)
+    woop_o = jnp.concatenate(
+        [
+            jnp.concatenate([m2[:, k, :].T, offs2[:, k][None, :]], axis=0)
+            for k in range(3)
+        ],
+        axis=1,
+    )  # (4, 3T)
+    return arrays._replace(
+        v0=pt(arrays.v0), v1=pt(arrays.v1), v2=pt(arrays.v2),
+        normals=arrays.normals @ r.T,
+        woop_d=woop_d, woop_o=woop_o,
+    )
+
+
 def box_room(size=(10.0, 3.0, 8.0), center=(0.0, 0.0, 0.0)) -> np.ndarray:
     """Procedural 12-triangle box room (inward-facing), (12, 3, 3) float32.
 

@@ -178,3 +178,58 @@ def test_exact_tail_lane_semantics():
         np.float32([[-5, -1, -1]]), np.float32([[-3, 1, 1]]), src, d
     )
     assert behind[0] == -1.0
+
+
+def test_rigid_transform_arrays_invariance():
+    """Tracing a rigidly moved scene from a moved source/listener equals
+    tracing the original from the original pose (full invariance of the
+    device-side transform, incl. the closed-form Woop update)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from audio_raytracing_tpu.config import DEFAULT_CONFIG
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere, trace_ir
+    from audio_raytracing_tpu.models.scene import (
+        Scene,
+        box_room,
+        rigid_transform_arrays,
+    )
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    scene = Scene.from_triangles(
+        box_room(size=(6.0, 3.0, 5.0)), cfg,
+        absorption=np.full(12, 0.2, np.float32),
+    )
+    arrays = scene.device_arrays()
+    # a non-trivial rotation (about y then z) + translation
+    a, b = 0.6, -0.35
+    ry = np.float32([[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]])
+    rz = np.float32([[np.cos(b), -np.sin(b), 0], [np.sin(b), np.cos(b), 0], [0, 0, 1]])
+    r = rz @ ry
+    t = np.float32([3.0, -1.0, 2.0])
+    moved = rigid_transform_arrays(arrays, r, t)
+
+    src = np.float32([1.0, 0.5, 0.5])
+    lst = np.float32([-1.0, -0.5, -1.0])
+    dirs = fibonacci_sphere(512)
+    base = trace_ir(arrays, jnp.asarray(src), jnp.asarray(lst), cfg=cfg,
+                    max_bounces=3, dirs=jnp.asarray(dirs))
+    # rays must rotate with the frame for path-identical sampling
+    got = trace_ir(moved, jnp.asarray(src @ r.T + t), jnp.asarray(lst @ r.T + t),
+                   cfg=cfg, max_bounces=3, dirs=jnp.asarray(dirs @ r.T))
+    np.testing.assert_allclose(
+        np.asarray(got.energy), np.asarray(base.energy), rtol=1e-3, atol=1e-7
+    )
+    # arrival directions rotate with the frame: rotate back and compare
+    ds = np.asarray(got.dir_sum)  # (3, n_bins)
+    np.testing.assert_allclose(
+        (r.T @ ds), np.asarray(base.dir_sum), rtol=1e-3, atol=1e-7
+    )
+    # MXU (Woop closed-form) path agrees too
+    got_mxu = trace_ir(moved, jnp.asarray(src @ r.T + t),
+                       jnp.asarray(lst @ r.T + t), cfg=cfg, max_bounces=3,
+                       dirs=jnp.asarray(dirs @ r.T), intersector="mxu")
+    np.testing.assert_allclose(
+        np.asarray(got_mxu.energy), np.asarray(base.energy), rtol=1e-3, atol=1e-6
+    )
