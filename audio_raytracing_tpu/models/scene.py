@@ -197,7 +197,8 @@ class Scene:
         )
 
 
-def rigid_transform_arrays(arrays: SceneArrays, rotation, translation) -> SceneArrays:
+def rigid_transform_arrays(arrays: SceneArrays, rotation, translation,
+                           mask=None) -> SceneArrays:
     """Rigidly transform a device-resident scene WITHOUT a host rebuild.
 
     rotation (3, 3) orthonormal, translation (3,): every vertex moves to
@@ -205,6 +206,9 @@ def rigid_transform_arrays(arrays: SceneArrays, rotation, translation) -> SceneA
     world->unit-triangle map, M' = M R^T and offset' = offset - M R^T t
     (derivation: new edge columns are R * old columns) — so animated rigid
     geometry re-traces with zero host work; jit/scan-friendly (all jnp).
+
+    mask (T,) bool restricts the motion to a subset of triangles (a moving
+    object inside a static room); None moves the whole scene.
 
     The BIH arena (host) is NOT touched: dense/MXU/Pallas tracing never
     reads it; Space/BIH queries on a moved scene need a rebuild or use the
@@ -229,6 +233,16 @@ def rigid_transform_arrays(arrays: SceneArrays, rotation, translation) -> SceneA
         [arrays.woop_o[3, k * T : (k + 1) * T] for k in range(3)], axis=1
     )  # (T, 3)
     offs2 = offs - jnp.einsum("tij,j->ti", m2, t)
+    v0, v1, v2 = pt(arrays.v0), pt(arrays.v1), pt(arrays.v2)
+    normals = arrays.normals @ r.T
+    if mask is not None:
+        keep = jnp.asarray(mask).reshape(T, 1)
+        v0 = jnp.where(keep, v0, arrays.v0)
+        v1 = jnp.where(keep, v1, arrays.v1)
+        v2 = jnp.where(keep, v2, arrays.v2)
+        normals = jnp.where(keep, normals, arrays.normals)
+        m2 = jnp.where(keep[:, :, None], m2, m)
+        offs2 = jnp.where(keep, offs2, offs)
     woop_d = jnp.concatenate([m2[:, k, :].T for k in range(3)], axis=1)  # (3, 3T)
     woop_o = jnp.concatenate(
         [
@@ -238,9 +252,7 @@ def rigid_transform_arrays(arrays: SceneArrays, rotation, translation) -> SceneA
         axis=1,
     )  # (4, 3T)
     return arrays._replace(
-        v0=pt(arrays.v0), v1=pt(arrays.v1), v2=pt(arrays.v2),
-        normals=arrays.normals @ r.T,
-        woop_d=woop_d, woop_o=woop_o,
+        v0=v0, v1=v1, v2=v2, normals=normals, woop_d=woop_d, woop_o=woop_o
     )
 
 

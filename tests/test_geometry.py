@@ -233,3 +233,51 @@ def test_rigid_transform_arrays_invariance():
     np.testing.assert_allclose(
         np.asarray(got_mxu.energy), np.asarray(base.energy), rtol=1e-3, atol=1e-6
     )
+
+
+def test_rigid_transform_masked_subset():
+    """mask moves only the selected triangles: a door sliding inside a
+    static room changes occlusion while the room is untouched."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from audio_raytracing_tpu.config import DEFAULT_CONFIG
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere, trace_ir
+    from audio_raytracing_tpu.models.scene import (
+        Scene,
+        box_room,
+        rigid_transform_arrays,
+    )
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    # room + a small blocking panel between source and listener
+    room = box_room(size=(8.0, 3.0, 6.0))
+    panel = np.float32([
+        [[0.0, -1.0, -1.0], [0.0, 1.0, -1.0], [0.0, 1.0, 1.0]],
+        [[0.0, -1.0, -1.0], [0.0, 1.0, 1.0], [0.0, -1.0, 1.0]],
+    ])
+    scene = Scene.from_triangles(np.concatenate([room, panel]), cfg)
+    arrays = scene.device_arrays()
+    T = arrays.v0.shape[0]
+    mask = np.zeros(T, bool)
+    mask[12:14] = True  # just the panel
+
+    # slide the panel far away along +y (out through the ceiling region)
+    moved = rigid_transform_arrays(arrays, np.eye(3, dtype=np.float32),
+                                   np.float32([0.0, 50.0, 0.0]), mask=mask)
+    # room triangles untouched bit-for-bit
+    np.testing.assert_array_equal(np.asarray(moved.v0)[:12], np.asarray(arrays.v0)[:12])
+    np.testing.assert_array_equal(np.asarray(moved.woop_d)[:, :12],
+                                  np.asarray(arrays.woop_d)[:, :12])
+
+    src = jnp.asarray([1.5, 0.0, 0.0])
+    lst = jnp.asarray([-1.5, 0.0, 0.0])
+    dirs = jnp.asarray(fibonacci_sphere(512))
+    blocked = trace_ir(arrays, src, lst, cfg=cfg, max_bounces=1, dirs=dirs)
+    open_ = trace_ir(moved, src, lst, cfg=cfg, max_bounces=1, dirs=dirs)
+    d = float(jnp.linalg.norm(src - lst))
+    b = int(round(d * cfg.samples_per_meter))
+    # with the panel in place the direct path is occluded; moved away it is not
+    assert np.asarray(blocked.energy)[:, b].sum() == 0.0
+    assert np.asarray(open_.energy)[:, b].sum() > 0.0
