@@ -50,6 +50,9 @@ def __getattr__(name):
         "trace_irs_multi_source": ("parallel.sharding", "trace_irs_multi_source"),
         "trace_irs_multi_listener_sharded": ("parallel.sharding", "trace_irs_multi_listener_sharded"),
         "hybrid_ir": ("models.ism", "hybrid_ir"),
+        "diffraction_ir": ("models.diffraction", "diffraction_ir"),
+        "extract_edges": ("models.diffraction", "extract_edges"),
+        "rigid_transform_arrays": ("models.scene", "rigid_transform_arrays"),
     }
     if name in table:
         mod, attr = table[name]
@@ -65,5 +68,6 @@ __all__ = [
     "MATERIAL_PRESETS", "ImpulseResponse", "acoustic_update",
     "render_ir_offline", "render_engine_offline", "trace_ir_sharded",
     "trace_irs_multi_source", "trace_irs_multi_listener_sharded",
-    "hybrid_ir", "__version__",
+    "hybrid_ir", "diffraction_ir", "extract_edges",
+    "rigid_transform_arrays", "__version__",
 ]
