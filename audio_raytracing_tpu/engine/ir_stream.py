@@ -53,11 +53,10 @@ def _respectra_speakers(amb_irs, orientation, decoder, block: int):
     ((S, n_spk, P, F) re/im): rotate the bed by the listener, decode to
     speaker IRs with the (n_spk, 4) mode-matching matrix (ops/hoa.py),
     partition. No HRTF — speaker feeds go to a physical rig."""
-    from ..utils import quat as _quat
 
     def one(ir):
         xyz = ir[1:4].T
-        rot = _quat.rotate(orientation[None, :], xyz).T
+        rot = quat.rotate(orientation[None, :], xyz).T
         amb_rot = jnp.concatenate([ir[:1], rot], axis=0)  # (4, L)
         spk_irs = jnp.matmul(
             decoder, amb_rot, precision=jax.lax.Precision.HIGHEST
@@ -69,7 +68,7 @@ def _respectra_speakers(amb_irs, orientation, decoder, block: int):
 
 @jax.jit
 def _stream_block(x, state, spectra_old, spectra_new, crossfade):
-    """x: (S, 2, B) per-source stereo-duplicated dry blocks. Sums sources."""
+    """x: (S, n_out, B) per-source channel-duplicated dry blocks. Sums sources."""
     def faded(x, st):
         return cp.conv_block_crossfade_real(x, st, spectra_old, spectra_new)
 
@@ -77,7 +76,7 @@ def _stream_block(x, state, spectra_old, spectra_new, crossfade):
         return cp.conv_block_real(x, st, *spectra_new)
 
     y, new_state = jax.lax.cond(crossfade, faded, plain, x, state)
-    return jnp.sum(y, axis=0).T, new_state  # (B, 2)
+    return jnp.sum(y, axis=0).T, new_state  # (B, n_out)
 
 
 class IRStreamRenderer:
@@ -108,7 +107,7 @@ class IRStreamRenderer:
         self._sources: list[dict] = []
         self._dry = None  # (S, N) padded dry signals
         self._cursor = 0
-        self._spectra = None  # (S, 2, P, F)
+        self._spectra = None  # (S, n_out, P, F)
         self._spectra_prev = None
         self._conv_state = None
         self._pending_fade = False

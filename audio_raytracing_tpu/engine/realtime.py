@@ -105,6 +105,11 @@ class RealtimeEngine:
         self._thread = None
         self._stop = threading.Event()
         self.updates_done = 0  # diagnostic
+        # host-side voice lifetimes: one-shot voices end deterministically
+        # at len + grace rendered samples, so the update thread can stop
+        # tracing them without touching (donated) device state
+        self._rendered = 0
+        self._voice_end: dict[int, int] = {}
 
     # -- game thread (caller) -------------------------------------------------
 
@@ -124,6 +129,13 @@ class RealtimeEngine:
         slot = self.system._handles[h]
         self._pose[5 + 3 * slot : 8 + 3 * slot] = np.asarray(pos, np.float32)
         self._pose[5 + 3 * self._v + slot] = 1.0
+        if repeat:
+            self._voice_end.pop(slot, None)
+        else:
+            n = len(self.system._sounds[sound])
+            self._voice_end[slot] = (
+                self._rendered + n + self.cfg.finish_grace_samples
+            )
         self._publish_pose()
         return h
 
@@ -156,16 +168,25 @@ class RealtimeEngine:
                     refl_dist_prev=jnp.full_like(vt.refl_dist_prev, jnp.nan)
                 )
             )
-        return self.system.render(n_samples)
+        out = self.system.render(n_samples)
+        self._rendered += out.shape[0]
+        # retire naturally finished one-shot voices from the traced set
+        done = [s for s, end in self._voice_end.items() if end <= self._rendered]
+        if done:
+            for slot in done:
+                self._pose[5 + 3 * self._v + slot] = 0.0
+                del self._voice_end[slot]
+            self._publish_pose()
+        return out
 
     # -- update thread ---------------------------------------------------------
 
-    def _update_loop(self):
+    def _update_loop(self, stop_evt: threading.Event):
         import jax.numpy as jnp
 
         period = 1.0 / self.updates_per_second
         pose = self._pose.copy()
-        while not self._stop.is_set():
+        while not stop_evt.is_set():
             t0 = time.perf_counter()
             latest = self._pose_box.read()
             if latest is not None:
@@ -178,17 +199,25 @@ class RealtimeEngine:
                 jnp.asarray(pose[5 + 3 * v :] > 0.5),
                 cfg=self.cfg,
             )
+            # single-writer contract: a draining thread (stop() timed out
+            # on a long first compile, a new one was started) must not
+            # publish alongside its replacement
+            if stop_evt.is_set() or threading.current_thread() is not self._thread:
+                break
             self._params_box.write(_pack_params(params))
             self.updates_done += 1
             dt = time.perf_counter() - t0
-            self._stop.wait(max(0.0, period - dt))
+            stop_evt.wait(max(0.0, period - dt))
 
     def start(self) -> None:
-        if self._thread is not None:
+        if self._thread is not None and self._thread.is_alive():
             return
-        self._stop.clear()
+        # a fresh Event per start: a draining previous thread keeps its own
+        # (already set) event and can never be resurrected by this clear
+        self._stop = threading.Event()
         self._thread = threading.Thread(
-            target=self._update_loop, name="acoustic-update", daemon=True
+            target=self._update_loop, args=(self._stop,),
+            name="acoustic-update", daemon=True,
         )
         self._thread.start()
 
@@ -197,6 +226,9 @@ class RealtimeEngine:
             return
         self._stop.set()
         self._thread.join(timeout=10.0)
+        # if the join timed out (e.g. first-trace compile through the
+        # relay), the thread drains on its own event and the in-loop
+        # identity check keeps it from writing once a new thread starts
         self._thread = None
 
     def __enter__(self):

@@ -80,9 +80,15 @@ def extract_edges(triangles: np.ndarray, min_dihedral_deg: float = 10.0):
         if len(faces) == 1:
             out.append((a, b))  # boundary: always a diffractor
         elif len(faces) == 2:
-            c = float(abs(np.dot(n[faces[0]], n[faces[1]])))
-            if c < cos_flat:  # crease (normals differ enough)
+            # SIGNED dot: consistently wound coplanar neighbors have
+            # dot ~ +1 (flat, dropped); a double-sided zero-thickness
+            # sheet (duplicated faces, flipped winding) has dot ~ -1 and
+            # IS a knife edge — abs() would silently drop it
+            c = float(np.dot(n[faces[0]], n[faces[1]]))
+            if c < cos_flat:  # crease / opposed normals: diffracts
                 out.append((a, b))
+        # > 2 adjacent faces (e.g. the interior diagonal of a duplicated
+        # sheet): non-manifold, coplanar in practice — skipped
     if not out:
         return np.zeros((0, 2, 3), np.float32)
     return np.asarray(out, np.float32)

@@ -213,14 +213,22 @@ def rigid_transform_arrays(arrays: SceneArrays, rotation, translation,
     The BIH arena (host) is NOT touched: dense/MXU/Pallas tracing never
     reads it; Space/BIH queries on a moved scene need a rebuild or use the
     inverse-transformed query (tested equivalence in tests/test_geometry).
+
+    Contractions pin HIGHEST precision (TPU default bf16 matmuls would
+    shift vertices by ~2^-8 relative). Like any f32 pipeline, very large
+    world offsets still cost absolute precision: measured on TPU, trace
+    invariance holds to ~1e-3 for meter-scale moves and ~3e-2 L1 at 30 m
+    offsets (edge-tie Monte-Carlo reassignment, not bias).
     """
+    import jax
     import jax.numpy as jnp  # module stays importable without jax
 
-    r = jnp.asarray(rotation, jnp.float32)
+    hi = jax.lax.Precision.HIGHEST  # geometry: bf16 default would shift
+    r = jnp.asarray(rotation, jnp.float32)  # vertices by ~2^-8 relative
     t = jnp.asarray(translation, jnp.float32)
 
     def pt(v):
-        return v @ r.T + t
+        return jnp.matmul(v, r.T, precision=hi) + t
 
     T = arrays.v0.shape[0]
     # woop_d layout: (3, 3T) with columns grouped by output component —
@@ -228,13 +236,13 @@ def rigid_transform_arrays(arrays: SceneArrays, rotation, translation,
     m = jnp.stack(
         [arrays.woop_d[:, k * T : (k + 1) * T].T for k in range(3)], axis=1
     )  # (T, 3row, 3col)
-    m2 = jnp.einsum("tij,kj->tik", m, r)  # M R^T
+    m2 = jnp.einsum("tij,kj->tik", m, r, precision=hi)  # M R^T
     offs = jnp.stack(
         [arrays.woop_o[3, k * T : (k + 1) * T] for k in range(3)], axis=1
     )  # (T, 3)
-    offs2 = offs - jnp.einsum("tij,j->ti", m2, t)
+    offs2 = offs - jnp.einsum("tij,j->ti", m2, t, precision=hi)
     v0, v1, v2 = pt(arrays.v0), pt(arrays.v1), pt(arrays.v2)
-    normals = arrays.normals @ r.T
+    normals = jnp.matmul(arrays.normals, r.T, precision=hi)
     if mask is not None:
         keep = jnp.asarray(mask).reshape(T, 1)
         v0 = jnp.where(keep, v0, arrays.v0)

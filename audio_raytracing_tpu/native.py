@@ -54,18 +54,35 @@ def _load():
     ]
     lib.arbih_parse_obj.restype = ctypes.c_int32
     lib.arbih_parse_obj.argtypes = [ctypes.c_char_p, ctypes.c_int64, f32p]
-    lib.arbih_mailbox_create.restype = ctypes.c_void_p
-    lib.arbih_mailbox_create.argtypes = [ctypes.c_int64]
-    lib.arbih_mailbox_destroy.restype = None
-    lib.arbih_mailbox_destroy.argtypes = [ctypes.c_void_p]
-    lib.arbih_mailbox_write.restype = None
-    lib.arbih_mailbox_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
-    lib.arbih_mailbox_read.restype = ctypes.c_int32
-    lib.arbih_mailbox_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
-    lib.arbih_mailbox_seq.restype = ctypes.c_uint64
-    lib.arbih_mailbox_seq.argtypes = [ctypes.c_void_p]
+    try:
+        # newer symbols: a stale libarbih.so built before mailbox.cpp
+        # existed must NOT break the core bindings — kick off a rebuild
+        # (benefits the next process; dlopen caches this one) and let
+        # Mailbox fall back to its Python implementation
+        lib.arbih_mailbox_create.restype = ctypes.c_void_p
+        lib.arbih_mailbox_create.argtypes = [ctypes.c_int64]
+        lib.arbih_mailbox_destroy.restype = None
+        lib.arbih_mailbox_destroy.argtypes = [ctypes.c_void_p]
+        lib.arbih_mailbox_write.restype = None
+        lib.arbih_mailbox_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.arbih_mailbox_read.restype = ctypes.c_int32
+        lib.arbih_mailbox_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.arbih_mailbox_seq.restype = ctypes.c_uint64
+        lib.arbih_mailbox_seq.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        try:
+            subprocess.run(
+                ["make", "-C", str(NATIVE_DIR), "clean", "all"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            pass
     _lib = lib
     return _lib
+
+
+def _has_mailbox(lib) -> bool:
+    return lib is not None and hasattr(lib, "arbih_mailbox_create")
 
 
 def available() -> bool:
@@ -168,7 +185,7 @@ class Mailbox:
         self.n = int(n_floats)
         lib = _load()
         self._lib = lib
-        if lib is not None:
+        if _has_mailbox(lib):
             self._h = lib.arbih_mailbox_create(4 * self.n)
             if not self._h:
                 raise MemoryError("mailbox allocation failed")

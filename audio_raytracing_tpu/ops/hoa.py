@@ -251,16 +251,13 @@ def speaker_decoder(speaker_dirs, order: int, weighting: str | None = "max_re"):
 def speaker_decoder_foa_reference(speaker_dirs, weighting: str | None = None):
     """(S, 4) mode-matching decoder for first-order beds in the REFERENCE
     channel order [W, x=front, y=up, z=right] (the engine/IR pipeline's
-    native layout), for feeding physical speaker rigs."""
-    b = np.asarray(sh_basis(np.asarray(speaker_dirs, np.float32), 1))
-    b_ref = np.stack([b[:, 0], b[:, 3], b[:, 2], -b[:, 1]], axis=1)  # (S, 4)
-    d = np.linalg.pinv(b_ref.T)  # (S, 4)
-    if weighting == "max_re":
-        w = max_re_weights(1)  # ACN order; orders are [0,1,1,1] either way
-        d = d * np.asarray([w[0], w[3], w[2], w[1]])[None, :]
-    elif weighting is not None:
-        raise ValueError(f"unknown weighting {weighting!r}")
-    return jnp.asarray(d.astype(np.float32))
+    native layout): exactly speaker_decoder(dirs, 1) with its columns
+    remapped by the signed ACN<->reference permutation
+    ([W, X, Y, Z] = [acn0, acn3, acn2, -acn1])."""
+    d = np.asarray(speaker_decoder(speaker_dirs, 1, weighting))
+    return jnp.asarray(
+        np.stack([d[:, 0], d[:, 3], d[:, 2], -d[:, 1]], axis=1)
+    )
 
 
 def decode_to_speakers(amb, speaker_dirs, weighting: str | None = "max_re"):

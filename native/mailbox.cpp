@@ -30,7 +30,7 @@ struct Mailbox {
   uint32_t write_slot;        // writer-owned spare (no atomicity needed)
   uint32_t read_slot;         // reader-owned
   int64_t slot_bytes;
-  uint64_t seq;  // writer-side publish counter (diagnostic)
+  std::atomic<uint64_t> seq;  // publish counter (cross-thread diagnostic)
   char* slots[3];
 };
 
@@ -57,7 +57,7 @@ void* arbih_mailbox_create(int64_t slot_bytes) {
   m->write_slot = 0;
   m->read_slot = 1;
   m->ctl.store(2u, std::memory_order_relaxed);  // ready = slot 2, not fresh
-  m->seq = 0;
+  m->seq.store(0, std::memory_order_relaxed);
   return m;
 }
 
@@ -76,7 +76,7 @@ void arbih_mailbox_write(void* handle, const void* data) {
   uint32_t prev = m->ctl.exchange(m->write_slot | kFresh,
                                   std::memory_order_acq_rel);
   m->write_slot = prev & 3u;
-  ++m->seq;
+  m->seq.fetch_add(1, std::memory_order_relaxed);
 }
 
 // Fetch the latest block (reader thread only). Returns 1 and copies
@@ -101,7 +101,7 @@ int32_t arbih_mailbox_read(void* handle, void* out) {
 }
 
 uint64_t arbih_mailbox_seq(void* handle) {
-  return static_cast<Mailbox*>(handle)->seq;
+  return static_cast<Mailbox*>(handle)->seq.load(std::memory_order_relaxed);
 }
 
 }  // extern "C"
