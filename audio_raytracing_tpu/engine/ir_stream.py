@@ -66,6 +66,38 @@ def _respectra_speakers(amb_irs, orientation, decoder, block: int):
     return jax.vmap(one)(amb_irs)
 
 
+@partial(jax.jit, static_argnames=("block", "order"))
+def _respectra_hoa(hoa_irs, orientation, hrtf_l, hrtf_r, block: int, order: int):
+    """(S, C, L) HOA IRs -> binaural partitioned spectra ((S, 2, P, F) re/im).
+
+    Full-order rotation (ops/hoa.rotate_hoa), then the same decode chain as
+    the offline renderer: max-rE truncation to the reference's first-order
+    layout and the MagLS HRTF bank (src/hrtf.zon is 4-channel)."""
+    from ..ops.hoa import hoa_to_reference_foa, rotate_hoa
+
+    def one(ir):
+        amb4 = hoa_to_reference_foa(rotate_hoa(ir, orientation, order))
+        left = jnp.sum(cp.convolve_direct(amb4, hrtf_l), axis=0)
+        right = jnp.sum(cp.convolve_direct(amb4, hrtf_r), axis=0)
+        return cp.partition_ir_real(jnp.stack([left, right], axis=0), block)
+
+    return jax.vmap(one)(hoa_irs)
+
+
+@partial(jax.jit, static_argnames=("block", "order"))
+def _respectra_speakers_hoa(hoa_irs, orientation, decoder, block: int, order: int):
+    """(S, C, L) HOA IRs -> per-speaker spectra via an order-N mode-matching
+    decode (decoder (n_spk, C) in ACN layout, ops/hoa.speaker_decoder)."""
+    from ..ops.hoa import rotate_hoa
+
+    def one(ir):
+        amb_rot = rotate_hoa(ir, orientation, order)
+        spk_irs = jnp.matmul(decoder, amb_rot, precision=jax.lax.Precision.HIGHEST)
+        return cp.partition_ir_real(spk_irs, block)
+
+    return jax.vmap(one)(hoa_irs)
+
+
 @jax.jit
 def _stream_block(x, state, spectra_old, spectra_new, crossfade):
     """x: (S, n_out, B) per-source channel-duplicated dry blocks. Sums sources."""
@@ -83,20 +115,34 @@ class IRStreamRenderer:
     def __init__(self, scene: Scene, cfg: Config = DEFAULT_CONFIG,
                  hrtf=None, n_rays: int | None = None,
                  max_bounces: int | None = None, intersector: str = "mt",
-                 speaker_dirs=None):
+                 speaker_dirs=None, sh_order: int | None = None):
         """speaker_dirs (n_spk, 3): stream to a physical speaker rig
         (mode-matching first-order decode, no HRTF) instead of binaural
-        stereo; render_block then returns (B, n_spk) feeds."""
+        stereo; render_block then returns (B, n_spk) feeds.
+
+        sh_order=N streams a higher-order bed (ops/hoa.py): the tracer
+        accumulates (N+1)^2 SH-moment histograms, rotation is applied at
+        full order, and the decode is either binaural (max-rE truncation
+        through the first-order MagLS bank, matching render_ir_offline) or
+        an order-N mode-matching speaker decode when speaker_dirs is given.
+        Rotation-only pose updates still reuse the cached HOA IRs."""
         self.cfg = cfg
         self.scene = scene
         self._arrays = scene.device_arrays()
         hl, hr = hrtf if hrtf is not None else default_hrtf()
         self.hrtf_l = jnp.asarray(hl)
         self.hrtf_r = jnp.asarray(hr)
+        self.sh_order = sh_order
         if speaker_dirs is not None:
-            from ..ops.hoa import speaker_decoder_foa_reference
+            if sh_order is not None:
+                from ..ops.hoa import speaker_decoder
 
-            self._decoder = speaker_decoder_foa_reference(speaker_dirs)
+                # ACN-layout decoder; max-rE like the offline decode chain
+                self._decoder = speaker_decoder(speaker_dirs, sh_order)
+            else:
+                from ..ops.hoa import speaker_decoder_foa_reference
+
+                self._decoder = speaker_decoder_foa_reference(speaker_dirs)
             self.n_out = self._decoder.shape[0]
         else:
             self._decoder = None
@@ -177,15 +223,31 @@ class IRStreamRenderer:
                     ir = trace_ir(
                         self._arrays, jnp.asarray(s["pos"]), listener, cfg=cfg,
                         n_rays=self.n_rays, max_bounces=self.max_bounces,
-                        intersector=self.intersector,
+                        intersector=self.intersector, sh_order=self.sh_order,
                     )
-                    irs.append(ambisonic_ir(ir))
-                self._amb_cache = jnp.stack(irs)  # (S, 4, L)
+                    if self.sh_order is not None:
+                        from ..models.ir import ambisonic_ir_hoa
+
+                        irs.append(ambisonic_ir_hoa(ir))
+                    else:
+                        irs.append(ambisonic_ir(ir))
+                self._amb_cache = jnp.stack(irs)  # (S, C, L)
                 self._trace_key = trace_key
         self.last_update_retraced = retrace
         self._orient_key = orient_key
         with profiling.span("ir_respectra"):
-            if self._decoder is not None:
+            if self.sh_order is not None:
+                if self._decoder is not None:
+                    spectra = _respectra_speakers_hoa(
+                        self._amb_cache, orient, self._decoder,
+                        cfg.block_size, self.sh_order,
+                    )
+                else:
+                    spectra = _respectra_hoa(
+                        self._amb_cache, orient, self.hrtf_l, self.hrtf_r,
+                        cfg.block_size, self.sh_order,
+                    )
+            elif self._decoder is not None:
                 spectra = _respectra_speakers(
                     self._amb_cache, orient, self._decoder, cfg.block_size
                 )

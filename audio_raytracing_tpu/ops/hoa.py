@@ -136,7 +136,10 @@ def _basis_pinv(order: int) -> tuple[np.ndarray, np.ndarray]:
     dirs = np.stack(
         [np.cos(phi) * sin_t, cos_t, np.sin(phi) * sin_t], axis=1
     ).astype(np.float32)
-    basis = np.asarray(sh_basis(dirs, order), np.float64)  # (K, C)
+    # may be reached first from inside a jit trace (e.g. the streaming
+    # renderer's jitted respectra): force eager evaluation of the constant
+    with jax.ensure_compile_time_eval():
+        basis = np.asarray(sh_basis(dirs, order), np.float64)  # (K, C)
     pinv = np.linalg.pinv(basis)  # (C, K)
     cond = np.linalg.cond(basis)
     assert cond < 50.0, cond  # well-spread dirs: comfortably conditioned

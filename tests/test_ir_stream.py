@@ -163,3 +163,69 @@ def test_speaker_rig_streaming():
     for k in range(6):
         want = np.convolve(loop, spk_irs[k])[:2048]
         np.testing.assert_allclose(out[:, k], want, atol=5e-4)
+
+
+def test_hoa_stream_matches_static_offline():
+    """sh_order=2 streaming: static-pose blocks equal the offline HOA
+    render (binaural decode chain shared end to end)."""
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+
+    scene = make_scene()
+    n = 1024
+    t = np.arange(n) / 44100
+    dry = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    pos = [1.5, 0.5, 1.0]
+    lst = [-1.0, 0.0, -1.0]
+
+    r = IRStreamRenderer(scene, CFG, sh_order=2)
+    r.add_source(dry, pos=pos, loop=False)
+    r.update(lst, yaw=0.4)
+    got = r.render(n)
+    assert got.shape == (n, 2) and np.isfinite(got).all()
+
+    want = render_ir_offline(
+        scene, [{"samples": dry, "pos": pos}], lst, listener_yaw=0.4,
+        cfg=CFG, sh_order=2,
+    )[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_hoa_speaker_stream_matches_static_offline():
+    """sh_order=2 + speaker rig: order-2 mode-matching decode, feeds match
+    the offline speaker render; rotation-only updates still skip re-trace."""
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+
+    scene = make_scene()
+    speakers = np.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1],
+         [0.577, 0.577, 0.577], [-0.577, 0.577, -0.577],
+         [0.577, -0.577, -0.577]],
+        np.float32,
+    )
+    n = 1024
+    t = np.arange(n) / 44100
+    dry = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    pos = [2.0, 0.0, 0.5]
+    lst = [0.0, 0.0, 0.0]
+
+    r = IRStreamRenderer(scene, CFG, speaker_dirs=speakers, sh_order=2)
+    r.add_source(dry, pos=pos, loop=False)
+    r.update(lst, yaw=0.2)
+    got = r.render(n)
+    assert got.shape == (n, len(speakers)) and np.isfinite(got).all()
+
+    want = render_ir_offline(
+        scene, [{"samples": dry, "pos": pos}], lst, listener_yaw=0.2,
+        cfg=CFG, sh_order=2, speaker_dirs=speakers,
+    )[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    # rotation-only: cached HOA IRs, spectra equal a fresh full trace
+    r.update(lst, yaw=0.9)
+    assert not r.last_update_retraced
+    fresh = IRStreamRenderer(scene, CFG, speaker_dirs=speakers, sh_order=2)
+    fresh.add_source(dry, pos=pos, loop=False)
+    fresh.update(lst, yaw=0.9)
+    for ga, gb in zip(r._spectra, fresh._spectra):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-6, atol=1e-9)
