@@ -45,6 +45,7 @@ def __getattr__(name):
         "ImpulseResponse": ("models.ir", "ImpulseResponse"),
         "acoustic_update": ("sim.probe", "acoustic_update"),
         "render_ir_offline": ("engine.renderer", "render_ir_offline"),
+        "render_ir_moving_offline": ("engine.moving", "render_ir_moving_offline"),
         "render_engine_offline": ("engine.renderer", "render_engine_offline"),
         "trace_ir_sharded": ("parallel.sharding", "trace_ir_sharded"),
         "trace_irs_multi_source": ("parallel.sharding", "trace_irs_multi_source"),
@@ -66,7 +67,8 @@ __all__ = [
     "ambisonic_ir", "ambisonic_ir_hoa", "image_source_ir",
     "trace_ir_multi_listener", "AcousticMaterial",
     "MATERIAL_PRESETS", "ImpulseResponse", "acoustic_update",
-    "render_ir_offline", "render_engine_offline", "trace_ir_sharded",
+    "render_ir_offline", "render_ir_moving_offline", "render_engine_offline",
+    "trace_ir_sharded",
     "trace_irs_multi_source", "trace_irs_multi_listener_sharded",
     "hybrid_ir", "diffraction_ir", "extract_edges",
     "rigid_transform_arrays", "__version__",
