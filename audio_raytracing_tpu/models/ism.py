@@ -22,6 +22,16 @@ once, order 2 all T^2 ordered plane pairs ((T^2, 3) arrays; 128-padded
 world scenes = 16k images, trivial); every visibility/occlusion leg is a
 dense nearest-hit against the whole scene (ops/intersect.py). All static
 shapes, one jit per (scene size, order).
+
+Order 3 (T^3 ordered triples) runs in two phases to stay batched without
+T^3 occlusion work: (1) a chunked walk-back over ALL triples evaluates
+only the cheap per-triple specular geometry (three segment-triangle
+tests); (2) the survivors — a tiny fraction in any real room — are
+compacted to a fixed `order3_capacity` with jnp.nonzero(size=...) and only
+they pay the four occlusion legs. Shapes stay static for XLA; survivors
+beyond capacity are dropped (capacity defaults far above real-room
+counts). Cost scales as T^3 for phase 1 (~3 Möller–Trumbore per triple):
+fine for room-scale scenes (T <= ~1k), not for city blocks.
 """
 
 from __future__ import annotations
@@ -126,7 +136,11 @@ def _bin_contribs(d_total, amp, u, valid, cfg: Config):
     return energy, dsum
 
 
-@partial(jax.jit, static_argnames=("cfg", "order", "include_direct"))
+_ORDER3_CHUNK = 65536  # triples per phase-1 geometry chunk
+
+
+@partial(jax.jit, static_argnames=("cfg", "order", "include_direct",
+                                   "order3_capacity"))
 def image_source_ir(
     scene_arrays,
     source,
@@ -134,16 +148,21 @@ def image_source_ir(
     cfg: Config = DEFAULT_CONFIG,
     order: int = 2,
     include_direct: bool = True,
+    order3_capacity: int = 16384,
 ) -> ImpulseResponse:
     """Deterministic early-reflection IR via image sources, orders 1..order
-    (order <= 2), plus the occlusion-tested direct path.
+    (order <= 3), plus the occlusion-tested direct path.
 
     Returns the same ImpulseResponse histograms as trace_ir — exact delta
     arrivals instead of Monte-Carlo estimates. Padding triangles have zero
     normals, so their mirrors collapse to identity and fail the segment
-    validity tests (self-masking)."""
-    if order not in (1, 2):
-        raise ValueError(f"order must be 1 or 2 (got {order})")
+    validity tests (self-masking).
+
+    order3_capacity bounds the number of geometrically-valid third-order
+    paths that proceed to occlusion testing (see module docstring); paths
+    beyond it are dropped silently."""
+    if order not in (1, 2, 3):
+        raise ValueError(f"order must be 1, 2 or 3 (got {order})")
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     n = scene_arrays.normals  # (T, 3) unit (zero rows for padding)
     dpl = jnp.sum(n * v0, axis=-1)  # plane offsets
@@ -207,6 +226,64 @@ def image_source_ir(
         e2, dd2 = _bin_contribs(d2_total, amp2, u2, valid2, cfg)
         energy = energy + e2
         dir_sum = dir_sum + dd2
+
+    if order >= 3:
+        # ---- order 3: two-phase over T^3 ordered triples ------------------
+        # phase 1 — specular geometry only (three walk-back segment tests),
+        # chunked so the live set is (chunk,) not (T^3,)
+        T3 = T * T * T
+        n_pad = -(-T3 // _ORDER3_CHUNK) * _ORDER3_CHUNK
+
+        def geom(q):
+            a = q // (T * T)
+            b = (q // T) % T
+            c = q % T
+            i1q = i1[a]
+            i12q = _mirror(i1q, n[b], dpl[b])
+            i123q = _mirror(i12q, n[c], dpl[c])
+            lstq = jnp.broadcast_to(lst, i1q.shape)
+            p3, ok3 = _seg_tri(lstq, i123q, v0[c], v1[c], v2[c])
+            p2, ok2 = _seg_tri(p3, i12q, v0[b], v1[b], v2[b])
+            _, ok1 = _seg_tri(p2, i1q, v0[a], v1[a], v2[a])
+            return ok1 & ok2 & ok3 & (a != b) & (b != c) & (q < T3)
+
+        qs = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, _ORDER3_CHUNK)
+        ok_all = jax.lax.map(geom, qs).reshape(-1)
+
+        # phase 2 — compact survivors to a fixed capacity, occlusion-test
+        # only them (4 legs each)
+        cap = order3_capacity
+        (idx,) = jnp.nonzero(ok_all, size=cap, fill_value=0)
+        live = jnp.arange(cap) < jnp.sum(ok_all)
+        a = idx // (T * T)
+        b = (idx // T) % T
+        c = idx % T
+        i1q = i1[a]
+        i12q = _mirror(i1q, n[b], dpl[b])
+        i123q = _mirror(i12q, n[c], dpl[c])
+        lstb3 = jnp.broadcast_to(lst, (cap, 3))
+        p3, _ = _seg_tri(lstb3, i123q, v0[c], v1[c], v2[c])
+        p2, _ = _seg_tri(p3, i12q, v0[b], v1[b], v2[b])
+        p1, _ = _seg_tri(p2, i1q, v0[a], v1[a], v2[a])
+        d3_total = jnp.linalg.norm(i123q - lst[None, :], axis=-1)
+        valid3 = (
+            live
+            & _leg_clear(scene_arrays, lstb3, p3)
+            & _leg_clear(scene_arrays, p3, p2)
+            & _leg_clear(scene_arrays, p2, p1)
+            & _leg_clear(scene_arrays, p1, jnp.broadcast_to(src, (cap, 3)))
+        )
+        amp3 = (
+            keep[a] * keep[b] * keep[c]
+            / (d3_total[:, None] + 1.0)
+            * _air_absorption(d3_total, air)
+        )
+        u3 = (p3 - lst[None, :]) / jnp.maximum(
+            jnp.linalg.norm(p3 - lst[None, :], axis=-1, keepdims=True), 1e-9
+        )
+        e3, dd3 = _bin_contribs(d3_total, amp3, u3, valid3, cfg)
+        energy = energy + e3
+        dir_sum = dir_sum + dd3
 
     if include_direct:
         d = direct_ir(scene_arrays, src, lst, cfg=cfg)

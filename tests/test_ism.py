@@ -173,3 +173,69 @@ def test_hybrid_ir_composition():
     want[:, tb:] += np.asarray(tr.energy)[:, tb:]
     np.testing.assert_allclose(np.asarray(hy2.energy), want, rtol=1e-5,
                                atol=1e-12)
+
+
+def test_order3_box_room_analytic_bin_and_amplitude():
+    """Third order, opposite x walls: the two symmetric triple-bounce paths
+    (+x,-x,+x) and (-x,+x,-x) land in one bin at d = 4*Lx - |dx| with
+    energy exactly 2 * (keep^3 / (d+1) * air)^2 per band."""
+    a = 0.2
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 4.0, 6.0)), CFG,
+        absorption=np.full(12, a, np.float32),
+    )
+    src = jnp.asarray([1.0, 0.2, 0.3])
+    lst = jnp.asarray([-1.0, 0.1, -0.2])
+    ir2 = image_source_ir(scene.device_arrays(), src, lst, cfg=CFG, order=2,
+                          include_direct=False)
+    ir3 = image_source_ir(scene.device_arrays(), src, lst, cfg=CFG, order=3,
+                          include_direct=False)
+    e2, e3 = np.asarray(ir2.energy), np.asarray(ir3.energy)
+    # order 3 is a superset of orders 1-2
+    assert e3.sum() > e2.sum()
+    nz2 = np.nonzero(e2.sum(axis=0))[0]
+    # superset: order-3 bins carry at least the order-1/2 energy (third-
+    # order arrivals may add into the same bins)
+    assert (e3[:, nz2] >= e2[:, nz2] * (1.0 - 1e-6)).all()
+
+    # unfold +x,-x,+x: mirrors across x=4, x=-4, x=4 -> image x = xs + 16... :
+    # x -> 8-x -> -8-(8-x) = x-16 -> 8-(x-16) = 24-x; y,z unchanged
+    image = np.float32([24.0 - 1.0, 0.2, 0.3])
+    d = float(np.linalg.norm(image - np.asarray(lst)))
+    b = int(d * CFG.samples_per_meter + 0.5)
+    # strictly a third-order arrival (max 2nd-order image distance ~16 m)
+    assert e2[:, max(0, b - 2) : b + 3].sum() == 0
+    keep = np.sqrt(1.0 - a)
+    amp = keep**3 / (d + 1.0) * np.clip(
+        1.0 - CFG.air_absorption * d * EQ_FREQS, 0.0, 1.0
+    )
+    np.testing.assert_allclose(e3[:, b], 2.0 * amp * amp, rtol=1e-3)
+
+
+def test_order3_fully_absorbing_is_silent():
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 4.0, 6.0)), CFG,
+        absorption=np.ones(12, np.float32),
+    )
+    ir3 = image_source_ir(
+        scene.device_arrays(), jnp.asarray([1.0, 0.2, 0.3]),
+        jnp.asarray([-1.0, 0.1, -0.2]), cfg=CFG, order=3,
+        include_direct=False,
+    )
+    assert float(np.asarray(ir3.energy).sum()) == 0.0
+
+
+def test_hybrid_order3_smoke():
+    import jax
+
+    from audio_raytracing_tpu.models.ism import hybrid_ir
+
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 4.0, 6.0)), CFG,
+        absorption=np.full(12, 0.2, np.float32),
+    )
+    hy = hybrid_ir(scene.device_arrays(), jnp.asarray([1.0, 0.2, 0.3]),
+                   jnp.asarray([-1.0, 0.1, -0.2]), cfg=CFG, order=3,
+                   n_rays=256, max_bounces=4, key=jax.random.PRNGKey(0))
+    e = np.asarray(hy.energy)
+    assert np.isfinite(e).all() and e.sum() > 0
