@@ -52,7 +52,9 @@ def __getattr__(name):
         "trace_irs_multi_listener_sharded": ("parallel.sharding", "trace_irs_multi_listener_sharded"),
         "hybrid_ir": ("models.ism", "hybrid_ir"),
         "diffraction_ir": ("models.diffraction", "diffraction_ir"),
+        "diffraction_ir_utd": ("models.diffraction", "diffraction_ir_utd"),
         "extract_edges": ("models.diffraction", "extract_edges"),
+        "extract_wedges": ("models.diffraction", "extract_wedges"),
         "rigid_transform_arrays": ("models.scene", "rigid_transform_arrays"),
     }
     if name in table:
@@ -70,6 +72,7 @@ __all__ = [
     "render_ir_offline", "render_ir_moving_offline", "render_engine_offline",
     "trace_ir_sharded",
     "trace_irs_multi_source", "trace_irs_multi_listener_sharded",
-    "hybrid_ir", "diffraction_ir", "extract_edges",
+    "hybrid_ir", "diffraction_ir", "diffraction_ir_utd", "extract_edges",
+    "extract_wedges",
     "rigid_transform_arrays", "__version__",
 ]

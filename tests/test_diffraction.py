@@ -99,3 +99,176 @@ def test_additive_with_tracer():
     diff = diffraction_ir(arrays, edges, src, lst, cfg=CFG)
     total = np.asarray(traced.energy) + np.asarray(diff.energy)
     assert total.sum() > np.asarray(traced.energy).sum()
+
+
+# ---------------------------------------------------------------------------
+# UTD wedge coefficient
+# ---------------------------------------------------------------------------
+
+def test_extract_wedges_geometry():
+    from audio_raytracing_tpu.models.diffraction import extract_wedges
+
+    # thin screen: 4 boundary edges, all n_w = 2 (half-plane limit)
+    w_scr = extract_wedges(screen())
+    assert w_scr.edges.shape == (4, 2, 3)
+    np.testing.assert_allclose(w_scr.n_w, 2.0)
+    # box room (inward winding): 12 inside corners, air sector = pi/2
+    w_room = extract_wedges(box_room())
+    assert w_room.edges.shape == (12, 2, 3)
+    np.testing.assert_allclose(w_room.n_w, 0.5, atol=1e-5)
+    # frames are orthonormal and yhat sweeps from the o-face tangent
+    for W in (w_scr, w_room):
+        np.testing.assert_allclose(
+            np.sum(W.xhat * W.yhat, axis=-1), 0.0, atol=1e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(W.xhat, axis=-1), 1.0, atol=1e-5)
+
+
+def _top_edge_bin(lst):
+    d = float(np.linalg.norm([2.0, -1.0, 0.0])
+              + np.linalg.norm(np.asarray(lst) - np.asarray([0.0, 1.0, 0.0])))
+    return d, int(d * CFG.samples_per_meter + 0.5)
+
+
+def test_utd_knife_edge_matches_kurze_anderson():
+    """For a thin screen (n_w = 2) the UTD coefficient must agree with the
+    Kurze-Anderson knife-edge fit: within ~1 dB where the fit is good
+    (N >~ 0.1), within a few dB at near-zero Fresnel numbers where K-A's
+    +5 dB floor is known to overshoot (UTD is the rigorous one there)."""
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd, extract_wedges)
+
+    tris = screen()
+    arrays = Scene.from_triangles(tris, CFG).device_arrays()
+    edges = extract_edges(tris)
+    wedges = extract_wedges(tris)
+    src = jnp.asarray([2.0, 0.0, 0.0])
+    for lst in ([-2.0, 0.0, 0.0], [-2.0, -0.5, 0.0], [-4.0, 0.3, 0.0]):
+        l = jnp.asarray(lst)
+        e_ka = np.asarray(diffraction_ir(arrays, edges, src, l, cfg=CFG).energy)
+        e_ut = np.asarray(
+            diffraction_ir_utd(arrays, wedges, src, l, cfg=CFG).energy)
+        _, b = _top_edge_bin(lst)
+        w = slice(max(0, b - 1), b + 2)
+        ka = e_ka[:, w].sum(axis=1)
+        ut = e_ut[:, w].sum(axis=1)
+        # skip bands the air-absorption clamp already silenced (0/0)
+        live = ka > 1e-20
+        db = 10.0 * np.log10(ut[live] / ka[live])
+        assert np.abs(db[1:]).max() < 2.0, db
+        assert abs(db[0]) < 4.0, db
+
+
+def test_utd_shadow_boundary_half_field():
+    """Just inside the shadow boundary the diffracted field approaches half
+    the incident field (total-field continuity across the boundary) — the
+    singular cot x F limit at work. Checked at the bands whose wavelength
+    is short against the geometry (the low bands are still mid-transition,
+    physically)."""
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd, extract_wedges)
+    from audio_raytracing_tpu.ops.eq import EQ_FREQS
+
+    tris = screen()
+    arrays = Scene.from_triangles(tris, CFG).device_arrays()
+    wedges = extract_wedges(tris)
+    src = jnp.asarray([2.0, 0.0, 0.0])
+    lst = [-2.0, 2.0 - 0.02, 0.0]  # boundary passes through (-2, 2, 0)
+    e = np.asarray(
+        diffraction_ir_utd(arrays, wedges, src, jnp.asarray(lst), cfg=CFG).energy)
+    d, b = _top_edge_bin(lst)
+    air = np.clip(1.0 - CFG.air_absorption * d * EQ_FREQS, 0.0, 1.0)
+    gain = np.sqrt(e[:, max(0, b - 1): b + 2].sum(axis=1)) * (d + 1.0) / air
+    assert 0.35 < gain[2] < 0.65, gain
+    assert 0.35 < gain[3] < 0.65, gain
+
+
+def test_utd_terms_match_gtd_identity():
+    """In the F -> 1 regime (kL large, away from boundaries) the two
+    incidence cotangent terms must collapse to Keller's closed-form GTD
+    wedge factor: cot((pi+b)/2n) + cot((pi-b)/2n)
+    = 2 sin(pi/n) / (cos(b/n) - cos(pi/n))."""
+    from audio_raytracing_tpu.models.diffraction import _utd_term
+
+    kl = jnp.full((1, 1), 1.0e4)
+    for n in (0.7, 1.5, 2.0):
+        nn = jnp.asarray([n])
+        for b in (0.3, 1.1, 2.0, 2.6):
+            if abs(abs(b) - np.pi) < 0.3:
+                continue  # near a boundary, F != 1 by design
+            r1, i1 = _utd_term(jnp.asarray(np.pi + b), nn, kl)
+            r2, i2 = _utd_term(jnp.asarray(np.pi - b), nn, kl)
+            got = float(r1[0, 0] + r2[0, 0])
+            want = 2.0 * np.sin(np.pi / n) / (np.cos(b / n) - np.cos(np.pi / n))
+            np.testing.assert_allclose(got, want, rtol=5e-2)
+            # F ~ 1: imaginary parts are asymptotically small
+            assert abs(float(i1[0, 0] + i2[0, 0])) < 0.1 * abs(got) + 0.05
+
+
+def test_utd_wedge_scene_shadow():
+    """A 90-degree outside corner (wall + roof, n_w = 1.5): a listener in
+    the wedge's shadow sector (between the shadow boundary and the roof
+    face) hears a finite attenuated arrival at the apex delay; a listener
+    outside it hears nothing from this model."""
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd, extract_wedges)
+    from audio_raytracing_tpu.ops.eq import EQ_FREQS
+
+    z = 4.0
+    wall = np.float32([
+        [[0, -3, -z], [0, 1, -z], [0, 1, z]],
+        [[0, -3, -z], [0, 1, z], [0, -3, z]],
+    ])
+    roof = np.float32([
+        [[-3, 1, -z], [-3, 1, z], [0, 1, z]],
+        [[-3, 1, -z], [0, 1, z], [0, 1, -z]],
+    ])
+    tris = np.concatenate([wall, roof])
+    arrays = Scene.from_triangles(tris, CFG).device_arrays()
+    W = extract_wedges(tris)
+    # the corner edge was classified as a 3/2-wedge
+    corner = [i for i in range(len(W.n_w))
+              if np.allclose(W.edges[i, :, 1], 1.0)
+              and np.allclose(W.edges[i, :, 0], 0.0)]
+    assert corner and abs(W.n_w[corner[0]] - 1.5) < 1e-5
+
+    src = jnp.asarray([2.0, 0.0, 0.0])
+    # shadow sector for this src spans listener directions between the
+    # shadow boundary (incident continuation) and the roof; (-2.9, 1.78)
+    # sits mid-sector, above the roof plane (in air)
+    lst = jnp.asarray([-2.9, 1.78, 0.0])
+    e = np.asarray(diffraction_ir_utd(arrays, W, src, lst, cfg=CFG).energy)
+    d = float(np.linalg.norm([2.0, -1.0, 0.0])
+              + np.linalg.norm(np.asarray([-2.9, 0.78, 0.0])))
+    b = int(d * CFG.samples_per_meter + 0.5)
+    band_e = e[:, max(0, b - 1): b + 2].sum(axis=1)
+    assert (band_e > 0).all() and np.isfinite(band_e).all()
+    # attenuated relative to free field at the diffracted distance
+    air = np.clip(1.0 - CFG.air_absorption * d * EQ_FREQS, 0.0, 1.0)
+    gain = np.sqrt(band_e) * (d + 1.0) / np.maximum(air, 1e-9)
+    # bands with kL >~ 1 attenuate; the 4 Hz band (kL ~ 0.1) is below
+    # UTD's asymptotic validity — its overlapping shadow+reflection
+    # transition regions may push slightly past unity, bounded here
+    assert (gain[1:] < 1.0).all(), gain
+    assert gain[0] < 2.0, gain
+    # a lit listener (direct path clear) gets nothing
+    e_lit = np.asarray(diffraction_ir_utd(
+        arrays, W, src, jnp.asarray([2.0, 3.0, 0.0]), cfg=CFG).energy)
+    assert float(e_lit.sum()) == 0.0
+
+
+def test_utd_reciprocity():
+    """Swapping source and listener leaves every arrival's energy unchanged
+    (the UTD coefficient is symmetric in phi/phi0 and s/s')."""
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd, extract_wedges)
+
+    tris = screen()
+    arrays = Scene.from_triangles(tris, CFG).device_arrays()
+    wedges = extract_wedges(tris)
+    a = jnp.asarray([2.0, 0.3, 0.5])
+    b = jnp.asarray([-2.5, -0.4, -0.8])
+    e1 = np.asarray(diffraction_ir_utd(arrays, wedges, a, b, cfg=CFG).energy)
+    e2 = np.asarray(diffraction_ir_utd(arrays, wedges, b, a, cfg=CFG).energy)
+    assert e1.sum() > 0
+    np.testing.assert_allclose(e1, e2, rtol=1e-4, atol=1e-12)
