@@ -169,3 +169,70 @@ def trace_irs_multi_source(
         check_vma=False,
     )
     return fn(jnp.asarray(sources), dirs, jnp.asarray(listener), scene_arrays)
+
+
+def trace_irs_multi_source_multi_listener(
+    scene_arrays,
+    sources,
+    listeners,
+    mesh: Mesh,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+) -> ImpulseResponse:
+    """Combined fan-out over a 3-axis ("sources", "listeners", "rays") mesh.
+
+    sources (S, 3) split over "sources", listeners (L, 3) over
+    "listeners", the ray wavefront over "rays"; each (source-, listener-)
+    subgrid runs the shared-path tracer (one path trace per ray shard,
+    per-listener NEE) and the histograms psum over "rays" only — source
+    and listener axes never communicate. Returns IRs stacked (S, L, ...)
+    and sharded P("sources", "listeners")."""
+    n_rays = n_rays or cfg.rays_per_source
+    s_shards = mesh.shape["sources"]
+    l_shards = mesh.shape["listeners"]
+    r_shards = mesh.shape["rays"]
+    S = sources.shape[0]
+    L = listeners.shape[0]
+    assert S % s_shards == 0, (S, s_shards)
+    assert L % l_shards == 0, (L, l_shards)
+    assert n_rays % r_shards == 0, (n_rays, r_shards)
+    dirs = jnp.asarray(fibonacci_sphere(n_rays))
+
+    def shard_fn(sources_local, listeners_local, dirs_local, scene_local):
+        from ..models.ir import trace_ir_multi_listener
+
+        lead = (jax.lax.axis_index("rays") == 0).astype(jnp.float32)
+
+        def one(src):
+            ir = trace_ir_multi_listener(
+                scene_local, src, listeners_local, cfg=cfg,
+                max_bounces=max_bounces, dirs=dirs_local, total_rays=n_rays,
+                include_direct=False,
+            )
+            d = jax.vmap(
+                lambda l: direct_ir(scene_local, src, l, cfg=cfg)
+            )(listeners_local)
+            return ImpulseResponse(
+                energy=ir.energy + d.energy * lead,
+                dir_sum=ir.dir_sum + d.dir_sum * lead,
+            )
+
+        irs = jax.vmap(one)(sources_local)  # (S_loc, L_loc, ...)
+        return ImpulseResponse(
+            energy=jax.lax.psum(irs.energy, "rays"),
+            dir_sum=jax.lax.psum(irs.dir_sum, "rays"),
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("sources"), P("listeners"), P("rays"), P()),
+        out_specs=ImpulseResponse(
+            energy=P("sources", "listeners"), dir_sum=P("sources", "listeners")
+        ),
+        check_vma=False,
+    )
+    return fn(
+        jnp.asarray(sources), jnp.asarray(listeners), dirs, scene_arrays
+    )

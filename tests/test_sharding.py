@@ -150,3 +150,39 @@ def test_multi_listener_sharded_matches_single_device():
             np.asarray(got.energy[i]), np.asarray(want.energy),
             rtol=1e-4, atol=1e-9,
         )
+
+
+def test_multi_source_multi_listener_mesh_matches_unsharded(scene):
+    """3-axis ("sources", "listeners", "rays") mesh: the combined fan-out
+    equals the unsharded shared-path tracer per (source, listener) pair,
+    and carries the right output sharding."""
+    from audio_raytracing_tpu.models.ir import trace_ir_multi_listener
+    from audio_raytracing_tpu.parallel.sharding import (
+        trace_irs_multi_source_multi_listener,
+    )
+
+    sources = jnp.asarray([[1.5, 0.3, 0.8], [-1.2, -0.4, 1.0]])
+    listeners = jnp.asarray([[-2.0, 0.0, -1.5], [0.5, 0.8, -0.5]])
+    mesh = make_mesh(8, ("sources", "listeners", "rays"), (2, 2, 2))
+    got = trace_irs_multi_source_multi_listener(
+        scene.device_arrays(), sources, listeners, mesh, cfg=CFG
+    )
+    assert got.energy.shape == (2, 2, 4, CFG.ir_n_bins)
+    names = {
+        getattr(p, "name", p)
+        for p in got.energy.sharding.spec if p is not None
+    }
+    assert "sources" in names and "listeners" in names
+
+    for s in range(2):
+        want = trace_ir_multi_listener(
+            scene.device_arrays(), sources[s], listeners, cfg=CFG
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.energy[s]), np.asarray(want.energy),
+            rtol=1e-5, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.dir_sum[s]), np.asarray(want.dir_sum),
+            rtol=1e-5, atol=1e-8,
+        )
