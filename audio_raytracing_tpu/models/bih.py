@@ -287,3 +287,66 @@ def raycast_brute(aabb_low, aabb_high, values, src, direction, capacity: int = 1
     dd = dists[ok]
     order = np.argsort(dd, kind="stable")[:capacity]
     return vals[order], dd[order]
+
+
+def refit_bih(arena: BIHArena, aabb_low, aabb_high) -> BIHArena:
+    """Recompute all bounds for moved primitives WITHOUT rebuilding.
+
+    The reference has no refit — any geometry change rebuilds the whole
+    Space (SURVEY.md §5: all state rebuilt at launch). Here animated scenes
+    keep the tree topology (splits, prim order, leaves) and only recompute
+    the per-prim AABBs and every internal node's left_max/right_min
+    interval bounds bottom-up. Queries stay exactly correct (the bounds
+    still bound their subtrees); quality degrades gracefully if prims drift
+    far from their build-time positions — rebuild occasionally for that.
+
+    aabb_low/aabb_high: (P, 3) in the ARENA's prim order (the build-time
+    reordering; Space.refit maps insertion order for you). O(P log P)
+    host-side, like the build."""
+    low = np.ascontiguousarray(np.asarray(aabb_low, np.float32))
+    high = np.ascontiguousarray(np.asarray(aabb_high, np.float32))
+    assert low.shape == (arena.n_prims, 3) and high.shape == low.shape
+    N = arena.n_nodes
+    left_max = np.array(arena.left_max, copy=True)
+    right_min = np.array(arena.right_min, copy=True)
+    if N == 0:
+        return BIHArena(
+            axis=arena.axis, left_max=left_max, right_min=right_min,
+            left=arena.left, right=arena.right, leaf_start=arena.leaf_start,
+            leaf_count=arena.leaf_count, aabb_low=low, aabb_high=high,
+            values=arena.values,
+        )
+    # post-order: compute each node's contiguous prim range, then the
+    # split-axis bounds of its children's ranges
+    lo_r = np.zeros(N, np.int64)
+    hi_r = np.zeros(N, np.int64)
+    stack = [(0, False)]
+    order = []
+    while stack:
+        node, done = stack.pop()
+        if arena.axis[node] == LEAF_AXIS:
+            lo_r[node] = arena.leaf_start[node]
+            hi_r[node] = arena.leaf_start[node] + arena.leaf_count[node]
+            continue
+        if not done:
+            stack.append((node, True))
+            stack.append((int(arena.left[node]), False))
+            stack.append((int(arena.right[node]), False))
+        else:
+            l, r = int(arena.left[node]), int(arena.right[node])
+            lo_r[node] = min(lo_r[l], lo_r[r])
+            hi_r[node] = max(hi_r[l], hi_r[r])
+            order.append(node)
+    for node in order:
+        ax = int(arena.axis[node])
+        l, r = int(arena.left[node]), int(arena.right[node])
+        ll, lh = lo_r[l], hi_r[l]
+        rl, rh = lo_r[r], hi_r[r]
+        left_max[node] = high[ll:lh, ax].max() if lh > ll else -np.inf
+        right_min[node] = low[rl:rh, ax].min() if rh > rl else np.inf
+    return BIHArena(
+        axis=arena.axis, left_max=left_max, right_min=right_min,
+        left=arena.left, right=arena.right, leaf_start=arena.leaf_start,
+        leaf_count=arena.leaf_count, aabb_low=low, aabb_high=high,
+        values=arena.values,
+    )

@@ -281,3 +281,70 @@ def test_rigid_transform_masked_subset():
     # with the panel in place the direct path is occluded; moved away it is not
     assert np.asarray(blocked.energy)[:, b].sum() == 0.0
     assert np.asarray(open_.energy)[:, b].sum() > 0.0
+
+
+def test_refit_unchanged_is_identical(rng):
+    """Refitting with the original boxes reproduces the arena bit-exactly."""
+    from audio_raytracing_tpu.models.bih import refit_bih
+
+    low, high = _random_boxes(rng, 60)
+    arena = build_bih(low, high, np.arange(60, dtype=np.int32), max_leaf_size=8)
+    re = refit_bih(arena, arena.aabb_low, arena.aabb_high)
+    np.testing.assert_array_equal(re.left_max, arena.left_max)
+    np.testing.assert_array_equal(re.right_min, arena.right_min)
+    np.testing.assert_array_equal(re.values, arena.values)
+
+
+def test_refit_fuzz_vs_brute(rng):
+    """After moving a random subset of boxes and refitting, queries keep the
+    reference-oracle guarantees (subset of brute force, exact distances,
+    ascending order) against the MOVED boxes."""
+    from audio_raytracing_tpu.models.bih import refit_bih
+
+    for _ in range(8):
+        n = int(rng.integers(8, 100))
+        low, high = _random_boxes(rng, n)
+        values = np.arange(n, dtype=np.int32)
+        arena = build_bih(low, high, values, max_leaf_size=8)
+        # move ~third of the prims (arena order) by a random offset
+        m = rng.random(n) < 0.35
+        shift = (rng.random((n, 3), dtype=np.float32) - 0.5) * 6.0
+        new_low = arena.aabb_low + np.where(m[:, None], shift, 0.0)
+        new_high = arena.aabb_high + np.where(m[:, None], shift, 0.0)
+        arena2 = refit_bih(arena, new_low, new_high)
+        # brute oracle over the moved boxes in arena order
+        for _ in range(10):
+            src = (rng.random(3, dtype=np.float32) - 0.5) * 20
+            d = rng.random(3, dtype=np.float32) - 0.5
+            if np.linalg.norm(d) < 1e-3:
+                continue
+            vals_b, dists_b = raycast_brute(
+                new_low, new_high, arena2.values, src, d, capacity=128
+            )
+            vals_t, dists_t = raycast_bih(arena2, src, d, capacity=128)
+            assert np.all(np.diff(dists_t) >= 0)
+            brute = {int(v): float(t) for v, t in zip(vals_b, dists_b)}
+            for v, t in zip(vals_t, dists_t):
+                assert int(v) in brute
+                np.testing.assert_allclose(t, brute[int(v)], rtol=1e-5, atol=1e-5)
+
+
+def test_space_refit_transform_translation():
+    """Space parity API: translate one box, refit, and the query follows it;
+    pure translations keep exact AABBs."""
+    from audio_raytracing_tpu.models.space import SpaceBuilder
+
+    b = SpaceBuilder()
+    b.add([0.0, -1.0, -1.0], [0.5, 1.0, 1.0], 7)   # target, at x ~ 0
+    b.add([5.0, -1.0, -1.0], [5.5, 1.0, 1.0], 9)   # bystander at x ~ 5
+    s = b.finish()
+    vals, dists = s.raycast(np.float32([-3, 0, 0]), np.float32([1, 0, 0]))
+    assert list(vals) == [7, 9]
+    # move box 7 (insertion index 0) to x ~ 10
+    s.refit_transform(np.eye(3), [10.0, 0.0, 0.0], mask=[True, False])
+    vals, dists = s.raycast(np.float32([-3, 0, 0]), np.float32([1, 0, 0]))
+    assert list(vals) == [9, 7]
+    np.testing.assert_allclose(dists[1], 13.0, rtol=1e-6)  # -3 -> 10
+    # off-axis ray no longer sees the moved box at the old spot
+    vals2, _ = s.raycast(np.float32([0.25, 0.0, -5.0]), np.float32([0, 0, 1.0]))
+    assert 7 not in list(vals2)
