@@ -13,7 +13,7 @@ app/demo.py is the face of the interactive engine:
 — e.g. --material Floor=carpet --material Walls=brick. --speakers N writes
 an N-channel speaker-rig WAV (fibonacci rig) instead of binaural stereo.
 --model picks the acoustic model family: the Monte-Carlo specular tracer
-(default), exact image sources (orders <= 2), or the ISM+tail hybrid.
+(default), exact image sources (orders <= 3), or the ISM+tail hybrid.
 """
 
 from __future__ import annotations

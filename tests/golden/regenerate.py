@@ -112,7 +112,61 @@ def offline_wav():
     print("wrote offline_wav.npz", out.shape, float(np.abs(out).max()))
 
 
+def golden_cli_case(tmp_dir):
+    """Deterministic offline-CLI scenario: writes the dry WAV into tmp_dir,
+    returns (argv maker, model-family extra args). Shared by
+    offline_cli_wavs() and tests/test_app.py::test_golden_offline_cli."""
+    from audio_raytracing_tpu.utils.wav import write_wav
+
+    sr = DEFAULT_CONFIG.sample_rate
+    t = np.arange(3000, dtype=np.float32) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t) * np.exp(-t * 8.0)).astype(
+        np.float32
+    )
+    dry = Path(tmp_dir) / "dry.wav"
+    write_wav(dry, tone[:, None], sr)
+
+    def argv(out_path, extra):
+        return [
+            str(ROOT / "data" / "world.obj"), str(out_path),
+            "--source", str(dry), "2,0.5,1",
+            "--listener", "0,0,0", "--yaw", "0.3",
+            "--ir-length", "2048", "--rays", "512", "--bounces", "3",
+        ] + extra
+
+    cases = {
+        "trace": [],
+        "ism": ["--model", "ism", "--ism-order", "2"],
+        "hybrid": ["--model", "hybrid", "--seed", "7"],
+    }
+    return argv, cases
+
+
+def offline_cli_wavs():
+    """Golden WAVs for the offline CLI, one per acoustic model family —
+    guards the whole CLI surface (arg plumbing, model dispatch, decode
+    chain, WAV writer)."""
+    import tempfile
+
+    from audio_raytracing_tpu.app.offline import main as cli_main
+    from audio_raytracing_tpu.utils.wav import read_wav
+
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        argv, cases = golden_cli_case(td)
+        for name, extra in cases.items():
+            wav = Path(td) / f"{name}.wav"
+            cli_main(argv(wav, extra))
+            samples, sr = read_wav(wav)
+            assert sr == DEFAULT_CONFIG.sample_rate
+            out[name] = np.asarray(samples, np.float32)
+    np.savez(HERE / "offline_cli_wavs.npz", **out)
+    print("wrote offline_cli_wavs.npz",
+          {k: (v.shape, round(float(np.abs(v).max()), 4)) for k, v in out.items()})
+
+
 if __name__ == "__main__":
     world_ir()
     engine_wav()
     offline_wav()
+    offline_cli_wavs()

@@ -157,3 +157,35 @@ def test_offline_cli_models(tmp_path):
             assert audio.shape[1] == 8
         else:
             assert audio.shape[1] == 2
+
+
+def test_golden_offline_cli(tmp_path):
+    """Golden WAVs for the offline CLI, one per acoustic model family
+    (trace / ism / hybrid): the full CLI surface — arg plumbing, model
+    dispatch, decode chain, WAV writer — must reproduce the committed
+    waveforms (regenerate deliberately via tests/golden/regenerate.py)."""
+    import importlib.util as ilu
+    from pathlib import Path
+
+    import numpy as np
+
+    from audio_raytracing_tpu.app.offline import main as cli_main
+    from audio_raytracing_tpu.utils.wav import read_wav
+
+    golden_dir = Path(__file__).parent / "golden"
+    spec = ilu.spec_from_file_location("regen_cli", golden_dir / "regenerate.py")
+    regen = ilu.module_from_spec(spec)
+    spec.loader.exec_module(regen)
+
+    argv, cases = regen.golden_cli_case(tmp_path)
+    with np.load(golden_dir / "offline_cli_wavs.npz") as z:
+        want = {k: z[k] for k in z.files}
+    assert set(cases) == set(want)
+    for name, extra in cases.items():
+        wav = tmp_path / f"{name}.wav"
+        msg = cli_main(argv(wav, extra))
+        assert f"model={name}" in msg
+        got, sr = read_wav(wav)
+        assert sr == 44100
+        assert got.shape == want[name].shape
+        np.testing.assert_allclose(got, want[name], atol=1e-5)
