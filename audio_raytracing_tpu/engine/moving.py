@@ -1,6 +1,6 @@
-"""Moving-source offline renderer: doppler on the direct path, keyframed
-reflection tails (the IR-pipeline analogue of the engine's per-voice
-doppler).
+"""Moving-source AND moving-listener offline renderer: doppler on the
+direct path, keyframed reflection tails (the IR-pipeline analogue of the
+engine's per-voice doppler).
 
 The interactive engine already pitch-shifts moving voices by fetching
 samples `sr * d / c` behind the write cursor with the distance lerped
@@ -64,19 +64,25 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 @partial(jax.jit, static_argnames=("n_out", "air"))
-def _direct_doppler_bed(dry_pad, pos_k, vis_k, t_keys, listener, gain,
+def _direct_doppler_bed(dry_pad, pos_k, lst_k, vis_k, t_keys, gain,
                         n_out: int, air: float, spm):
-    """Per-sample doppler-resampled direct-path ambisonic bed (4, n_out).
+    """Per-sample doppler-resampled direct-path ambisonic bed (4, n_out),
+    in the WORLD frame (the caller applies listener rotation).
 
     dry_pad: (n_dry + 1,) dry signal with one trailing zero (the fetch's
-    +1 neighbour); pos_k (K, 3) keyframe source positions; vis_k (K,)
-    keyframe visibilities; t_keys (K,) keyframe times in samples.
+    +1 neighbour); pos_k / lst_k: (K, 3) keyframe source / listener
+    positions (listener motion doppler-shifts through the same total-path
+    law); vis_k (K,) keyframe visibilities; t_keys (K,) keyframe times in
+    samples.
     """
     i = jnp.arange(n_out, dtype=jnp.float32)
     pos = jnp.stack(
         [jnp.interp(i, t_keys, pos_k[:, c]) for c in range(3)], axis=-1
     )  # (n_out, 3)
-    sh, dist = sh_encode(pos - listener[None, :])  # (n_out, 4), (n_out,)
+    lpos = jnp.stack(
+        [jnp.interp(i, t_keys, lst_k[:, c]) for c in range(3)], axis=-1
+    )
+    sh, dist = sh_encode(pos - lpos)  # (n_out, 4), (n_out,)
     # the IR pipeline's direct amplitude: band-mean energy -> broadband gain
     amp = jnp.clip(1.0 - air * dist[:, None] * EQ_FREQS, 0.0, 1.0) / (
         dist[:, None] + 1.0
@@ -132,7 +138,7 @@ def _tail_stream(dry_blocks, spec_re, spec_im, k_idx, k_prev):
 def render_ir_moving_offline(
     scene: Scene,
     sources: Sequence[dict],
-    listener_pos,
+    listener_pos=None,
     listener_yaw: float = 0.0,
     listener_pitch: float = 0.0,
     cfg: Config = DEFAULT_CONFIG,
@@ -141,15 +147,22 @@ def render_ir_moving_offline(
     max_bounces: int | None = None,
     intersector: str = "mt",
     hrtf=None,
+    listener_track=None,
 ) -> np.ndarray:
-    """Offline render with moving sources: true direct-path doppler +
-    keyframed reflection tails.
+    """Offline render with moving sources AND/OR a moving listener: true
+    direct-path doppler + keyframed reflection tails.
 
     sources: [{"samples": mono f32, "track": t_sec -> (3,) position,
     "gain": g}]; a static source may give "pos" instead of "track".
-    Listener is static (pos + yaw/pitch). Returns (n + ir + taps - 2, 2)
-    f32 stereo — the same length as render_ir_offline, to which this is
-    exactly equivalent when every track is constant.
+    The listener is either static (listener_pos + yaw/pitch) or moving:
+    listener_track(t_sec) -> (pos (3,), yaw, pitch). Listener translation
+    doppler-shifts the direct path through the same total-distance fetch
+    law as source motion; listener rotation is applied per SAMPLE to the
+    direct bed (the reference rotates its ambisonic bed per sample,
+    sound_system.zig:480-492) and per KEYFRAME to the tail spectra.
+    Returns (n + ir + taps - 2, 2) f32 stereo — the same length as
+    render_ir_offline, to which this is exactly equivalent when every
+    track is constant.
     """
     from .system import default_hrtf
 
@@ -158,10 +171,12 @@ def render_ir_moving_offline(
     hr = jnp.asarray(hr)
     taps = hl.shape[-1]
     arrays = scene.device_arrays()
-    listener = jnp.asarray(listener_pos, jnp.float32)
-    orient = jnp.asarray(quat.quat_from_roll_pitch_yaw(
-        np.float32(listener_pitch), np.float32(listener_yaw), np.float32(0.0)
-    ))
+    if listener_track is None:
+        if listener_pos is None:
+            raise ValueError("give listener_pos or listener_track")
+        _lp = np.asarray(listener_pos, np.float32)
+        _ly, _lpi = float(listener_yaw), float(listener_pitch)
+        listener_track = lambda t: (_lp, _ly, _lpi)  # noqa: E731
     sr = cfg.sample_rate
     B = cfg.block_size
     L = cfg.ir_n_bins
@@ -181,6 +196,23 @@ def render_ir_moving_offline(
         p = np.asarray(s["pos"], np.float32)
         return lambda t: p
 
+    # ---- keyframe poses ----------------------------------------------------
+    lst_k = np.zeros((K, 3), np.float32)
+    quat_k = np.zeros((K, 4), np.float32)
+    for k, t in enumerate(t_keys):
+        lp, ly, lpi = listener_track(float(t) / sr)
+        lst_k[k] = np.asarray(lp, np.float32)
+        quat_k[k] = np.asarray(quat.quat_from_roll_pitch_yaw(
+            np.float32(lpi), np.float32(ly), np.float32(0.0)
+        ))
+    # keep quaternion keyframes in one hemisphere so per-sample nlerp
+    # never interpolates through the antipode
+    for k in range(1, K):
+        if float(np.dot(quat_k[k], quat_k[k - 1])) < 0.0:
+            quat_k[k] = -quat_k[k]
+    lst_kj = jnp.asarray(lst_k)
+    quat_kj = jnp.asarray(quat_k)
+
     # ---- keyframe positions, visibility, tail IR spectra ------------------
     v0, v1, v2 = arrays.v0, arrays.v1, arrays.v2
     all_spec_re, all_spec_im = [], []
@@ -191,19 +223,19 @@ def render_ir_moving_offline(
         pk = np.stack([np.asarray(track(t / sr), np.float32) for t in t_keys])
         pos_keys.append(pk)
         # occlusion visibility at keyframes (direct_ir's test, models/ir.py)
-        to_l = listener[None, :] - jnp.asarray(pk)
+        to_l = lst_kj - jnp.asarray(pk)
         d_k = jnp.linalg.norm(to_l, axis=-1)
         safe = jnp.where(d_k[:, None] < 1e-6, jnp.float32([[1, 0, 0]]), to_l)
         t_occ, _, _ = nearest_hit(jnp.asarray(pk), safe, v0, v1, v2)
         vis_keys.append(jnp.where((t_occ >= d_k) | (d_k < 1e-6), 1.0, 0.0))
-        # reflection-only IR per unique keyframe position (static sources
+        # reflection-only IR per unique keyframe pose pair (static poses
         # and dwell points trace once)
         amb_irs = []
-        for row in pk:
-            key = row.tobytes()
+        for k, row in enumerate(pk):
+            key = row.tobytes() + lst_k[k].tobytes()
             if key not in ir_cache:
                 ir = trace_ir(
-                    arrays, jnp.asarray(row), listener, cfg=cfg,
+                    arrays, jnp.asarray(row), lst_kj[k], cfg=cfg,
                     n_rays=n_rays, max_bounces=max_bounces,
                     include_direct=False, intersector=intersector,
                 )
@@ -211,8 +243,8 @@ def render_ir_moving_offline(
             amb_irs.append(ir_cache[key])
         amb_k = jnp.stack(amb_irs)  # (K, 4, L)
         re, im = jax.vmap(
-            lambda a: cp.binaural_ir_spectra_real(a, orient, hl, hr, B)
-        )(amb_k)  # (K, 2, P, F)
+            lambda a, q: cp.binaural_ir_spectra_real(a, q, hl, hr, B)
+        )(amb_k, quat_kj)  # (K, 2, P, F)
         all_spec_re.append(re)
         all_spec_im.append(im)
         g = float(s.get("gain", 1.0))
@@ -242,13 +274,21 @@ def render_ir_moving_offline(
     for si in range(S):
         dry_pad = jnp.asarray(np.pad(dry_pads[si], (0, 1)))
         b = _direct_doppler_bed(
-            dry_pad, jnp.asarray(pos_keys[si]), vis_keys[si],
-            jnp.asarray(t_keys), listener, gains[si],
+            dry_pad, jnp.asarray(pos_keys[si]), lst_kj, vis_keys[si],
+            jnp.asarray(t_keys), gains[si],
             n_out=n_bed, air=cfg.air_absorption, spm=cfg.samples_per_meter,
         )
         bed = b if bed is None else bed + b
+    # per-sample listener rotation: nlerp the keyframe quaternions (the
+    # reference rotates the bed per sample, sound_system.zig:480-492)
+    i = jnp.arange(n_bed, dtype=jnp.float32)
+    q = jnp.stack(
+        [jnp.interp(i, jnp.asarray(t_keys), quat_kj[:, c]) for c in range(4)],
+        axis=-1,
+    )
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
     xyz = bed[1:4].T
-    rot = quat.rotate(orient[None, :], xyz).T
+    rot = quat.rotate(q, xyz).T
     bed_rot = jnp.concatenate([bed[:1], rot], axis=0)
     left = jnp.sum(cp.convolve_direct(bed_rot, hl), axis=0)
     right = jnp.sum(cp.convolve_direct(bed_rot, hr), axis=0)

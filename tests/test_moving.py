@@ -114,3 +114,76 @@ def test_moving_source_keyframed_tail_reacts():
     # the signal's own variation
     jumps = np.abs(np.diff(out[:, 0]))
     assert jumps.max() < 12 * np.percentile(jumps, 99) + 1e-4
+
+
+def test_moving_listener_doppler_and_rotation():
+    """A listener moving toward a static source gets the same 1 + v/c
+    pitch shift (total-path fetch law); a rotating listener pans the
+    source across the stereo image."""
+    scene = Scene.from_triangles(
+        box_room(size=(60.0, 6.0, 6.0)), CFG,
+        absorption=np.ones(12, np.float32),
+    )
+    sr = 44100
+    dur = 0.5
+    v = 35.0
+    f0 = 440.0
+    n = int(sr * dur)
+    dry = np.sin(2 * np.pi * f0 * np.arange(n) / sr).astype(np.float32)
+
+    def lst_track(t):
+        return (np.asarray([-25.0 + v * min(t, dur), 0.0, 0.0], np.float32),
+                0.0, 0.0)
+
+    out = render_ir_moving_offline(
+        scene, [{"samples": dry, "pos": [0.0, 0.0, 0.0]}],
+        cfg=CFG, listener_track=lst_track,
+    )
+    w = out[8000:20000, 0]
+    assert np.abs(w).max() > 1e-4
+    crossings = np.sum(np.diff(np.signbit(w)))
+    f_meas = crossings / 2 / (len(w) / sr)
+    f_want = f0 * (1.0 + v / 350.0)
+    assert abs(f_meas - f_want) / f_want < 0.02, (f_meas, f_want)
+
+    # rotation: source ahead (+x); yaw sweeping pi/2 moves it across the
+    # image — the L/R energy balance of the first and last quarters differ
+    def rot_track(t):
+        return (np.asarray([-3.0, 0.0, 0.0], np.float32),
+                min(t, dur) * np.pi, 0.0)
+
+    out2 = render_ir_moving_offline(
+        scene, [{"samples": dry, "pos": [0.0, 0.0, 0.0]}],
+        cfg=CFG, listener_track=rot_track,
+    )
+    assert np.isfinite(out2).all()
+    q = len(out2) // 4
+
+    def balance(x):
+        el = float(np.sum(x[:, 0] ** 2))
+        er = float(np.sum(x[:, 1] ** 2))
+        return (el - er) / (el + er + 1e-12)
+
+    b_first = balance(out2[500 : q])
+    b_last = balance(out2[3 * q : 4 * q - 200])
+    assert abs(b_first - b_last) > 0.1, (b_first, b_last)
+
+
+def test_moving_listener_static_track_matches_static_args():
+    """A constant listener_track must equal the listener_pos/yaw path."""
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 3.0, 6.0)), CFG,
+        absorption=np.full(12, 0.3, np.float32),
+    )
+    n = 2048
+    dry = (0.4 * np.sin(2 * np.pi * 330 * np.arange(n) / 44100)).astype(np.float32)
+    a = render_ir_moving_offline(
+        scene, [{"samples": dry, "pos": [1.0, 0.0, 0.0]}], [0.1, 0.0, -0.2],
+        listener_yaw=0.4, cfg=CFG,
+    )
+    b = render_ir_moving_offline(
+        scene, [{"samples": dry, "pos": [1.0, 0.0, 0.0]}],
+        listener_track=lambda t: (np.float32([0.1, 0.0, -0.2]), 0.4, 0.0),
+        cfg=CFG,
+    )
+    np.testing.assert_allclose(a, b, atol=1e-6)
