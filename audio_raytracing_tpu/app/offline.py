@@ -13,7 +13,9 @@ app/demo.py is the face of the interactive engine:
 — e.g. --material Floor=carpet --material Walls=brick. --speakers N writes
 an N-channel speaker-rig WAV (fibonacci rig) instead of binaural stereo.
 --model picks the acoustic model family: the Monte-Carlo specular tracer
-(default), exact image sources (orders <= 3), or the ISM+tail hybrid.
+(default), exact image sources (orders <= 3), the ISM+tail hybrid, or
+"full" = hybrid + UTD edge diffraction (shadow-zone arrivals around
+occluders, models/diffraction.py).
 """
 
 from __future__ import annotations
@@ -47,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--listener", type=_vec3, default=[0.0, 0.0, 0.0])
     ap.add_argument("--yaw", type=float, default=0.0)
     ap.add_argument("--pitch", type=float, default=0.0)
-    ap.add_argument("--model", choices=("trace", "ism", "hybrid"),
+    ap.add_argument("--model", choices=("trace", "ism", "hybrid", "full"),
                     default="trace")
     ap.add_argument("--sh-order", type=int, default=None,
                     help="higher-order ambisonic bed (trace model only)")
@@ -58,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--material", action="append", default=[],
                     metavar="NAME=PRESET",
                     help="map an OBJ usemtl name to an acoustic preset")
+    ap.add_argument("--hoa-hrtf", choices=("magls4", "sphere"),
+                    default="magls4",
+                    help="HOA binaural decoder: max-rE truncation through "
+                         "the reference 4-ch MagLS bank, or the full "
+                         "order-N rigid-sphere bank")
     ap.add_argument("--speakers", type=int, default=None,
                     help="decode to an N-speaker fibonacci rig instead of "
                          "binaural stereo (implies an HOA bed)")
@@ -116,12 +123,31 @@ def main(argv=None) -> str:
             ir_fn = lambda arrays, pos, lst: image_source_ir(  # noqa: E731
                 arrays, pos, lst, cfg=cfg, order=args.ism_order
             )
-        else:
+        elif args.model == "hybrid":
             ir_fn = lambda arrays, pos, lst: hybrid_ir(  # noqa: E731
                 arrays, pos, lst, cfg=cfg, order=args.ism_order,
                 n_rays=args.rays, max_bounces=args.bounces,
                 key=jax.random.PRNGKey(args.seed),
             )
+        else:  # full: ISM early + MC tail + UTD edge diffraction
+            from ..models.diffraction import diffraction_ir_utd, extract_wedges
+            from ..models.ir import ImpulseResponse
+
+            t = scene.n_triangles
+            tris = np.stack([scene.v0[:t], scene.v1[:t], scene.v2[:t]], axis=1)
+            wedges = extract_wedges(tris)
+
+            def ir_fn(arrays, pos, lst):  # noqa: E731
+                hy = hybrid_ir(
+                    arrays, pos, lst, cfg=cfg, order=args.ism_order,
+                    n_rays=args.rays, max_bounces=args.bounces,
+                    key=jax.random.PRNGKey(args.seed),
+                )
+                di = diffraction_ir_utd(arrays, wedges, pos, lst, cfg=cfg)
+                return ImpulseResponse(
+                    energy=hy.energy + di.energy,
+                    dir_sum=hy.dir_sum + di.dir_sum,
+                )
     speaker_dirs = (
         jnp.asarray(fibonacci_sphere(args.speakers))
         if args.speakers is not None else None
@@ -130,7 +156,7 @@ def main(argv=None) -> str:
         scene, sources, args.listener, listener_yaw=args.yaw,
         listener_pitch=args.pitch, cfg=cfg, n_rays=args.rays,
         max_bounces=args.bounces, sh_order=args.sh_order,
-        speaker_dirs=speaker_dirs, ir_fn=ir_fn,
+        speaker_dirs=speaker_dirs, ir_fn=ir_fn, hoa_hrtf=args.hoa_hrtf,
     )
 
     write_wav(args.out, out.astype(np.float32), cfg.sample_rate)

@@ -66,19 +66,23 @@ def _respectra_speakers(amb_irs, orientation, decoder, block: int):
     return jax.vmap(one)(amb_irs)
 
 
-@partial(jax.jit, static_argnames=("block", "order"))
-def _respectra_hoa(hoa_irs, orientation, hrtf_l, hrtf_r, block: int, order: int):
+@partial(jax.jit, static_argnames=("block", "order", "full_bank"))
+def _respectra_hoa(hoa_irs, orientation, hrtf_l, hrtf_r, block: int, order: int,
+                   full_bank: bool = False):
     """(S, C, L) HOA IRs -> binaural partitioned spectra ((S, 2, P, F) re/im).
 
     Full-order rotation (ops/hoa.rotate_hoa), then the same decode chain as
-    the offline renderer: max-rE truncation to the reference's first-order
-    layout and the MagLS HRTF bank (src/hrtf.zon is 4-channel)."""
+    the offline renderer. full_bank=False: max-rE truncation to the
+    reference's first-order layout and its 4-channel MagLS bank (hrtf_l/r
+    are (4, taps)). full_bank=True: hrtf_l/r are the order-N rigid-sphere
+    bank ((C, taps)) and EVERY channel decodes (true HOA binaural)."""
     from ..ops.hoa import hoa_to_reference_foa, rotate_hoa
 
     def one(ir):
-        amb4 = hoa_to_reference_foa(rotate_hoa(ir, orientation, order))
-        left = jnp.sum(cp.convolve_direct(amb4, hrtf_l), axis=0)
-        right = jnp.sum(cp.convolve_direct(amb4, hrtf_r), axis=0)
+        amb_rot = rotate_hoa(ir, orientation, order)
+        amb = amb_rot if full_bank else hoa_to_reference_foa(amb_rot)
+        left = jnp.sum(cp.convolve_direct(amb, hrtf_l), axis=0)
+        right = jnp.sum(cp.convolve_direct(amb, hrtf_r), axis=0)
         return cp.partition_ir_real(jnp.stack([left, right], axis=0), block)
 
     return jax.vmap(one)(hoa_irs)
@@ -115,7 +119,8 @@ class IRStreamRenderer:
     def __init__(self, scene: Scene, cfg: Config = DEFAULT_CONFIG,
                  hrtf=None, n_rays: int | None = None,
                  max_bounces: int | None = None, intersector: str = "mt",
-                 speaker_dirs=None, sh_order: int | None = None):
+                 speaker_dirs=None, sh_order: int | None = None,
+                 hoa_hrtf: str = "magls4"):
         """speaker_dirs (n_spk, 3): stream to a physical speaker rig
         (mode-matching first-order decode, no HRTF) instead of binaural
         stereo; render_block then returns (B, n_spk) feeds.
@@ -125,11 +130,22 @@ class IRStreamRenderer:
         full order, and the decode is either binaural (max-rE truncation
         through the first-order MagLS bank, matching render_ir_offline) or
         an order-N mode-matching speaker decode when speaker_dirs is given.
-        Rotation-only pose updates still reuse the cached HOA IRs."""
+        Rotation-only pose updates still reuse the cached HOA IRs.
+        hoa_hrtf="sphere" decodes every channel through the order-N
+        rigid-sphere MagLS bank instead of truncating (see
+        render_ir_offline)."""
         self.cfg = cfg
         self.scene = scene
         self._arrays = scene.device_arrays()
-        hl, hr = hrtf if hrtf is not None else default_hrtf()
+        if hoa_hrtf not in ("magls4", "sphere"):
+            raise ValueError(f"unknown hoa_hrtf {hoa_hrtf!r}")
+        self._full_bank = hoa_hrtf == "sphere" and sh_order is not None
+        if self._full_bank:
+            from ..ops.hoa import hoa_binaural_bank
+
+            hl, hr = hoa_binaural_bank(sh_order)
+        else:
+            hl, hr = hrtf if hrtf is not None else default_hrtf()
         self.hrtf_l = jnp.asarray(hl)
         self.hrtf_r = jnp.asarray(hr)
         self.sh_order = sh_order
@@ -246,6 +262,7 @@ class IRStreamRenderer:
                     spectra = _respectra_hoa(
                         self._amb_cache, orient, self.hrtf_l, self.hrtf_r,
                         cfg.block_size, self.sh_order,
+                        full_bank=self._full_bank,
                     )
             elif self._decoder is not None:
                 spectra = _respectra_speakers(

@@ -86,6 +86,7 @@ def render_ir_offline(
     sh_order: int | None = None,
     speaker_dirs=None,
     ir_fn=None,
+    hoa_hrtf: str = "magls4",
 ) -> np.ndarray:
     """Physically-based offline render via traced impulse responses.
 
@@ -95,10 +96,13 @@ def render_ir_offline(
     and HRTF-decoded to stereo. Returns (n + ir - 1, 2) f32.
 
     sh_order=N renders a higher-order bed (ops/hoa.py): (N+1)^2 traced SH
-    channels, full-order rotation, then either a binaural decode
-    (max-rE-truncated through the first-order MagLS bank) or, when
+    channels, full-order rotation, then either a binaural decode or, when
     `speaker_dirs` (S, 3) is given, a mode-matching decode to speaker
-    feeds (n + ir - 1, S).
+    feeds (n + ir - 1, S). hoa_hrtf picks the binaural decoder:
+    "magls4" (default) max-rE-truncates through the reference's
+    first-order MagLS bank; "sphere" decodes EVERY channel through the
+    order-N rigid-sphere MagLS bank (data/hrtf_hoa_sphere.npz,
+    tools/make_hoa_hrtf.py) — true HOA binaural.
 
     ir_fn(scene_arrays, source_pos, listener) -> ImpulseResponse swaps the
     acoustic model per source (e.g. models.ism.image_source_ir or
@@ -148,6 +152,15 @@ def render_ir_offline(
         amb_rot = rotate_hoa(amb_total, jnp.asarray(orient), sh_order)
         if speaker_dirs is not None:
             return np.asarray(decode_to_speakers(amb_rot, speaker_dirs).T)
+        if hoa_hrtf == "sphere" and sh_order >= 1:
+            from ..ops.hoa import hoa_binaural_bank
+
+            bl, br = hoa_binaural_bank(sh_order)
+            left = jnp.sum(convolve_direct(amb_rot, bl), axis=0)
+            right = jnp.sum(convolve_direct(amb_rot, br), axis=0)
+            return np.asarray(jnp.stack([left, right], axis=-1))
+        if hoa_hrtf not in ("magls4", "sphere"):
+            raise ValueError(f"unknown hoa_hrtf {hoa_hrtf!r}")
         amb4 = hoa_to_reference_foa(amb_rot)
         left = jnp.sum(convolve_direct(amb4, jnp.asarray(hl)), axis=0)
         right = jnp.sum(convolve_direct(amb4, jnp.asarray(hr)), axis=0)

@@ -240,3 +240,101 @@ def test_render_ir_offline_order0_and_order1():
     e1 = float((out1**2).sum())
     ed = float((outd**2).sum())
     assert 0.9 < e1 / ed < 1.1
+
+
+# ---------------------------------------------------------------------------
+# rigid-sphere HOA binaural bank (data/hrtf_hoa_sphere.npz)
+# ---------------------------------------------------------------------------
+
+def test_sphere_bank_reconstructs_sphere_hrtf():
+    """Decoding an encoded point source through the order-N bank must
+    reproduce the analytic rigid-sphere transfer magnitude (< ~2 dB mean
+    across the band at order 3 — the MagLS fit quality)."""
+    import importlib.util as ilu
+    from pathlib import Path
+
+    from audio_raytracing_tpu.ops.hoa import hoa_binaural_bank, sh_basis
+
+    tool = Path(__file__).parents[1] / "tools" / "make_hoa_hrtf.py"
+    spec = ilu.spec_from_file_location("mkhrtf", tool)
+    mk = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mk)
+
+    freqs = np.fft.rfftfreq(mk.N_TAPS, 1.0 / mk.SAMPLE_RATE)
+    mu = 2 * np.pi * np.maximum(freqs, 1.0) / mk.C_AIR * mk.HEAD_RADIUS
+    az = np.radians(mk.EAR_AZ_DEG)
+    e_l = np.array([np.cos(az), 0.0, -np.sin(az)])
+    u = np.array([0.55, 0.2, -0.81])
+    u /= np.linalg.norm(u)
+    h_true = np.abs(mk.sphere_hrtf(mu, np.array([u @ e_l]))[0])
+
+    for order, tol_mean in ((1, 1.5), (2, 1.0), (3, 1.0)):
+        bl, _ = hoa_binaural_bank(order)
+        y = np.asarray(sh_basis(u.astype(np.float32), order))
+        ir = (y[:, None] * np.asarray(bl)).sum(axis=0)
+        mag = np.abs(np.fft.rfft(ir))
+        err = np.abs(20 * np.log10(np.maximum(mag[1:60], 1e-9) / h_true[1:60]))
+        assert err.mean() < tol_mean, (order, err.mean(), err.max())
+
+
+def test_sphere_bank_lateralization_and_symmetry():
+    """A source on the right (+z) is louder in the right ear at every
+    order, and mirroring the source across the median plane swaps ears."""
+    from audio_raytracing_tpu.ops.hoa import hoa_to_stereo_sphere, sh_basis
+
+    n = 512
+    click = np.zeros(n, np.float32)
+    click[0] = 1.0
+    for order in (1, 2, 3):
+        for u in ([0.0, 0.0, 1.0], [0.5, 0.3, 0.81]):
+            u = np.asarray(u) / np.linalg.norm(u)
+            y = np.asarray(sh_basis(u.astype(np.float32), order))
+            amb = y[:, None] * click[None, :]
+            out = np.asarray(hoa_to_stereo_sphere(amb, order))
+            el, er = float(np.sum(out[:, 0] ** 2)), float(np.sum(out[:, 1] ** 2))
+            assert er > el * 1.2, (order, u, el, er)
+            # mirror: z -> -z swaps ears (to MagLS fit accuracy: the
+            # fibonacci fit directions are not z-symmetric)
+            um = u * np.asarray([1.0, 1.0, -1.0])
+            ym = np.asarray(sh_basis(um.astype(np.float32), order))
+            outm = np.asarray(hoa_to_stereo_sphere(ym[:, None] * click[None, :], order))
+            np.testing.assert_allclose(outm[:, 0], out[:, 1], atol=5e-3)
+            np.testing.assert_allclose(outm[:, 1], out[:, 0], atol=5e-3)
+
+
+def test_sphere_bank_offline_and_stream_agree():
+    """render_ir_offline(hoa_hrtf='sphere') is finite, differs from the
+    truncated decode, and the streaming renderer reproduces it at a static
+    pose."""
+    import dataclasses
+
+    from audio_raytracing_tpu.config import DEFAULT_CONFIG
+    from audio_raytracing_tpu.engine.ir_stream import IRStreamRenderer
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+    from audio_raytracing_tpu.models.scene import Scene, box_room
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, ir_length=2048, rays_per_source=512, max_bounces=3
+    )
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 3.0, 6.0)), cfg,
+        absorption=np.full(12, 0.3, np.float32),
+    )
+    n = 1024
+    dry = (0.4 * np.sin(2 * np.pi * 330 * np.arange(n) / 44100)).astype(np.float32)
+    srcs = [{"samples": dry, "pos": [1.5, 0.5, 1.0]}]
+    lst = [-1.0, 0.0, -1.0]
+
+    sphere = render_ir_offline(scene, srcs, lst, listener_yaw=0.4, cfg=cfg,
+                               sh_order=2, hoa_hrtf="sphere")
+    trunc = render_ir_offline(scene, srcs, lst, listener_yaw=0.4, cfg=cfg,
+                              sh_order=2)
+    assert np.isfinite(sphere).all()
+    assert np.abs(sphere).max() > 1e-4
+    assert np.abs(sphere[: len(trunc)] - trunc).max() > 1e-4  # different decode
+
+    r = IRStreamRenderer(scene, cfg, sh_order=2, hoa_hrtf="sphere")
+    r.add_source(dry, pos=[1.5, 0.5, 1.0], loop=False)
+    r.update(lst, yaw=0.4)
+    got = r.render(n)
+    np.testing.assert_allclose(got, sphere[:n], rtol=1e-3, atol=1e-5)
