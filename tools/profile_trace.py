@@ -26,11 +26,119 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
+def parse_device_step_times(profile_dir, step_names=None):
+    """Parse the newest .trace.json(.gz) under profile_dir: DEVICE time
+    (ms) per TraceAnnotation step name.
+
+    Measured structure of jax.profiler Chrome traces on this runtime
+    (verified on both the axon TPU backend and the CPU backend):
+    - TraceAnnotation("mystep") shows up ONLY as a host-lane span (an "X"
+      event named exactly "mystep" on the "/host:CPU" process); nothing
+      propagates into device kernel names.
+    - Each device is a process named "/device:TPU:0" etc., with
+      thread-name sub-lanes "XLA Modules" (one span per dispatched
+      executable — no double counting) and "XLA Ops" (the kernels nested
+      inside the module spans).
+    - Host and device lanes share one clock, so device work belonging to
+      a step is exactly the module spans inside the step span's window.
+
+    A step's device time = sum of "XLA Modules" spans overlap-clipped to
+    that step's annotation window(s). When the trace has no device
+    process (pure-CPU backend), the step's host span duration (wall) is
+    used instead. `step_names` restricts which host spans are treated as
+    annotations; by default any bare-word host span (no parens/spaces/
+    path chars — python frames all carry those) counts.
+
+    Returns {step: ms, ..., "_device_total": ms}.
+    """
+    import gzip
+    import json
+    import re
+
+    paths = sorted(Path(profile_dir).rglob("*.trace.json*"),
+                   key=lambda q: q.stat().st_mtime)
+    if not paths:
+        raise FileNotFoundError(f"no .trace.json(.gz) under {profile_dir}")
+    path = paths[-1]
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+
+    dev_pids, host_pids = set(), set()
+    module_lanes = set()  # (pid, tid) of "XLA Modules" threads
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
+            name = str(e.get("args", {}).get("name", ""))
+            (dev_pids if "/device:" in name else host_pids).add(e.get("pid"))
+        elif e.get("name") == "thread_name":
+            if e.get("args", {}).get("name") == "XLA Modules":
+                module_lanes.add((e.get("pid"), e.get("tid")))
+
+    # step annotation spans on host lanes: [(name, t0, t1), ...]
+    bare = re.compile(r"^[\w.-]+$")
+    spans = []
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in host_pids:
+            continue
+        name = str(e.get("name", ""))
+        if step_names is not None:
+            if name not in step_names:
+                continue
+        elif not bare.match(name):
+            continue
+        t0 = float(e.get("ts", 0.0))
+        spans.append((name, t0, t0 + float(e.get("dur", 0.0))))
+
+    totals = {name: 0.0 for name, _, _ in spans}
+    lane_total = 0.0
+    dev_events = [e for e in events
+                  if e.get("ph") == "X" and e.get("pid") in dev_pids
+                  and ((e.get("pid"), e.get("tid")) in module_lanes
+                       or not module_lanes)]
+    if dev_events:
+        for e in dev_events:
+            t0 = float(e.get("ts", 0.0))
+            t1 = t0 + float(e.get("dur", 0.0))
+            lane_total += (t1 - t0) / 1000.0
+            for name, s0, s1 in spans:
+                ov = min(t1, s1) - max(t0, s0)
+                if ov > 0:
+                    totals[name] += ov / 1000.0
+    else:
+        # CPU backend: no device process — budget against host span wall
+        for name, s0, s1 in spans:
+            totals[name] += (s1 - s0) / 1000.0
+        lane_total = sum(totals.values())
+    totals["_device_total"] = lane_total
+    return totals
+
+
+def assert_budgets(step_ms: dict, budgets: dict) -> list:
+    """Compare parsed per-step device times against budget bounds (ms).
+    Returns a list of violation strings (empty = within budget)."""
+    bad = []
+    for step, limit in budgets.items():
+        got = step_ms.get(step)
+        if got is None:
+            bad.append(f"{step}: absent from profile (budget {limit} ms)")
+        elif got > float(limit):
+            bad.append(f"{step}: {got:.2f} ms > budget {limit} ms")
+    return bad
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir", nargs="?", default="/tmp/artpu_profile")
     ap.add_argument("--what", default="all", choices=["trace", "engine", "all"])
     ap.add_argument("--rays", type=int, default=1 << 18)
+    ap.add_argument("--assert-budgets", default=None, metavar="JSON",
+                    help="after capture, parse device kernel time per step "
+                         "and fail (exit 1) if any exceeds its budget in "
+                         "ms — {\"pallas_trace\": 250, ...} or "
+                         "{\"_device_total\": 1000}")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +212,20 @@ def main():
                     fn()
     n_files = sum(1 for _ in out.rglob("*") if _.is_file())
     print(f"profile written to {out} ({n_files} files)")
+
+    if args.assert_budgets:
+        import json
+
+        step_ms = parse_device_step_times(out, step_names=[n for n, _ in steps])
+        print("device kernel ms per step:",
+              {k: round(v, 2) for k, v in sorted(step_ms.items())})
+        bad = assert_budgets(step_ms, json.loads(Path(args.assert_budgets).read_text())
+                             if Path(args.assert_budgets).exists()
+                             else json.loads(args.assert_budgets))
+        if bad:
+            print("BUDGET VIOLATIONS:\n  " + "\n  ".join(bad))
+            raise SystemExit(1)
+        print("all step budgets met")
 
 
 if __name__ == "__main__":
