@@ -87,6 +87,44 @@ def _air_absorption(d, air: float):
     return jnp.clip(1.0 - air * d[..., None] * EQ_FREQS, 0.0, 1.0)
 
 
+def _transmission_log_amp(transmission):
+    """(T, n_bands) per-crossing log amplitude 0.5*log(tau).
+
+    Opaque surfaces (tau = 0) clamp to log(1e-30)/2 ~ -34.5 so the
+    crossing-count matmul stays finite: one opaque crossing already puts
+    the amplitude at ~1e-15 (energy ~1e-30 ~ 0) without inf/NaN. The
+    floor must be a NORMAL f32 (subnormals like 1e-38 are flushed to
+    zero by XLA, and log(0) = -inf would NaN the masked matmul).
+    """
+    return 0.5 * jnp.log(jnp.clip(transmission, 1e-30, 1.0))
+
+
+def _segment_crossings(org, delta, v0, v1, v2, eps: float = 1e-6):
+    """(R, T) f32 mask: does the open segment org -> org+delta cross the
+    triangle? Möller–Trumbore on the UNNORMALIZED delta, so t is in
+    segment fractions and validity is eps <= t <= 1 (same semantics as the
+    reversed-shadow test in trace_ir's mxu path)."""
+    ab = (v1 - v0)[None]
+    ac = (v2 - v0)[None]
+    h = jnp.cross(delta[:, None, :], ac)
+    det = jnp.sum(ab * h, axis=-1)
+    inv = 1.0 / det
+    s = org[:, None, :] - v0[None]
+    u = inv * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, ab)
+    v = inv * jnp.sum(delta[:, None, :] * q, axis=-1)
+    t = inv * jnp.sum(ac * q, axis=-1)
+    ok = (
+        (jnp.abs(det) >= 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= eps)
+        & (t <= 1.0)
+    )
+    return ok.astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("cfg", "sh_order"))
 def direct_ir(
     scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG,
@@ -96,6 +134,11 @@ def direct_ir(
 
     Split out so the sharded tracer (parallel/sharding.py) can add it on
     exactly one device before the histogram allreduce.
+
+    With scene_arrays.transmission set, occluders attenuate instead of
+    hard-blocking: amplitude x= prod(sqrt(tau)) over crossed surfaces
+    (models/materials.py; the reference only hard-blocks,
+    main.zig:683-702).
     """
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     n_bins = cfg.ir_n_bins
@@ -103,14 +146,25 @@ def direct_ir(
     spm = cfg.samples_per_meter
     to_l = listener - source
     d_direct = jnp.linalg.norm(to_l)
-    safe_dir = jnp.where(d_direct < 1e-6, jnp.float32([1, 0, 0]), to_l)
-    t_occ, _, _ = nearest_hit(source[None], safe_dir[None], v0, v1, v2)
-    direct_visible = (t_occ[0] >= d_direct) | (d_direct < 1e-6)
-    amp_direct = (
-        jnp.where(direct_visible, 1.0, 0.0)
-        / (d_direct + 1.0)
-        * _air_absorption(d_direct, cfg.air_absorption)
-    )  # (n_bands,)
+    if scene_arrays.transmission is not None:
+        log_amp = _transmission_log_amp(scene_arrays.transmission)
+        cross = _segment_crossings(source[None], to_l[None], v0, v1, v2)
+        trans = jnp.exp(
+            jnp.dot(cross, log_amp, precision=jax.lax.Precision.HIGHEST)
+        )[0]  # (n_bands,)
+        amp_direct = (
+            trans / (d_direct + 1.0)
+            * _air_absorption(d_direct, cfg.air_absorption)
+        )
+    else:
+        safe_dir = jnp.where(d_direct < 1e-6, jnp.float32([1, 0, 0]), to_l)
+        t_occ, _, _ = nearest_hit(source[None], safe_dir[None], v0, v1, v2)
+        direct_visible = (t_occ[0] >= d_direct) | (d_direct < 1e-6)
+        amp_direct = (
+            jnp.where(direct_visible, 1.0, 0.0)
+            / (d_direct + 1.0)
+            * _air_absorption(d_direct, cfg.air_absorption)
+        )  # (n_bands,)
     e_direct = amp_direct * amp_direct
     bin_direct = jnp.clip((d_direct * spm * bps + 0.5), 0, n_bins - 1).astype(jnp.int32)
     energy = jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32).at[bin_direct].add(e_direct)
@@ -200,6 +254,20 @@ def trace_ir(
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     normals, absorption = scene_arrays.normals, scene_arrays.absorption
 
+    # per-band transmission through occluders (models/materials.py): the
+    # shadow test becomes exp(crossings @ 0.5*log tau) — an MXU matmul —
+    # instead of a hard any-hit block. Path rays still always reflect;
+    # only shadow/occlusion segments pass through surfaces.
+    log_amp = None
+    if scene_arrays.transmission is not None:
+        if intersector == "bih":
+            raise ValueError(
+                "surface transmission needs every occluder along the "
+                'shadow segment; the "bih" nearest-hit traversal cannot '
+                'enumerate them — use intersector="mt" or "mxu"'
+            )
+        log_amp = _transmission_log_amp(scene_arrays.transmission)
+
     if intersector == "mxu":
         hit_fn = lambda o, d: nearest_hit_mxu(  # noqa: E731
             o, d, scene_arrays.woop_d, scene_arrays.woop_o
@@ -214,7 +282,7 @@ def trace_ir(
             precision=jax.lax.Precision.HIGH,
         )  # (3T,)
 
-        def shadow_blocked(vertex):
+        def _shadow_ok(vertex):
             w = vertex - listener[None, :]  # unnormalized: t in segment units
             dp = jnp.dot(w, scene_arrays.woop_d, precision=jax.lax.Precision.HIGH)
             T = T3 // 3
@@ -223,15 +291,19 @@ def trace_ir(
             t = -oz / dz_
             u = ox + t * dx_
             vv = oy + t * dy_
-            ok = (
+            return (
                 (jnp.abs(dz_) > 1e-12)
                 & (u >= 0.0)
                 & (vv >= 0.0)
                 & (u + vv <= 1.0)
                 & (t >= 1e-6)
                 & (t <= 1.0)
-            )
-            return jnp.any(ok, axis=1)
+            )  # (R, T)
+
+        def shadow_blocked(vertex):
+            return jnp.any(_shadow_ok(vertex), axis=1)
+
+        shadow_cross = lambda vertex: _shadow_ok(vertex).astype(jnp.float32)  # noqa: E731
     elif intersector == "bih":
         # large-scene path: BIH traversal (ops/traverse.py); pass
         # bih_arena=scene.device_bih()
@@ -240,10 +312,13 @@ def trace_ir(
         from ..ops.traverse import nearest_hit_bih
 
         hit_fn = lambda o, d: nearest_hit_bih(bih_arena, o, d, bih_leaf_cap)  # noqa: E731
-        shadow_blocked = None
+        shadow_blocked = shadow_cross = None
     else:
         hit_fn = lambda o, d: nearest_hit(o, d, v0, v1, v2)  # noqa: E731
         shadow_blocked = None
+        shadow_cross = lambda vertex: _segment_crossings(  # noqa: E731
+            vertex, listener[None, :] - vertex, v0, v1, v2
+        )
     scatter_fn = bin_matmul if scatter == "matmul" else bin_segment
     n_rays = n_rays or cfg.rays_per_source
     max_bounces = max_bounces or cfg.max_bounces
@@ -322,11 +397,24 @@ def trace_ir(
         to_list = listener[None, :] - vertex
         d_l = jnp.linalg.norm(to_list, axis=-1)
         w_o = to_list / jnp.maximum(d_l, 1e-20)[:, None]
-        if shadow_blocked is not None:
+        if log_amp is not None:
+            # transmissive occluders: per-band amplitude product over every
+            # crossed surface (blocked-by-opaque rays keep their bin but
+            # contribute ~1e-30 energy — indistinguishable from dropped)
+            vis_amp = jnp.where(
+                alive[:, None],
+                jnp.exp(jnp.dot(shadow_cross(vertex), log_amp,
+                                precision=jax.lax.Precision.HIGHEST)),
+                0.0,
+            )
+            visible = alive
+        elif shadow_blocked is not None:
             visible = alive & ~shadow_blocked(vertex)
+            vis_amp = jnp.where(visible, 1.0, 0.0)[:, None]
         else:
             t_sh, _, sh_hit = hit_fn(vertex, w_o)
             visible = alive & (~sh_hit | (t_sh >= d_l))
+            vis_amp = jnp.where(visible, 1.0, 0.0)[:, None]
         h = w_o - d
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
         lam = jnp.abs(jnp.sum(n * w_o, axis=-1)) + _pow_spec(
@@ -335,10 +423,11 @@ def trace_ir(
         d_total = path_dist + d_l
         amp_c = (
             amp
+            * vis_amp
             * (lam / (d_total + 1.0))[:, None]
             * _air_absorption(d_total, cfg.air_absorption)
         )
-        e_c = amp_c * amp_c * inv_n * jnp.where(visible, 1.0, 0.0)[:, None]
+        e_c = amp_c * amp_c * inv_n
         u = (vertex - listener[None, :]) / jnp.maximum(d_l, 1e-20)[:, None]
         # energy (4 bands) + energy-weighted direction (3) [+ SH moments]
         # in ONE scatter
@@ -432,6 +521,9 @@ def trace_ir_multi_listener(
     """
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     normals, absorption = scene_arrays.normals, scene_arrays.absorption
+    log_amp = None
+    if scene_arrays.transmission is not None:
+        log_amp = _transmission_log_amp(scene_arrays.transmission)
     if intersector == "mxu":
         hit_fn = lambda o, d: nearest_hit_mxu(  # noqa: E731
             o, d, scene_arrays.woop_d, scene_arrays.woop_o
@@ -476,8 +568,19 @@ def trace_ir_multi_listener(
         to_list = listener[None, :] - vertex
         d_l = jnp.linalg.norm(to_list, axis=-1)
         w_o = to_list / jnp.maximum(d_l, 1e-20)[:, None]
-        t_sh, _, sh_hit = hit_fn(vertex, w_o)
-        visible = alive & (~sh_hit | (t_sh >= d_l))
+        if log_amp is not None:
+            cross = _segment_crossings(vertex, to_list, v0, v1, v2)
+            vis_amp = jnp.where(
+                alive[:, None],
+                jnp.exp(jnp.dot(cross, log_amp,
+                                precision=jax.lax.Precision.HIGHEST)),
+                0.0,
+            )
+            visible = alive
+        else:
+            t_sh, _, sh_hit = hit_fn(vertex, w_o)
+            visible = alive & (~sh_hit | (t_sh >= d_l))
+            vis_amp = jnp.where(visible, 1.0, 0.0)[:, None]
         h = w_o - d
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
         lam = jnp.abs(jnp.sum(n * w_o, axis=-1)) + _pow_spec(
@@ -486,10 +589,11 @@ def trace_ir_multi_listener(
         d_total = path_dist + d_l
         amp_c = (
             amp
+            * vis_amp
             * (lam / (d_total + 1.0))[:, None]
             * _air_absorption(d_total, cfg.air_absorption)
         )
-        e_c = amp_c * amp_c * inv_n * jnp.where(visible, 1.0, 0.0)[:, None]
+        e_c = amp_c * amp_c * inv_n
         u = (vertex - listener[None, :]) / jnp.maximum(d_l, 1e-20)[:, None]
         payload = jnp.concatenate(
             [e_c, u * jnp.mean(e_c, axis=-1, keepdims=True)], axis=-1

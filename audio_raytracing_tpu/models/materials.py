@@ -40,10 +40,19 @@ class AcousticMaterial:
     """absorption: per-band energy absorption coefficient in [0, 1]
     (energy kept per bounce = 1 - a). scattering: probability in [0, 1]
     that a bounce leaves diffusely (cosine-weighted) instead of specularly.
+    transmission: per-band energy fraction passing THROUGH the surface —
+    a shadow/occlusion ray crossing it is attenuated by sqrt(transmission)
+    in amplitude instead of hard-blocked (the standard game-audio
+    occlusion-vs-transmission split; the reference only hard-blocks,
+    main.zig:683-702). Refraction/added delay through the material is
+    ignored. Energy accounting: the absorption coefficient covers
+    everything not reflected (reflected = 1 - a), so transmitted energy
+    must come out of it: transmission[b] <= absorption[b] per band.
     """
 
     absorption: Tuple[float, float, float, float]
     scattering: float = 0.0
+    transmission: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
     def __post_init__(self):
         if len(self.absorption) != N_BANDS:
@@ -52,6 +61,16 @@ class AcousticMaterial:
             raise ValueError(f"absorption out of [0,1]: {self.absorption}")
         if not 0.0 <= self.scattering <= 1.0:
             raise ValueError(f"scattering out of [0,1]: {self.scattering}")
+        if len(self.transmission) != N_BANDS:
+            raise ValueError(f"transmission needs {N_BANDS} bands")
+        if not all(0.0 <= t <= 1.0 for t in self.transmission):
+            raise ValueError(f"transmission out of [0,1]: {self.transmission}")
+        if any(t > a + 1e-9 for t, a in zip(self.transmission, self.absorption)):
+            raise ValueError(
+                "transmission must be <= absorption per band (transmitted "
+                f"energy comes out of the non-reflected fraction): "
+                f"t={self.transmission} a={self.absorption}"
+            )
 
 
 # the reference-parity default: flat 0.1 (models/scene.py's historical
@@ -64,14 +83,20 @@ MATERIAL_PRESETS: Dict[str, AcousticMaterial] = {
     "concrete": AcousticMaterial((0.01, 0.02, 0.02, 0.03), 0.05),
     "brick": AcousticMaterial((0.02, 0.03, 0.04, 0.06), 0.25),
     "marble": AcousticMaterial((0.01, 0.01, 0.01, 0.02), 0.02),
-    "glass": AcousticMaterial((0.18, 0.06, 0.03, 0.02), 0.02),
+    # glass transmits audibly (mass law: transmission loss grows with
+    # frequency); single pane TL ~ 15-30 dB across the bands
+    "glass": AcousticMaterial((0.18, 0.06, 0.03, 0.02), 0.02,
+                              transmission=(0.03, 0.01, 0.003, 0.001)),
     "plaster": AcousticMaterial((0.02, 0.04, 0.05, 0.05), 0.05),
     # wood
     "wood_panel": AcousticMaterial((0.25, 0.15, 0.08, 0.07), 0.1),
     "wood_floor": AcousticMaterial((0.15, 0.10, 0.07, 0.07), 0.1),
     # soft / porous
     "carpet": AcousticMaterial((0.05, 0.15, 0.35, 0.55), 0.2),
-    "curtain": AcousticMaterial((0.07, 0.30, 0.50, 0.60), 0.3),
+    # a curtain barely blocks sound at all: most of its "absorption" is
+    # really transmission to the other side
+    "curtain": AcousticMaterial((0.07, 0.30, 0.50, 0.60), 0.3,
+                                transmission=(0.05, 0.20, 0.30, 0.30)),
     "acoustic_tile": AcousticMaterial((0.25, 0.55, 0.75, 0.70), 0.3),
     "upholstery": AcousticMaterial((0.20, 0.40, 0.60, 0.65), 0.3),
     # people / misc
@@ -100,11 +125,11 @@ def mesh_surface_tables(
     mesh,
     materials: Mapping[str, MaterialLike] | None = None,
     default: MaterialLike = DEFAULT_MATERIAL,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Per-triangle (absorption (T, 4), scattering (T,)) from a mesh's
-    `usemtl` names. `materials` maps OBJ material names to materials or
-    preset names; names absent from the map (and the unnamed "" material)
-    use `default`."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-triangle (absorption (T, 4), scattering (T,), transmission
+    (T, 4)) from a mesh's `usemtl` names. `materials` maps OBJ material
+    names to materials or preset names; names absent from the map (and the
+    unnamed "" material) use `default`."""
     default = resolve_material(default)
     materials = materials or {}
     per_name = []
@@ -117,4 +142,7 @@ def mesh_surface_tables(
     scatter = np.asarray(
         [per_name[i].scattering for i in mesh.material_ids], np.float32
     ).reshape(-1)
-    return absorb, scatter
+    transmit = np.asarray(
+        [per_name[i].transmission for i in mesh.material_ids], np.float32
+    ).reshape(-1, N_BANDS)
+    return absorb, scatter, transmit

@@ -44,6 +44,7 @@ class SceneArrays(NamedTuple):
     woop_d: object  # (3, 3T) f32: d' = dirs @ woop_d
     woop_o: object  # (4, 3T) f32: o' = [origins, 1] @ woop_o
     scattering: object = None  # (T,) f32 per-surface diffuse probability
+    transmission: object = None  # (T, n_bands) f32 energy through occluders
 
 
 def woop_transforms(tris: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -89,6 +90,10 @@ class Scene:
     bih: BIHArena
     n_triangles: int  # true (unpadded) count
     scattering: np.ndarray = None  # (T,) f32 diffuse-bounce probability
+    # per-band energy fraction a shadow ray keeps when crossing the
+    # surface (models/materials.py AcousticMaterial.transmission); None =
+    # every surface opaque (reference parity, main.zig:683-702)
+    transmission: np.ndarray = None
 
     def __post_init__(self):
         if self.scattering is None:
@@ -101,8 +106,11 @@ class Scene:
         cfg: Config = DEFAULT_CONFIG,
         absorption: np.ndarray | None = None,
         scattering: np.ndarray | None = None,
+        transmission: np.ndarray | None = None,
     ) -> "Scene":
-        """triangles: (T, 3, 3) float32."""
+        """triangles: (T, 3, 3) float32. transmission: optional (T,
+        n_bands) per-band energy fraction shadow rays keep through each
+        surface (None = all opaque)."""
         tris = np.asarray(triangles, dtype=np.float32)
         t_true = tris.shape[0]
         v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
@@ -117,6 +125,12 @@ class Scene:
         if scattering is None:
             scattering = np.zeros(t_true, np.float32)
         scattering = np.asarray(scattering, dtype=np.float32).reshape(t_true)
+        if transmission is not None:
+            transmission = np.asarray(transmission, np.float32).reshape(
+                t_true, cfg.n_bands
+            )
+            if not transmission.any():
+                transmission = None  # all opaque: keep the fast path
 
         low = tris.min(axis=1)
         high = tris.max(axis=1)
@@ -142,6 +156,7 @@ class Scene:
             bih=bih,
             n_triangles=t_true,
             scattering=p(scattering),
+            transmission=None if transmission is None else p(transmission),
         )
 
     def device_bih(self):
@@ -170,14 +185,18 @@ class Scene:
         """materials: optional {obj usemtl name -> AcousticMaterial | preset
         name} (models/materials.py); mutually exclusive with an explicit
         absorption array."""
-        scattering = None
+        scattering = transmission = None
         if materials is not None:
             if absorption is not None:
                 raise ValueError("pass either absorption or materials, not both")
             from .materials import mesh_surface_tables
 
-            absorption, scattering = mesh_surface_tables(mesh, materials)
-        return cls.from_triangles(mesh.triangles(), cfg, absorption, scattering)
+            absorption, scattering, transmission = mesh_surface_tables(
+                mesh, materials
+            )
+        return cls.from_triangles(
+            mesh.triangles(), cfg, absorption, scattering, transmission
+        )
 
     def device_arrays(self) -> SceneArrays:
         import jax.numpy as jnp
@@ -194,6 +213,10 @@ class Scene:
             woop_d=jnp.asarray(woop_d),
             woop_o=jnp.asarray(woop_o),
             scattering=jnp.asarray(self.scattering),
+            transmission=(
+                None if self.transmission is None
+                else jnp.asarray(self.transmission)
+            ),
         )
 
 

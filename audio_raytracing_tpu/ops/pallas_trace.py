@@ -579,6 +579,12 @@ def trace_contributions_pallas(
     """
     if flat_bands and not fused_hist:
         raise ValueError("flat_bands requires fused_hist=True")
+    if scene_arrays.transmission is not None:
+        raise NotImplementedError(
+            "the fused Pallas kernel hard-blocks shadow rays; surface "
+            "transmission (scene_arrays.transmission) is only supported "
+            'by models.ir.trace_ir with intersector="mt"/"mxu"'
+        )
     max_bounces = max_bounces or cfg.max_bounces
     e = cfg.specular_exponent
     if not (float(e).is_integer() and int(e) > 0 and (int(e) & (int(e) - 1)) == 0):

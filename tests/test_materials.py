@@ -70,10 +70,12 @@ def test_material_validation():
 
 def test_mesh_surface_tables_mapping_and_default():
     mesh = parse_obj(OBJ_TEXT)
-    absorb, scatter = mesh_surface_tables(
+    absorb, scatter, transmit = mesh_surface_tables(
         mesh, {"Carpet": "carpet", "Glass": AcousticMaterial((0.2, 0.1, 0.05, 0.05))}
     )
     assert absorb.shape == (5, 4) and scatter.shape == (5,)
+    assert transmit.shape == (5, 4)
+    np.testing.assert_allclose(transmit[3], 0.0)  # explicit material: opaque default
     np.testing.assert_allclose(absorb[0], DEFAULT_MATERIAL.absorption)
     np.testing.assert_allclose(absorb[1], MATERIAL_PRESETS["carpet"].absorption)
     np.testing.assert_allclose(absorb[3], [0.2, 0.1, 0.05, 0.05])
