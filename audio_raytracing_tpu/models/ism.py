@@ -44,7 +44,13 @@ import jax.numpy as jnp
 from ..config import Config, DEFAULT_CONFIG
 from ..ops.eq import EQ_FREQS
 from ..ops.intersect import nearest_hit
-from .ir import ImpulseResponse, _air_absorption, direct_ir
+from .ir import (
+    ImpulseResponse,
+    _air_absorption,
+    _segment_crossings,
+    _transmission_log_amp,
+    direct_ir,
+)
 
 _LEG_EPS = 1e-3  # fractional backoff when casting between surface points
 _LEG_CHUNK = 4096  # occlusion legs processed in chunks (memory: chunk x T)
@@ -113,6 +119,35 @@ def _leg_clear(scene_arrays, a, b):
     return clear(a2, dn, length)
 
 
+def _leg_amp(scene_arrays, a, b, log_amp):
+    """Per-band amplitude the leg a->b keeps through transmissive
+    occluders: exp(crossings @ 0.5 log tau) (models/ir.py law). The
+    endpoint back-offs match _leg_clear's test window (both ends shrunk
+    by _LEG_EPS so a leg never counts the surface it starts/ends on).
+    Chunked like _leg_clear: crossings materializes (rows, T)."""
+    d = b - a
+    a2 = a + d * _LEG_EPS
+    delta = d * (1.0 - 2.0 * _LEG_EPS)
+
+    def amp(a_c, delta_c):
+        cross = _segment_crossings(
+            a_c, delta_c, scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
+        )
+        return jnp.exp(
+            jnp.dot(cross, log_amp, precision=jax.lax.Precision.HIGHEST)
+        )
+
+    n = a2.shape[0]
+    if n % _LEG_CHUNK == 0 and n > _LEG_CHUNK:
+        k = n // _LEG_CHUNK
+        out = jax.lax.map(
+            lambda op: amp(*op),
+            (a2.reshape(k, _LEG_CHUNK, 3), delta.reshape(k, _LEG_CHUNK, 3)),
+        )
+        return out.reshape(n, -1)
+    return amp(a2, delta)
+
+
 def _bin_contribs(d_total, amp, u, valid, cfg: Config):
     """Scatter per-image per-band energies into (energy (n_bins, B),
     dir_sum (n_bins, 3))."""
@@ -160,9 +195,21 @@ def image_source_ir(
 
     order3_capacity bounds the number of geometrically-valid third-order
     paths that proceed to occlusion testing (see module docstring); paths
-    beyond it are dropped silently."""
+    beyond it are dropped silently.
+
+    With scene_arrays.transmission set (models/materials.py), occlusion
+    legs attenuate by prod(sqrt(tau)) over crossed surfaces instead of
+    hard-blocking — an image path through a curtain stays audible."""
     if order not in (1, 2, 3):
         raise ValueError(f"order must be 1, 2 or 3 (got {order})")
+    # transmissive occluders (models/materials.py): legs attenuate by
+    # prod(sqrt(tau)) over crossed surfaces instead of hard-blocking —
+    # image paths THROUGH a curtain/glass wall become audible
+    log_amp = (
+        None
+        if scene_arrays.transmission is None
+        else _transmission_log_amp(scene_arrays.transmission)
+    )
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     n = scene_arrays.normals  # (T, 3) unit (zero rows for padding)
     dpl = jnp.sum(n * v0, axis=-1)  # plane offsets
@@ -182,11 +229,18 @@ def image_source_ir(
         jnp.broadcast_to(lst, (T, 3)), i1, v0, v1, v2
     )  # reflection points on each triangle
     d_total = jnp.linalg.norm(i1 - lst[None, :], axis=-1)
-    clear = _leg_clear(scene_arrays, jnp.broadcast_to(lst, (T, 3)), p) & _leg_clear(
-        scene_arrays, p, jnp.broadcast_to(src, (T, 3))
-    )
-    valid1 = on_tri & clear
-    amp1 = keep / (d_total[:, None] + 1.0) * _air_absorption(d_total, air)
+    trans1 = 1.0
+    if log_amp is None:
+        clear = _leg_clear(
+            scene_arrays, jnp.broadcast_to(lst, (T, 3)), p
+        ) & _leg_clear(scene_arrays, p, jnp.broadcast_to(src, (T, 3)))
+        valid1 = on_tri & clear
+    else:
+        valid1 = on_tri
+        trans1 = _leg_amp(
+            scene_arrays, jnp.broadcast_to(lst, (T, 3)), p, log_amp
+        ) * _leg_amp(scene_arrays, p, jnp.broadcast_to(src, (T, 3)), log_amp)
+    amp1 = keep / (d_total[:, None] + 1.0) * _air_absorption(d_total, air) * trans1
     # unit arrival direction = listener -> first reflection point (the last
     # leg of the path, matching trace_ir's convention)
     u1 = (p - lst[None, :]) / jnp.maximum(
@@ -209,16 +263,28 @@ def image_source_ir(
         p2, ok2 = _seg_tri(lstb, i12, v0[t2], v1[t2], v2[t2])
         p1, ok1 = _seg_tri(p2, i1p, v0[t1], v1[t1], v2[t1])
         d2_total = jnp.linalg.norm(i12 - lst[None, :], axis=-1)
-        valid2 = (
-            ok2 & ok1 & (t1 != t2)
-            & _leg_clear(scene_arrays, lstb, p2)
-            & _leg_clear(scene_arrays, p2, p1)
-            & _leg_clear(scene_arrays, p1, jnp.broadcast_to(src, (T * T, 3)))
-        )
+        valid2 = ok2 & ok1 & (t1 != t2)
+        trans2 = 1.0
+        if log_amp is None:
+            valid2 = (
+                valid2
+                & _leg_clear(scene_arrays, lstb, p2)
+                & _leg_clear(scene_arrays, p2, p1)
+                & _leg_clear(scene_arrays, p1, jnp.broadcast_to(src, (T * T, 3)))
+            )
+        else:
+            trans2 = (
+                _leg_amp(scene_arrays, lstb, p2, log_amp)
+                * _leg_amp(scene_arrays, p2, p1, log_amp)
+                * _leg_amp(
+                    scene_arrays, p1, jnp.broadcast_to(src, (T * T, 3)), log_amp
+                )
+            )
         amp2 = (
             keep[t1] * keep[t2]
             / (d2_total[:, None] + 1.0)
             * _air_absorption(d2_total, air)
+            * trans2
         )
         u2 = (p2 - lst[None, :]) / jnp.maximum(
             jnp.linalg.norm(p2 - lst[None, :], axis=-1, keepdims=True), 1e-9
@@ -266,17 +332,30 @@ def image_source_ir(
         p2, _ = _seg_tri(p3, i12q, v0[b], v1[b], v2[b])
         p1, _ = _seg_tri(p2, i1q, v0[a], v1[a], v2[a])
         d3_total = jnp.linalg.norm(i123q - lst[None, :], axis=-1)
-        valid3 = (
-            live
-            & _leg_clear(scene_arrays, lstb3, p3)
-            & _leg_clear(scene_arrays, p3, p2)
-            & _leg_clear(scene_arrays, p2, p1)
-            & _leg_clear(scene_arrays, p1, jnp.broadcast_to(src, (cap, 3)))
-        )
+        valid3 = live
+        trans3 = 1.0
+        if log_amp is None:
+            valid3 = (
+                valid3
+                & _leg_clear(scene_arrays, lstb3, p3)
+                & _leg_clear(scene_arrays, p3, p2)
+                & _leg_clear(scene_arrays, p2, p1)
+                & _leg_clear(scene_arrays, p1, jnp.broadcast_to(src, (cap, 3)))
+            )
+        else:
+            trans3 = (
+                _leg_amp(scene_arrays, lstb3, p3, log_amp)
+                * _leg_amp(scene_arrays, p3, p2, log_amp)
+                * _leg_amp(scene_arrays, p2, p1, log_amp)
+                * _leg_amp(
+                    scene_arrays, p1, jnp.broadcast_to(src, (cap, 3)), log_amp
+                )
+            )
         amp3 = (
             keep[a] * keep[b] * keep[c]
             / (d3_total[:, None] + 1.0)
             * _air_absorption(d3_total, air)
+            * trans3
         )
         u3 = (p3 - lst[None, :]) / jnp.maximum(
             jnp.linalg.norm(p3 - lst[None, :], axis=-1, keepdims=True), 1e-9
@@ -340,7 +419,12 @@ def hybrid_ir(
     )
     if transition_bin is None:
         idx = jnp.arange(cfg.ir_n_bins)
-        has = jnp.sum(early.energy, axis=0) > 0.0
+        # threshold, not > 0: with transmissive materials, opaque-blocked
+        # image paths land in their bins with ~1e-30-amplitude residues
+        # (models/ir._transmission_log_amp's finite floor); treating one
+        # as "the last ISM arrival" would push the transition into the
+        # tail and zero the Monte-Carlo field
+        has = jnp.sum(early.energy, axis=0) > 1e-24
         tb = jnp.max(jnp.where(has, idx, -1)) + 1
     else:
         tb = jnp.asarray(transition_bin)

@@ -227,3 +227,92 @@ f 1/1 3/1 4/1
     assert arrays.transmission is not None
     # padding rows are opaque
     np.testing.assert_allclose(np.asarray(arrays.transmission)[2:], 0.0)
+
+
+# ---- image-source family ------------------------------------------------
+
+def _ism_floor_screen(tau_screen):
+    """Floor at y=-1 (the only real reflector) + a screen at x=1.5 sized
+    to cross ONLY the listener->reflection-point leg of the order-1
+    floor path (not the p->source leg, not the direct)."""
+    floor = quad([0.0, -1.0, 0.0], [6.0, 0.0, 0.0], [0.0, 0.0, 6.0])
+    screen = quad([1.5, -0.35, 0.0], [0.0, 0.45, 0.0], [0.0, 0.0, 1.0])
+    tris = np.concatenate([floor, screen])
+    trans = np.concatenate([
+        np.ones((2, 4), np.float32),
+        np.tile(np.asarray(tau_screen, np.float32), (2, 1)),
+    ])
+    return Scene.from_triangles(
+        tris, CFG, absorption=np.full((4, 4), 0.1, np.float32),
+        transmission=trans,
+    )
+
+
+def test_ism_leg_through_screen():
+    """Order-1 image-source arrival through the screen scales by exactly
+    tau per band (one crossing on one leg)."""
+    from audio_raytracing_tpu.models.ism import image_source_ir
+
+    tau = np.asarray([0.5, 0.25, 0.1, 0.04], np.float32)
+    kw = dict(cfg=CFG, order=1, include_direct=False)
+    e_open = np.asarray(image_source_ir(
+        _ism_floor_screen([1.0] * 4).device_arrays(),
+        jnp.asarray(SRC2), LST2, **kw,
+    ).energy).sum(axis=1)
+    e_tau = np.asarray(image_source_ir(
+        _ism_floor_screen(tau).device_arrays(),
+        jnp.asarray(SRC2), LST2, **kw,
+    ).energy).sum(axis=1)
+    assert e_open.min() > 1e-12
+    np.testing.assert_allclose(e_tau, tau * e_open, rtol=1e-4)
+
+
+def test_ism_opaque_parity_with_hard_block():
+    """tau ~ 0 on the screen reproduces the hard-block result (the
+    transmission path's finite floor is inaudible), and the no-table
+    scene keeps the boolean leg path."""
+    from audio_raytracing_tpu.models.ism import image_source_ir
+
+    kw = dict(cfg=CFG, order=2, include_direct=True)
+    scene_hard = _ism_floor_screen([1.0] * 4)
+    scene_hard.transmission = None  # opaque boolean-leg path
+    e_hard = np.asarray(image_source_ir(
+        scene_hard.device_arrays(), jnp.asarray(SRC2), LST2, **kw
+    ).energy)
+    e_soft = np.asarray(image_source_ir(
+        _ism_floor_screen([0.0] * 4).device_arrays(),
+        jnp.asarray(SRC2), LST2, **kw,
+    ).energy)
+    np.testing.assert_allclose(e_soft, e_hard, rtol=1e-5, atol=1e-20)
+
+
+def test_hybrid_transition_ignores_phantom_arrivals():
+    """hybrid_ir's auto transition must not treat the ~1e-30-amplitude
+    residue of an opaque-blocked image path as the last ISM arrival: with
+    a tau=0 screen it must reproduce the hard-block (no-table) hybrid —
+    same transition bin, same surviving Monte-Carlo tail."""
+    import jax
+
+    from audio_raytracing_tpu.models.ism import hybrid_ir, image_source_ir
+
+    kw = dict(cfg=CFG, order=1, n_rays=512, max_bounces=4, scattering=0.3,
+              key=jax.random.PRNGKey(0))
+    soft = hybrid_ir(
+        _ism_floor_screen([0.0] * 4).device_arrays(), jnp.asarray(SRC2),
+        LST2, **kw,
+    )
+    scene_hard = _ism_floor_screen([1.0] * 4)
+    scene_hard.transmission = None
+    hard = hybrid_ir(
+        scene_hard.device_arrays(), jnp.asarray(SRC2), LST2, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(soft.energy), np.asarray(hard.energy), rtol=1e-4,
+        atol=1e-20,
+    )
+    # and the tail genuinely exists beyond the ISM arrivals
+    ism = image_source_ir(
+        _ism_floor_screen([0.0] * 4).device_arrays(), jnp.asarray(SRC2),
+        LST2, cfg=CFG, order=1, include_direct=True,
+    )
+    assert float(jnp.sum(soft.energy)) > float(jnp.sum(ism.energy))
