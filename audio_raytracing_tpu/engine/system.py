@@ -67,6 +67,9 @@ class SoundSystem:
         self.orientation = np.asarray([0.0, 0.0, 0.0, 1.0], np.float32)
         self._handles: dict[int, int] = {}  # handle -> slot
         self._next_handle = 0
+        # slot -> (feedback_gain, wet) traced-IR calibration overrides
+        # (engine/calibrate.py); sticky across update_acoustics
+        self._reverb_cal: dict[int, tuple[float, float]] = {}
 
     # --- resources -------------------------------------------------------
 
@@ -123,6 +126,7 @@ class SoundSystem:
             feedback_gain=p.feedback_gain.at[slot].set(DEFAULT_FEEDBACK_GAIN),
             wet=p.wet.at[slot].set(0.0),
         )
+        self._reverb_cal.pop(slot, None)  # recycled slot: stale calibration
         h = self._next_handle
         self._next_handle += 1
         self._handles[h] = slot
@@ -190,11 +194,76 @@ class SoundSystem:
             )
         # keep reverb feedback default when no coupling was traced? No —
         # the reference overwrites with the coupling (main.zig:785).
+        # Voices calibrated via calibrate_reverb() keep their traced-IR
+        # parameters instead of the atan heuristic.
+        for slot, (g, w) in self._reverb_cal.items():
+            params = params._replace(
+                feedback_gain=params.feedback_gain.at[slot].set(g),
+                wet=params.wet.at[slot].set(w),
+            )
         self.params = params
         self.state = self.state._replace(
             voices=vt._replace(refl_dist_prev=jnp.full_like(vt.refl_dist_prev, jnp.nan))
         )
         return params
+
+    def calibrate_reverb(self, handle: int | None = None,
+                         n_rays: int | None = None,
+                         max_bounces: int | None = None,
+                         clear: bool = False):
+        """Replace the reference's heuristic reverb coupling
+        (feedback_gain = wet = 0.5*atan(100*capped_mean_dist),
+        main.zig:785-786) with parameters matched to a REAL traced
+        impulse response: per voice, trace source->listener
+        (models/ir.trace_ir), measure the ISO-3382 T30, and solve the FDN
+        feedback gain whose decay matches plus a wet level from the IR's
+        direct/reverberant split (engine/calibrate.py).
+
+        handle=None calibrates every active voice. The calibration is
+        sticky — update_acoustics re-applies it until clear=True or the
+        voice's slot is recycled by a new play_sound. Returns
+        {handle: (feedback_gain, wet)}.
+        """
+        if clear:
+            if handle is None:
+                self._reverb_cal.clear()
+            else:
+                self._reverb_cal.pop(self._handles[handle], None)
+            return {}
+        if self.scene is None:
+            raise RuntimeError("SoundSystem has no scene")
+        from ..models.ir import trace_ir
+        from .calibrate import reverb_params_from_ir
+
+        if handle is None:
+            targets = [
+                (h, s) for h, s in self._handles.items() if self.is_playing(h)
+            ]
+        else:
+            targets = [(handle, self._handles[handle])]
+        out = {}
+        p = self.params
+        for h, slot in targets:
+            ir = trace_ir(
+                self._scene_arrays,
+                jnp.asarray(self.state.voices.pos[slot]),
+                jnp.asarray(self.listener),
+                cfg=self.cfg,
+                n_rays=n_rays or self.cfg.rays_per_source,
+                max_bounces=max_bounces or self.cfg.max_bounces,
+                intersector="mxu",
+                scatter="matmul",
+            )
+            g, w = reverb_params_from_ir(ir.energy, cfg=self.cfg)
+            g, w = float(g), float(w)
+            self._reverb_cal[slot] = (g, w)
+            p = p._replace(
+                feedback_gain=p.feedback_gain.at[slot].set(g),
+                wet=p.wet.at[slot].set(w),
+            )
+            out[h] = (g, w)
+        self.params = p
+        return out
 
     # --- rendering ---------------------------------------------------------
 
