@@ -130,6 +130,25 @@ def _apex(e0, e1, s, l):
     return e0 + t[:, None] * u, interior
 
 
+def _apex_b(e0, e1, s, l):
+    """_apex with batched per-row source/listener points: e0/e1 (P, 3),
+    s/l (P, 3) or (3,). Returns (P (P, 3), interior (P,))."""
+    d = e1 - e0
+    length = jnp.linalg.norm(d, axis=-1)
+    u = d / jnp.maximum(length, 1e-12)[:, None]
+    sv = jnp.broadcast_to(s, e0.shape) - e0
+    lv = jnp.broadcast_to(l, e0.shape) - e0
+    s_par = jnp.sum(sv * u, axis=-1)
+    l_par = jnp.sum(lv * u, axis=-1)
+    s_perp = jnp.linalg.norm(sv - s_par[:, None] * u, axis=-1)
+    l_perp = jnp.linalg.norm(lv - l_par[:, None] * u, axis=-1)
+    denom = jnp.maximum(s_perp + l_perp, 1e-12)
+    t = s_par + s_perp * (l_par - s_par) / denom
+    interior = (t > 0.0) & (t < length)
+    t = jnp.clip(t, 0.0, length)
+    return e0 + t[:, None] * u, interior
+
+
 def _leg_clear(scene_arrays, a, b, eps=1e-3):
     d = b - a
     length = jnp.linalg.norm(d, axis=-1)
@@ -385,6 +404,51 @@ def _utd_term(gamma, n_w, kl):
     return jnp.where(near, lim_re, reg_re), jnp.where(near, lim_im, reg_im)
 
 
+def _utd_gain(xh, yh, n_w, r_o, r_n, w_unit, p, s_pt, l_pt, s_in, s_out, k):
+    """|D| (P, bands) of the four-term Kouyoumjian-Pathak coefficient for
+    wedges at apex points p, with incident points s_pt and outgoing points
+    l_pt (all (P, 3)).
+
+    s_in/s_out are the distance parameters entering L = s_in s_out /
+    (s_in + s_out) sin^2(beta0) — for first-order diffraction they are the
+    actual leg lengths; for a cascaded (edge-to-edge) wedge the incident
+    distance is the accumulated path from the source (Kouyoumjian's
+    continuation of the spherical spreading), so they are passed
+    separately from the geometry."""
+    sv = s_pt - p
+    lv = l_pt - p
+    sp = sv - jnp.sum(sv * w_unit, axis=-1, keepdims=True) * w_unit
+    lp = lv - jnp.sum(lv * w_unit, axis=-1, keepdims=True) * w_unit
+    sp_n = jnp.linalg.norm(sp, axis=-1)
+    two_pi = 2.0 * jnp.pi
+    phi0 = jnp.mod(
+        jnp.arctan2(jnp.sum(sp * yh, axis=-1), jnp.sum(sp * xh, axis=-1)), two_pi
+    )
+    phi = jnp.mod(
+        jnp.arctan2(jnp.sum(lp * yh, axis=-1), jnp.sum(lp * xh, axis=-1)), two_pi
+    )
+    span = n_w * jnp.pi
+    phi0 = jnp.clip(phi0, 0.0, span)
+    phi = jnp.clip(phi, 0.0, span)
+    sin_b0 = jnp.clip(
+        sp_n / jnp.maximum(jnp.linalg.norm(sv, axis=-1), 1e-9), 1e-3, 1.0
+    )
+
+    L = s_in * s_out / jnp.maximum(s_in + s_out, 1e-9) * sin_b0 * sin_b0
+    kl = L[:, None] * k[None, :]  # (P, bands)
+
+    b_minus = phi - phi0
+    b_plus = phi + phi0
+    t1r, t1i = _utd_term(jnp.pi + b_minus, n_w, kl)
+    t2r, t2i = _utd_term(jnp.pi - b_minus, n_w, kl)
+    t3r, t3i = _utd_term(jnp.pi + b_plus, n_w, kl)
+    t4r, t4i = _utd_term(jnp.pi - b_plus, n_w, kl)
+    sum_r = t1r + t2r + r_n * t3r + r_o * t4r
+    sum_i = t1i + t2i + r_n * t3i + r_o * t4i
+    denom = 2.0 * n_w[:, None] * jnp.sqrt(2.0 * jnp.pi * k)[None, :] * sin_b0[:, None]
+    return jnp.sqrt(sum_r * sum_r + sum_i * sum_i) / denom  # (P, bands)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def diffraction_ir_utd(
     scene_arrays,
@@ -436,42 +500,15 @@ def diffraction_ir_utd(
     # wedge-frame angles at the apex
     w = edges[:, 1] - edges[:, 0]
     w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
-    sv = src[None, :] - p
-    lv = lst[None, :] - p
-    sp = sv - jnp.sum(sv * w, axis=-1, keepdims=True) * w
-    lp = lv - jnp.sum(lv * w, axis=-1, keepdims=True) * w
-    sp_n = jnp.linalg.norm(sp, axis=-1)
-    two_pi = 2.0 * jnp.pi
-    phi0 = jnp.mod(
-        jnp.arctan2(jnp.sum(sp * yh, axis=-1), jnp.sum(sp * xh, axis=-1)), two_pi
-    )
-    phi = jnp.mod(
-        jnp.arctan2(jnp.sum(lp * yh, axis=-1), jnp.sum(lp * xh, axis=-1)), two_pi
-    )
-    span = n_w * jnp.pi
-    phi0 = jnp.clip(phi0, 0.0, span)
-    phi = jnp.clip(phi, 0.0, span)
-    sin_b0 = jnp.clip(
-        sp_n / jnp.maximum(jnp.linalg.norm(sv, axis=-1), 1e-9), 1e-3, 1.0
-    )
-
-    k = two_pi * EQ_FREQS / cfg.speed_of_sound  # (4,)
-    L = d_sp * d_pl / jnp.maximum(d_total, 1e-9) * sin_b0 * sin_b0
-    kl = L[:, None] * k[None, :]  # (E, 4)
+    k = 2.0 * jnp.pi * EQ_FREQS / cfg.speed_of_sound  # (4,)
     keep = jnp.sqrt(jnp.clip(1.0 - scene_arrays.absorption, 0.0, 1.0))  # (T, 4)
     r_o = keep[jnp.asarray(wedges.face_o)]
     r_n = keep[jnp.asarray(wedges.face_n)]
-
-    b_minus = phi - phi0
-    b_plus = phi + phi0
-    t1r, t1i = _utd_term(jnp.pi + b_minus, n_w, kl)
-    t2r, t2i = _utd_term(jnp.pi - b_minus, n_w, kl)
-    t3r, t3i = _utd_term(jnp.pi + b_plus, n_w, kl)
-    t4r, t4i = _utd_term(jnp.pi - b_plus, n_w, kl)
-    sum_r = t1r + t2r + r_n * t3r + r_o * t4r
-    sum_i = t1i + t2i + r_n * t3i + r_o * t4i
-    denom = 2.0 * n_w[:, None] * jnp.sqrt(two_pi * k)[None, :] * sin_b0[:, None]
-    d_mag = jnp.sqrt(sum_r * sum_r + sum_i * sum_i) / denom  # (E, 4)
+    d_mag = _utd_gain(
+        xh, yh, n_w, r_o, r_n, w, p,
+        jnp.broadcast_to(src, p.shape), jnp.broadcast_to(lst, p.shape),
+        d_sp, d_pl, k,
+    )  # (E, 4)
     gain = d_mag * jnp.sqrt(
         d_total / jnp.maximum(d_sp * d_pl, 1e-12)
     )[:, None]
@@ -489,6 +526,140 @@ def diffraction_ir_utd(
     ).astype(jnp.int32)
     energy = jax.ops.segment_sum(e, bins, num_segments=n_bins + 1)[:-1]
     u = (p - lst[None, :]) / jnp.maximum(d_pl, 1e-9)[:, None]
+    dsum = jax.ops.segment_sum(
+        u * jnp.mean(e, axis=-1, keepdims=True), bins, num_segments=n_bins + 1
+    )[:-1]
+    return ImpulseResponse(energy=energy.T, dir_sum=dsum.T)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_iters"))
+def diffraction_ir_utd2(
+    scene_arrays,
+    wedges: WedgeSet,
+    source,
+    listener,
+    cfg: Config = DEFAULT_CONFIG,
+    n_iters: int = 12,
+) -> ImpulseResponse:
+    """Second-order (edge-to-edge) UTD diffraction over all ordered wedge
+    pairs — the path family a single edge cannot produce (e.g. across a
+    thick barrier or a pair of screens, where every first-order apex leg
+    is blocked).
+
+    Geometry: the stationary (Fermat) double-apex path src -> p1 on edge
+    i -> p2 on edge j -> lst is found by alternating the closed-form
+    single-edge apex solve (_apex_b) n_iters times — each step is the
+    exact optimum for one apex holding the other fixed, so the pair
+    iteration converges to the joint shortest path; non-stationary pairs
+    (the straight continuation misses the second edge) end CLAMPED to an
+    edge endpoint and are discarded by the interior masks, which is also
+    what prevents double counting against first-order paths.
+
+    Amplitude: cascaded Kouyoumjian-Pathak coefficients with LOCAL
+    spherical distance parameters — wedge i sees (s_in, s_out) =
+    (s1, s2), wedge j sees (s2, s3), i.e. each wedge treats the previous
+    apex as a point source. The alternative (Kouyoumjian's continuation,
+    s_in = s1 + s2 at the second wedge) is slightly more accurate inside
+    transition zones but breaks acoustic reciprocity (swapping source and
+    listener changes the L parameters); the local choice keeps the
+    swapped path's {L} set identical, and reciprocity is tested. Total
+    field D1 D2 sqrt(1/(s1 s2 s3 d_total)) expressed in this module's
+    free-field-relative convention as
+    gain = |D1||D2| sqrt(d_total/(s1 s2 s3)).
+
+    Includes strip/slit double diffraction: for a single finite screen
+    the top->bottom (and side->side) edge pairs are genuine stationary
+    double-diffracted rays (Keller's strip problem) whose connecting leg
+    grazes the sheet — they survive the gating and contribute below the
+    first-order field.
+
+    Cost: dense over E^2 ordered pairs (each with three nearest-hit
+    occlusion legs) — fine for room-scale wedge counts (E <= a few
+    hundred); prune the WedgeSet first for city-scale scenes.
+    """
+    src = jnp.asarray(source, jnp.float32)
+    lst = jnp.asarray(listener, jnp.float32)
+    edges = jnp.asarray(wedges.edges, jnp.float32)
+    n_bins = cfg.ir_n_bins
+    E = edges.shape[0]
+    if E < 2:
+        z = jnp.zeros((len(EQ_FREQS), n_bins), jnp.float32)
+        return ImpulseResponse(energy=z, dir_sum=jnp.zeros((3, n_bins)))
+
+    i = jnp.repeat(jnp.arange(E), E)
+    j = jnp.tile(jnp.arange(E), E)
+    e0i, e1i = edges[i, 0], edges[i, 1]
+    e0j, e1j = edges[j, 0], edges[j, 1]
+
+    # direct must be blocked (additive with the other families)
+    d_sl = jnp.linalg.norm(lst - src)
+    safe_dir = jnp.where(d_sl < 1e-9, jnp.float32([1, 0, 0]), lst - src)
+    t_occ, _, hit = nearest_hit(
+        src[None], safe_dir[None] / jnp.maximum(d_sl, 1e-9),
+        scene_arrays.v0, scene_arrays.v1, scene_arrays.v2,
+    )
+    direct_blocked = hit[0] & (t_occ[0] < d_sl)
+
+    # alternating Fermat solve for the double apex
+    p2 = 0.5 * (e0j + e1j)
+    p1 = 0.5 * (e0i + e1i)
+    int1 = int2 = jnp.ones(E * E, bool)
+    for _ in range(n_iters):
+        p1, int1 = _apex_b(e0i, e1i, src, p2)
+        p2, int2 = _apex_b(e0j, e1j, p1, lst)
+
+    s1 = jnp.linalg.norm(p1 - src[None, :], axis=-1)
+    s2 = jnp.linalg.norm(p2 - p1, axis=-1)
+    s3 = jnp.linalg.norm(lst[None, :] - p2, axis=-1)
+    d_total = s1 + s2 + s3
+    delta = d_total - d_sl
+
+    legs = (
+        _leg_clear(scene_arrays, jnp.broadcast_to(src, p1.shape), p1)
+        & _leg_clear(scene_arrays, p1, p2)
+        & _leg_clear(scene_arrays, p2, jnp.broadcast_to(lst, p2.shape))
+    )
+    valid = (
+        direct_blocked & legs & int1 & int2
+        & (i != j) & (s2 > 1e-4) & (delta > 1e-6)
+    )
+
+    k = 2.0 * jnp.pi * EQ_FREQS / cfg.speed_of_sound  # (4,)
+    keep = jnp.sqrt(jnp.clip(1.0 - scene_arrays.absorption, 0.0, 1.0))
+    xh = jnp.asarray(wedges.xhat)
+    yh = jnp.asarray(wedges.yhat)
+    n_w = jnp.asarray(wedges.n_w)
+    r_o = keep[jnp.asarray(wedges.face_o)]
+    r_n = keep[jnp.asarray(wedges.face_n)]
+    w = edges[:, 1] - edges[:, 0]
+    w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+
+    d1 = _utd_gain(
+        xh[i], yh[i], n_w[i], r_o[i], r_n[i], w[i], p1,
+        jnp.broadcast_to(src, p1.shape), p2, s1, s2, k,
+    )
+    d2 = _utd_gain(
+        xh[j], yh[j], n_w[j], r_o[j], r_n[j], w[j], p2,
+        p1, jnp.broadcast_to(lst, p2.shape), s2, s3, k,
+    )
+    gain = d1 * d2 * jnp.sqrt(
+        d_total / jnp.maximum(s1 * s2 * s3, 1e-12)
+    )[:, None]
+
+    amp = (
+        gain / (d_total[:, None] + 1.0)
+        * _air_absorption(d_total, cfg.air_absorption)
+    )
+    e = amp * amp * jnp.where(valid, 1.0, 0.0)[:, None]
+
+    bps = float(cfg.ir_bins_per_sample)
+    spm = cfg.samples_per_meter
+    b_raw = d_total * spm * bps + 0.5
+    bins = jnp.where(
+        valid & (b_raw < n_bins), jnp.clip(b_raw, 0, n_bins - 1), n_bins
+    ).astype(jnp.int32)
+    energy = jax.ops.segment_sum(e, bins, num_segments=n_bins + 1)[:-1]
+    u = (p2 - lst[None, :]) / jnp.maximum(s3, 1e-9)[:, None]
     dsum = jax.ops.segment_sum(
         u * jnp.mean(e, axis=-1, keepdims=True), bins, num_segments=n_bins + 1
     )[:-1]

@@ -272,3 +272,117 @@ def test_utd_reciprocity():
     e2 = np.asarray(diffraction_ir_utd(arrays, wedges, b, a, cfg=CFG).energy)
     assert e1.sum() > 0
     np.testing.assert_allclose(e1, e2, rtol=1e-4, atol=1e-12)
+
+
+# ---- second-order (edge-to-edge) UTD ------------------------------------
+
+def _double_screen_setup():
+    """Two thin screens both blocking the direct path; every FIRST-order
+    apex leg is blocked by the other screen (the taller far screen kills
+    the over-A path, the near screen kills the over-B path), so only the
+    edge-to-edge path over both tops remains."""
+    from audio_raytracing_tpu.models.diffraction import extract_wedges
+
+    tris = np.concatenate([
+        screen(half_h=1.0, half_w=6.0, x=-1.0),
+        screen(half_h=1.5, half_w=6.0, x=1.0),
+    ])
+    # raise the second screen's bottom to -1.5 is unnecessary; both reach
+    # below the source/listener line (y=0) and block the direct ray
+    scene = Scene.from_triangles(tris, CFG)
+    return scene.device_arrays(), extract_wedges(tris)
+
+
+def test_utd2_double_screen_path():
+    """First order is silent across a double barrier; second order carries
+    the over-both-tops arrival at the correct delay."""
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd,
+        diffraction_ir_utd2,
+    )
+
+    arrays, wedges = _double_screen_setup()
+    src = jnp.asarray([-3.0, 0.0, 0.0])
+    lst = jnp.asarray([3.0, 0.0, 0.0])
+    ir1 = diffraction_ir_utd(arrays, wedges, src, lst, cfg=CFG)
+    ir2 = diffraction_ir_utd2(arrays, wedges, src, lst, cfg=CFG)
+    e1 = float(jnp.sum(ir1.energy))
+    e2 = float(jnp.sum(ir2.energy))
+    assert e1 < 1e-12  # every first-order apex leg is blocked
+    assert e2 > 1e-12
+
+    # delay: the shortest double path src->(-1,1,0)->(1,1.5,0)->lst
+    p1 = np.float32([-1.0, 1.0, 0.0])
+    p2 = np.float32([1.0, 1.5, 0.0])
+    d = (np.linalg.norm(p1 - np.float32([-3, 0, 0]))
+         + np.linalg.norm(p2 - p1)
+         + np.linalg.norm(np.float32([3, 0, 0]) - p2))
+    expect_bin = int(round(d * CFG.samples_per_meter * CFG.ir_bins_per_sample))
+    peak = int(np.argmax(np.asarray(ir2.energy).sum(axis=0)))
+    assert abs(peak - expect_bin) <= 3
+
+    # physics: higher bands lose more over a double edge
+    e_bands = np.asarray(ir2.energy).sum(axis=1)
+    assert e_bands[0] > e_bands[1] > e_bands[2] > e_bands[3]
+
+
+def test_utd2_reciprocity():
+    from audio_raytracing_tpu.models.diffraction import diffraction_ir_utd2
+
+    arrays, wedges = _double_screen_setup()
+    src = jnp.asarray([-3.0, 0.2, 0.5])
+    lst = jnp.asarray([2.5, -0.1, -0.3])
+    a = float(jnp.sum(diffraction_ir_utd2(arrays, wedges, src, lst, cfg=CFG).energy))
+    b = float(jnp.sum(diffraction_ir_utd2(arrays, wedges, lst, src, cfg=CFG).energy))
+    assert a > 0.0
+    np.testing.assert_allclose(a, b, rtol=1e-3)
+
+
+def test_utd2_double_barrier_attenuates_more_than_single():
+    """Insertion loss of two screens > one screen (same endpoints)."""
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd,
+        diffraction_ir_utd2,
+        extract_wedges,
+    )
+
+    src = jnp.asarray([-3.0, 0.0, 0.0])
+    lst = jnp.asarray([3.0, 0.0, 0.0])
+    single = screen(half_h=1.0, half_w=6.0, x=-1.0)
+    e_single = float(jnp.sum(diffraction_ir_utd(
+        Scene.from_triangles(single, CFG).device_arrays(),
+        extract_wedges(single), src, lst, cfg=CFG,
+    ).energy))
+    arrays, wedges = _double_screen_setup()
+    e_double = float(jnp.sum(
+        diffraction_ir_utd2(arrays, wedges, src, lst, cfg=CFG).energy
+    ))
+    assert 0.0 < e_double < e_single
+
+
+def test_utd2_strip_double_diffraction_below_first_order():
+    """A single finite screen IS Keller's strip problem: its top->bottom
+    edge pairs are genuine stationary double-diffracted rays. They must
+    contribute — at a longer delay than the first-order apexes and below
+    the first-order energy (a correction term, not the leading field)."""
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd,
+        diffraction_ir_utd2,
+        extract_wedges,
+    )
+
+    tris = screen(half_h=1.0, half_w=6.0)
+    arrays = Scene.from_triangles(tris, CFG).device_arrays()
+    wedges = extract_wedges(tris)
+    src = jnp.asarray([-2.0, 0.0, 0.0])
+    lst = jnp.asarray([2.0, 0.0, 0.0])
+    ir1 = diffraction_ir_utd(arrays, wedges, src, lst, cfg=CFG)
+    ir2 = diffraction_ir_utd2(arrays, wedges, src, lst, cfg=CFG)
+    e1 = float(jnp.sum(ir1.energy))
+    e2 = float(jnp.sum(ir2.energy))
+    assert 0.0 < e2 < e1
+    # the double path detours over an edge AND along the sheet: later
+    # than every first-order arrival
+    onset1 = int(np.argmax(np.asarray(ir1.energy).sum(axis=0) > 0))
+    onset2 = int(np.argmax(np.asarray(ir2.energy).sum(axis=0) > 0))
+    assert onset2 > onset1
