@@ -53,6 +53,7 @@ def __getattr__(name):
         "hybrid_ir": ("models.ism", "hybrid_ir"),
         "diffraction_ir": ("models.diffraction", "diffraction_ir"),
         "diffraction_ir_utd": ("models.diffraction", "diffraction_ir_utd"),
+        "diffraction_ir_utd2": ("models.diffraction", "diffraction_ir_utd2"),
         "extract_edges": ("models.diffraction", "extract_edges"),
         "extract_wedges": ("models.diffraction", "extract_wedges"),
         "rigid_transform_arrays": ("models.scene", "rigid_transform_arrays"),
@@ -72,7 +73,7 @@ __all__ = [
     "render_ir_offline", "render_ir_moving_offline", "render_engine_offline",
     "trace_ir_sharded",
     "trace_irs_multi_source", "trace_irs_multi_listener_sharded",
-    "hybrid_ir", "diffraction_ir", "diffraction_ir_utd", "extract_edges",
-    "extract_wedges",
+    "hybrid_ir", "diffraction_ir", "diffraction_ir_utd",
+    "diffraction_ir_utd2", "extract_edges", "extract_wedges",
     "rigid_transform_arrays", "__version__",
 ]

@@ -15,7 +15,8 @@ an N-channel speaker-rig WAV (fibonacci rig) instead of binaural stereo.
 --model picks the acoustic model family: the Monte-Carlo specular tracer
 (default), exact image sources (orders <= 3), the ISM+tail hybrid, or
 "full" = hybrid + UTD edge diffraction (shadow-zone arrivals around
-occluders, models/diffraction.py).
+occluders, models/diffraction.py); --diffraction-order 2 adds the
+edge-to-edge (double) UTD paths.
 """
 
 from __future__ import annotations
@@ -56,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--rays", type=int, default=None)
     ap.add_argument("--bounces", type=int, default=None)
     ap.add_argument("--ism-order", type=int, default=2)
+    ap.add_argument("--diffraction-order", type=int, choices=(1, 2),
+                    default=1,
+                    help="--model full: 2 adds edge-to-edge (double) UTD "
+                         "paths — thick barriers, double screens, strips")
     ap.add_argument("--seed", type=int, default=0, help="hybrid PRNG seed")
     ap.add_argument("--material", action="append", default=[],
                     metavar="NAME=PRESET",
@@ -130,7 +135,11 @@ def main(argv=None) -> str:
                 key=jax.random.PRNGKey(args.seed),
             )
         else:  # full: ISM early + MC tail + UTD edge diffraction
-            from ..models.diffraction import diffraction_ir_utd, extract_wedges
+            from ..models.diffraction import (
+                diffraction_ir_utd,
+                diffraction_ir_utd2,
+                extract_wedges,
+            )
             from ..models.ir import ImpulseResponse
 
             t = scene.n_triangles
@@ -144,10 +153,13 @@ def main(argv=None) -> str:
                     key=jax.random.PRNGKey(args.seed),
                 )
                 di = diffraction_ir_utd(arrays, wedges, pos, lst, cfg=cfg)
-                return ImpulseResponse(
-                    energy=hy.energy + di.energy,
-                    dir_sum=hy.dir_sum + di.dir_sum,
-                )
+                energy = hy.energy + di.energy
+                dir_sum = hy.dir_sum + di.dir_sum
+                if args.diffraction_order >= 2:
+                    d2 = diffraction_ir_utd2(arrays, wedges, pos, lst, cfg=cfg)
+                    energy = energy + d2.energy
+                    dir_sum = dir_sum + d2.dir_sum
+                return ImpulseResponse(energy=energy, dir_sum=dir_sum)
     speaker_dirs = (
         jnp.asarray(fibonacci_sphere(args.speakers))
         if args.speakers is not None else None

@@ -145,6 +145,7 @@ def test_offline_cli_models(tmp_path):
         ("trace", ["--speakers", "8"]),
         ("ism", ["--ism-order", "1"]),
         ("hybrid", ["--ism-order", "1"]),
+        ("full", ["--ism-order", "1", "--diffraction-order", "2"]),
     ]:
         out = tmp_path / f"out_{model}_{len(extra)}.wav"
         msg = offline_main([common[0], str(out)] + common[1:] +
