@@ -59,6 +59,7 @@ _A = 0  # 9: row-major world->unit-triangle linear map
 _B = 9  # 3: affine offset
 _N = 12  # 3: unit normal
 _K = 15  # N_BANDS: per-band amplitude kept = sqrt(1 - absorption)
+_TAU = 19  # N_BANDS: shadow-crossing log amplitude 0.5*log(transmission)
 TRI_COLS = 24  # padded
 
 
@@ -91,9 +92,18 @@ def build_tri_tables(scene_arrays):
     a_rows = [woop_d[:, k * T : (k + 1) * T].T for k in range(3)]  # each (T, 3)
     b_cols = [woop_o[3, k * T : (k + 1) * T][:, None] for k in range(3)]  # (T, 1)
     keep = jnp.sqrt(jnp.clip(1.0 - scene_arrays.absorption[:, :N_BANDS], 0.0, 1.0))
+    # shadow transmission log-amplitudes (models/ir._transmission_log_amp
+    # law: 0.5 log tau, 1e-30 floor — a NORMAL f32, subnormals flush);
+    # only read when the kernel runs with transmission=True
+    tau = (
+        scene_arrays.transmission
+        if scene_arrays.transmission is not None
+        else jnp.zeros_like(scene_arrays.absorption[:, :N_BANDS])
+    )
+    tlog = 0.5 * jnp.log(jnp.clip(tau[:, :N_BANDS], 1e-30, 1.0))
     table = jnp.concatenate(
-        a_rows + b_cols + [scene_arrays.normals, keep], axis=1
-    )  # (T, 9 + 3 + 3 + 4)
+        a_rows + b_cols + [scene_arrays.normals, keep, tlog], axis=1
+    )  # (T, 9 + 3 + 3 + 4 + 4)
     pad = TRI_COLS - table.shape[1]
     table = jnp.pad(table, ((0, 0), (0, pad))).astype(jnp.float32)
 
@@ -125,13 +135,20 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   gaabb_ref, *out_refs, n_tris: int, max_bounces: int,
                   cfg: Config, fused_hist: bool = False, cull: bool = False,
                   flat_bands: bool = False, mxu_xform: bool = False,
-                  group_fori: bool = False, row_unroll: int = 8):
+                  group_fori: bool = False, row_unroll: int = 8,
+                  transmission: bool = False):
     # large-scene mode: iterate triangle groups with lax.fori_loop +
     # 8-aligned dynamic VMEM loads instead of a fully unrolled Python loop
     # (which explodes trace/compile time past ~32 groups). Incompatible
     # with the register-resident experiments.
     if group_fori:
         assert not cull and not mxu_xform, "group_fori excludes cull/mxu_xform"
+    # transmission: the shadow pass accumulates per-band crossing
+    # log-amplitudes (sum of ok * 0.5 log tau over groups) instead of a
+    # hard any-hit block; the contribution multiplies exp(sum) per band
+    # (models/ir.py's law, in-kernel). Excluded from the experiments.
+    if transmission:
+        assert not cull and not mxu_xform, "transmission excludes cull/mxu_xform"
     inf = jnp.float32(np.inf)
     sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
     lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
@@ -323,14 +340,18 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         return carry[0], list(carry[1:])
 
     def shadow_pass(wx, wy, wz, preds=None):
-        """Any-hit within the listener->vertex segment for a (1, 128) row.
-        Constant (precomputed) transformed origins; t <= 1 blocks. preds:
-        optional (n_groups, 1) runtime group skip."""
+        """Listener->vertex segment test for a (1, 128) row. Constant
+        (precomputed) transformed origins; t <= 1 crosses. preds: optional
+        (n_groups, 1) runtime group skip.
+
+        Returns a (1, 128) blocked mask — or, with transmission, a list of
+        n_keep (1, 128) crossing log-amplitude sums (exp'd by the
+        caller)."""
         if mxu_xform:
             wvec = jnp.concatenate([wx, wy, wz], axis=0)  # (3, 128)
             dp_all = [_xf(a_rows[k], wvec) for k in range(3)]
 
-        def group_body(col, ocol, blocked, g=None):
+        def group_body(col, ocol, carry, g=None):
             if mxu_xform:
                 dpx, dpy, dpz = (gslice(dp_all[k], g) for k in range(3))
             else:
@@ -354,30 +375,42 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 & (t >= eps)
                 & (t <= 1.0)
             )
-            return jnp.maximum(blocked, ok.astype(jnp.float32))
+            okf = ok.astype(jnp.float32)
+            if transmission:
+                return tuple(
+                    carry[c] + okf * col(_TAU + c) for c in range(n_keep)
+                )
+            return jnp.maximum(carry, okf)
 
-        blocked = jnp.zeros(gshape, jnp.float32)
+        if transmission:
+            carry = tuple(jnp.zeros(gshape, jnp.float32) for _ in range(n_keep))
+        else:
+            carry = jnp.zeros(gshape, jnp.float32)
         if group_fori:
-            def fori_body(base, blocked):
+            def fori_body(base, carry):
                 for k in range(fori_unroll):
                     col, ocol = _fori_cols(base, k)
-                    blocked = group_body(col, ocol, blocked)
-                return blocked
+                    carry = group_body(col, ocol, carry)
+                return carry
 
-            blocked = jax.lax.fori_loop(0, n_groups // fori_unroll, fori_body, blocked)
-            return jnp.max(blocked, axis=0, keepdims=True)
+            carry = jax.lax.fori_loop(0, n_groups // fori_unroll, fori_body, carry)
+            if transmission:
+                return [jnp.sum(c, axis=0, keepdims=True) for c in carry]
+            return jnp.max(carry, axis=0, keepdims=True)
         for g in range(n_groups):
             col = partial(cg, g)
             ocol = partial(og, g)
             if preds is None:
-                blocked = group_body(col, ocol, blocked, g)
+                carry = group_body(col, ocol, carry, g)
             else:
-                blocked = jax.lax.cond(
+                carry = jax.lax.cond(
                     preds[g, 0] > 0,
                     lambda b, _c=col, _o=ocol, _g=g: group_body(_c, _o, b, _g),
-                    lambda b: b, blocked,
+                    lambda b: b, carry,
                 )
-        return jnp.max(blocked, axis=0, keepdims=True)  # (1, 128)
+        if transmission:
+            return [jnp.sum(c, axis=0, keepdims=True) for c in carry]
+        return jnp.max(carry, axis=0, keepdims=True)  # (1, 128)
 
     def row_body(r, carry):
         dx = dx_ref[pl.ds(r, 1), :]  # (1, 128)
@@ -461,8 +494,14 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 sh_preds = bundle_preds(o_b, r_lo, r_hi)
             else:
                 sh_preds = None
-            blocked = shadow_pass(wx, wy, wz, sh_preds)
-            visible = (alive > 0) & (blocked < 0.5)
+            sh_out = shadow_pass(wx, wy, wz, sh_preds)
+            if transmission:
+                # all alive rays emit; opaque crossings carry exp(-34.5)
+                # ~ 1e-15 amplitude (energy ~1e-30: nothing audible)
+                t_amp = [jnp.exp(t) for t in sh_out]
+                visible = alive > 0
+            else:
+                visible = (alive > 0) & (sh_out < 0.5)
 
             dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
             inv_dl = 1.0 / jnp.maximum(dl, 1e-20)
@@ -480,6 +519,8 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 # index outside the kernel (trace_ir_pallas); direction
                 # weighted by the flat energy (rescaled outside to match)
                 a0 = amp[0] * scale
+                if transmission:  # band-uniform tau required (caller)
+                    a0 = a0 * t_amp[0]
                 e_base = a0 * a0 * inv_n * visf
                 es = [e_base]
                 e_dir = e_base
@@ -488,6 +529,8 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 for c in range(N_BANDS):
                     aab = jnp.clip(1.0 - air * d_total * freqs[c], 0.0, 1.0)
                     ac = amp[c] * scale * aab
+                    if transmission:
+                        ac = ac * t_amp[c]
                     es.append(ac * ac * inv_n * visf)
                 e_dir = (es[0] + es[1] + es[2] + es[3]) * (1.0 / N_BANDS)
             bins = jnp.clip(d_total * spm_bps + 0.5, 0.0, n_bins - 1.0)
@@ -576,14 +619,20 @@ def trace_contributions_pallas(
     band-uniform; the kernel carries a single amplitude and the return is
     (n_bins, 4) = [flat energy | direction], with per-band air absorption
     applied by the caller from the bin index.
+
+    Scenes with a transmission table (models/materials.py) switch the
+    shadow pass from hard any-hit blocking to per-band crossing
+    log-amplitude accumulation (exp'd into the contribution) — the same
+    law as models/ir.trace_ir. flat_bands then additionally requires
+    band-uniform transmission (only the first tau band is carried).
     """
     if flat_bands and not fused_hist:
         raise ValueError("flat_bands requires fused_hist=True")
-    if scene_arrays.transmission is not None:
-        raise NotImplementedError(
-            "the fused Pallas kernel hard-blocks shadow rays; surface "
-            "transmission (scene_arrays.transmission) is only supported "
-            'by models.ir.trace_ir with intersector="mt"/"mxu"'
+    transmission = scene_arrays.transmission is not None
+    if transmission and (cull or mxu_xform):
+        raise ValueError(
+            "surface transmission is incompatible with the cull/mxu_xform "
+            "experiments"
         )
     max_bounces = max_bounces or cfg.max_bounces
     e = cfg.specular_exponent
@@ -651,7 +700,7 @@ def trace_contributions_pallas(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
         mxu_xform=mxu_xform, group_fori=group_fori,
-        row_unroll=1 if interpret else 8,
+        row_unroll=1 if interpret else 8, transmission=transmission,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb)
     if fused_hist:

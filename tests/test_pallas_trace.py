@@ -238,3 +238,48 @@ def test_flat_bands_and_group_fori_guards(scene):
         trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
                         max_bounces=1, dirs=dirs, interpret=True,
                         fused_hist=True, group_fori=True, cull=True)
+
+
+def _transmissive_scene(tau):
+    """Box room + an interior screen with per-band transmission tau."""
+    screen = np.float32([
+        [[0.5, -1.2, -2.0], [0.5, 1.2, -2.0], [0.5, 1.2, 2.0]],
+        [[0.5, -1.2, -2.0], [0.5, 1.2, 2.0], [0.5, -1.2, 2.0]],
+    ])
+    tris = np.concatenate([box_room(size=(6.0, 3.0, 5.0)), screen])
+    trans = np.concatenate([
+        np.zeros((12, 4), np.float32),
+        np.tile(np.asarray(tau, np.float32), (2, 1)),
+    ])
+    return Scene.from_triangles(
+        tris, CFG, absorption=np.full(14, 0.2, np.float32),
+        transmission=trans,
+    )
+
+
+@pytest.mark.parametrize("mode", ["emit", "fused", "flat"])
+def test_pallas_transmission_matches_xla(mode):
+    """The in-kernel crossing log-amplitude shadow law reproduces
+    models/ir.trace_ir's transmission results (flat mode: band-uniform
+    tau)."""
+    tau = [0.3, 0.3, 0.3, 0.3] if mode == "flat" else [0.5, 0.25, 0.1, 0.04]
+    sc = _transmissive_scene(tau)
+    src = jnp.asarray([1.5, 0.5, 0.5])
+    lst = jnp.asarray([-1.5, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir(
+        sc.device_arrays(), src, lst, cfg=CFG, max_bounces=3, dirs=dirs,
+        intersector="mt",
+    )
+    kw = dict(cfg=CFG, max_bounces=3, dirs=dirs, interpret=True)
+    if mode == "fused":
+        kw.update(fused_hist=True)
+    elif mode == "flat":
+        kw.update(fused_hist=True, flat_bands=True)
+    b = trace_ir_pallas(sc.device_arrays(), src, lst, **kw)
+    tol = 2e-2 if mode in ("fused", "flat") else 1e-4  # bf16 binner
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=tol, atol=1e-8
+    )
+    # the screen-crossed arrivals genuinely exist (not all-blocked)
+    assert float(jnp.sum(a.energy)) > 0

@@ -180,6 +180,9 @@ def test_mt_mxu_agree_with_transmission():
 
 
 def test_unsupported_backends_raise():
+    """bih traversal cannot enumerate all occluders -> explicit error
+    (the fused Pallas kernel supports transmission: tests/test_pallas_trace
+    has the parity tests)."""
     tau = np.asarray([0.5, 0.25, 0.1, 0.04], np.float32)
     scene = _floor_screen_scene(tau)
     arrays = scene.device_arrays()
@@ -187,14 +190,6 @@ def test_unsupported_backends_raise():
         trace_ir(
             arrays, jnp.asarray(SRC2), LST2, cfg=CFG, intersector="bih",
             bih_arena=scene.device_bih(), n_rays=16,
-        )
-    from audio_raytracing_tpu.ops.pallas_trace import trace_contributions_pallas
-
-    with pytest.raises(NotImplementedError, match="transmission"):
-        trace_contributions_pallas(
-            arrays, jnp.asarray(SRC2), LST2,
-            jnp.asarray(np.tile([[0.0, -1.0, 0.0]], (1024, 1)), jnp.float32),
-            cfg=CFG,
         )
 
 
