@@ -54,6 +54,9 @@ def __getattr__(name):
         "diffraction_ir": ("models.diffraction", "diffraction_ir"),
         "diffraction_ir_utd": ("models.diffraction", "diffraction_ir_utd"),
         "diffraction_ir_utd2": ("models.diffraction", "diffraction_ir_utd2"),
+        "Directivity": ("models.directivity", "Directivity"),
+        "DIRECTIVITY_PRESETS": ("models.directivity", "DIRECTIVITY_PRESETS"),
+        "directivity_gain": ("models.directivity", "directivity_gain"),
         "extract_edges": ("models.diffraction", "extract_edges"),
         "extract_wedges": ("models.diffraction", "extract_wedges"),
         "rigid_transform_arrays": ("models.scene", "rigid_transform_arrays"),
@@ -75,5 +78,6 @@ __all__ = [
     "trace_irs_multi_source", "trace_irs_multi_listener_sharded",
     "hybrid_ir", "diffraction_ir", "diffraction_ir_utd",
     "diffraction_ir_utd2", "extract_edges", "extract_wedges",
+    "Directivity", "DIRECTIVITY_PRESETS", "directivity_gain",
     "rigid_transform_arrays", "__version__",
 ]

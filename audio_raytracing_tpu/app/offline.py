@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                     default=1,
                     help="--model full: 2 adds edge-to-edge (double) UTD "
                          "paths — thick barriers, double screens, strips")
+    ap.add_argument("--directivity", default=None, metavar="PRESET[@X,Y,Z]",
+                    help="source radiation pattern for all sources "
+                         "(models/directivity.py presets: omni, cardioid, "
+                         "supercardioid, figure8, speaker, voice), with an "
+                         "optional emission axis — e.g. cardioid@0,0,-1")
     ap.add_argument("--seed", type=int, default=0, help="hybrid PRNG seed")
     ap.add_argument("--material", action="append", default=[],
                     metavar="NAME=PRESET",
@@ -105,6 +110,22 @@ def main(argv=None) -> str:
             materials[name] = preset
     scene = Scene.from_obj(args.scene, cfg, materials=materials)
 
+    directivity = None
+    if args.directivity:
+        import dataclasses as _dc
+
+        from ..models.directivity import DIRECTIVITY_PRESETS
+
+        name, _, axis = args.directivity.partition("@")
+        if name not in DIRECTIVITY_PRESETS:
+            raise SystemExit(
+                f"unknown directivity preset {name!r}; available: "
+                f"{sorted(DIRECTIVITY_PRESETS)}"
+            )
+        directivity = DIRECTIVITY_PRESETS[name]
+        if axis:
+            directivity = _dc.replace(directivity, axis=tuple(_vec3(axis)))
+
     try:
         sources = [
             {"samples": load_sound(w, cfg.sample_rate), "pos": _vec3(p),
@@ -126,13 +147,15 @@ def main(argv=None) -> str:
             )
         if args.model == "ism":
             ir_fn = lambda arrays, pos, lst: image_source_ir(  # noqa: E731
-                arrays, pos, lst, cfg=cfg, order=args.ism_order
+                arrays, pos, lst, cfg=cfg, order=args.ism_order,
+                src_directivity=directivity,
             )
         elif args.model == "hybrid":
             ir_fn = lambda arrays, pos, lst: hybrid_ir(  # noqa: E731
                 arrays, pos, lst, cfg=cfg, order=args.ism_order,
                 n_rays=args.rays, max_bounces=args.bounces,
                 key=jax.random.PRNGKey(args.seed),
+                src_directivity=directivity,
             )
         else:  # full: ISM early + MC tail + UTD edge diffraction
             from ..models.diffraction import (
@@ -151,12 +174,15 @@ def main(argv=None) -> str:
                     arrays, pos, lst, cfg=cfg, order=args.ism_order,
                     n_rays=args.rays, max_bounces=args.bounces,
                     key=jax.random.PRNGKey(args.seed),
+                    src_directivity=directivity,
                 )
-                di = diffraction_ir_utd(arrays, wedges, pos, lst, cfg=cfg)
+                di = diffraction_ir_utd(arrays, wedges, pos, lst, cfg=cfg,
+                                        src_directivity=directivity)
                 energy = hy.energy + di.energy
                 dir_sum = hy.dir_sum + di.dir_sum
                 if args.diffraction_order >= 2:
-                    d2 = diffraction_ir_utd2(arrays, wedges, pos, lst, cfg=cfg)
+                    d2 = diffraction_ir_utd2(arrays, wedges, pos, lst, cfg=cfg,
+                                             src_directivity=directivity)
                     energy = energy + d2.energy
                     dir_sum = dir_sum + d2.dir_sum
                 return ImpulseResponse(energy=energy, dir_sum=dir_sum)
@@ -169,6 +195,7 @@ def main(argv=None) -> str:
         listener_pitch=args.pitch, cfg=cfg, n_rays=args.rays,
         max_bounces=args.bounces, sh_order=args.sh_order,
         speaker_dirs=speaker_dirs, ir_fn=ir_fn, hoa_hrtf=args.hoa_hrtf,
+        src_directivity=directivity,
     )
 
     write_wav(args.out, out.astype(np.float32), cfg.sample_rate)

@@ -87,10 +87,15 @@ def render_ir_offline(
     speaker_dirs=None,
     ir_fn=None,
     hoa_hrtf: str = "magls4",
+    src_directivity=None,
 ) -> np.ndarray:
     """Physically-based offline render via traced impulse responses.
 
-    sources: [{"samples": mono f32, "pos": (3,), "gain": g}]. Each source's
+    sources: [{"samples": mono f32, "pos": (3,), "gain": g,
+    "directivity": Directivity?}]. A source's optional per-source
+    "directivity" (models/directivity.py) overrides the function-level
+    src_directivity (applies to the traced model; ir_fn models handle
+    their own). Each source's
     ambisonic IR is traced on device, the dry signal convolved with the IR
     channels, the summed ambisonic bed rotated by the listener orientation
     and HRTF-decoded to stereo. Returns (n + ir - 1, 2) f32.
@@ -134,6 +139,7 @@ def render_ir_offline(
                 arrays, jnp.asarray(s["pos"], jnp.float32), listener, cfg=cfg,
                 n_rays=n_rays, max_bounces=max_bounces, intersector=intersector,
                 sh_order=sh_order,
+                src_directivity=s.get("directivity", src_directivity),
             )
         if sh_order is not None:
             from ..models.ir import ambisonic_ir_hoa

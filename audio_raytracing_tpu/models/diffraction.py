@@ -169,13 +169,14 @@ def kurze_anderson_db(fresnel_n):
     return jnp.maximum(5.0 + 20.0 * jnp.log10(x / jnp.tanh(x)), 0.0)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "src_directivity"))
 def diffraction_ir(
     scene_arrays,
     edges,
     source,
     listener,
     cfg: Config = DEFAULT_CONFIG,
+    src_directivity=None,
 ) -> ImpulseResponse:
     """First-order edge-diffraction IR: (n_bands, n_bins) histograms of the
     shadow-zone arrivals over the given edges (extract_edges).
@@ -213,6 +214,10 @@ def diffraction_ir(
     lam = cfg.speed_of_sound / EQ_FREQS  # (4,) band wavelengths
     fresnel = 2.0 * delta[:, None] / lam[None, :]
     gain = 10.0 ** (-kurze_anderson_db(fresnel) / 20.0)
+    if src_directivity is not None:
+        from .directivity import directivity_gain
+
+        gain = gain * directivity_gain(p - src[None, :], src_directivity)
     amp = (
         gain / (d_total[:, None] + 1.0) * _air_absorption(d_total, cfg.air_absorption)
     )
@@ -449,13 +454,14 @@ def _utd_gain(xh, yh, n_w, r_o, r_n, w_unit, p, s_pt, l_pt, s_in, s_out, k):
     return jnp.sqrt(sum_r * sum_r + sum_i * sum_i) / denom  # (P, bands)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "src_directivity"))
 def diffraction_ir_utd(
     scene_arrays,
     wedges: WedgeSet,
     source,
     listener,
     cfg: Config = DEFAULT_CONFIG,
+    src_directivity=None,
 ) -> ImpulseResponse:
     """First-order UTD wedge-diffraction IR (Kouyoumjian & Pathak 1974).
 
@@ -512,6 +518,10 @@ def diffraction_ir_utd(
     gain = d_mag * jnp.sqrt(
         d_total / jnp.maximum(d_sp * d_pl, 1e-12)
     )[:, None]
+    if src_directivity is not None:
+        from .directivity import directivity_gain
+
+        gain = gain * directivity_gain(p - src[None, :], src_directivity)
 
     amp = (
         gain / (d_total[:, None] + 1.0) * _air_absorption(d_total, cfg.air_absorption)
@@ -532,7 +542,7 @@ def diffraction_ir_utd(
     return ImpulseResponse(energy=energy.T, dir_sum=dsum.T)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_iters"))
+@partial(jax.jit, static_argnames=("cfg", "n_iters", "src_directivity"))
 def diffraction_ir_utd2(
     scene_arrays,
     wedges: WedgeSet,
@@ -540,6 +550,7 @@ def diffraction_ir_utd2(
     listener,
     cfg: Config = DEFAULT_CONFIG,
     n_iters: int = 12,
+    src_directivity=None,
 ) -> ImpulseResponse:
     """Second-order (edge-to-edge) UTD diffraction over all ordered wedge
     pairs — the path family a single edge cannot produce (e.g. across a
@@ -645,6 +656,10 @@ def diffraction_ir_utd2(
     gain = d1 * d2 * jnp.sqrt(
         d_total / jnp.maximum(s1 * s2 * s3, 1e-12)
     )[:, None]
+    if src_directivity is not None:
+        from .directivity import directivity_gain
+
+        gain = gain * directivity_gain(p1 - src[None, :], src_directivity)
 
     amp = (
         gain / (d_total[:, None] + 1.0)

@@ -125,10 +125,10 @@ def _segment_crossings(org, delta, v0, v1, v2, eps: float = 1e-6):
     return ok.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "sh_order"))
+@partial(jax.jit, static_argnames=("cfg", "sh_order", "src_directivity"))
 def direct_ir(
     scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG,
-    sh_order: int | None = None,
+    sh_order: int | None = None, src_directivity=None,
 ) -> ImpulseResponse:
     """The single deterministic direct-path term (occlusion-tested).
 
@@ -139,6 +139,9 @@ def direct_ir(
     hard-blocking: amplitude x= prod(sqrt(tau)) over crossed surfaces
     (models/materials.py; the reference only hard-blocks,
     main.zig:683-702).
+
+    src_directivity (models/directivity.py) weights the amplitude by the
+    source's per-band radiation gain toward the listener.
     """
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     n_bins = cfg.ir_n_bins
@@ -165,6 +168,10 @@ def direct_ir(
             / (d_direct + 1.0)
             * _air_absorption(d_direct, cfg.air_absorption)
         )  # (n_bands,)
+    if src_directivity is not None:
+        from .directivity import directivity_gain
+
+        amp_direct = amp_direct * directivity_gain(to_l, src_directivity)
     e_direct = amp_direct * amp_direct
     bin_direct = jnp.clip((d_direct * spm * bps + 0.5), 0, n_bins - 1).astype(jnp.int32)
     energy = jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32).at[bin_direct].add(e_direct)
@@ -198,7 +205,7 @@ def direct_ir(
     static_argnames=(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
         "intersector", "scatter", "scattering", "bih_leaf_cap",
-        "material_scattering", "sh_order",
+        "material_scattering", "sh_order", "src_directivity",
     ),
 )
 def trace_ir(
@@ -219,6 +226,7 @@ def trace_ir(
     bih_leaf_cap: int = 8,
     material_scattering: bool = False,
     sh_order: int | None = None,
+    src_directivity=None,
 ) -> ImpulseResponse:
     """Trace one source -> listener impulse response.
 
@@ -250,6 +258,11 @@ def trace_ir(
     harmonic moments of the arrival directions per bin (ops/hoa.py,
     ACN/N3D) into ImpulseResponse.sh_moments — the higher-order
     generalization of dir_sum for HOA rendering (ambisonic_ir_hoa).
+
+    src_directivity (models/directivity.py, static): per-band radiation
+    gains applied to each ray's initial amplitude (its emission
+    direction) and to the direct term — a cardioid voice excites the
+    room mostly forward.
     """
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     normals, absorption = scene_arrays.normals, scene_arrays.absorption
@@ -337,7 +350,10 @@ def trace_ir(
 
         c_sh = n_sh(sh_order)
     if include_direct:
-        d = direct_ir(scene_arrays, source, listener, cfg=cfg, sh_order=sh_order)
+        d = direct_ir(
+            scene_arrays, source, listener, cfg=cfg, sh_order=sh_order,
+            src_directivity=src_directivity,
+        )
         energy, dir_sum = d.energy.T, d.dir_sum.T
         sh_acc = d.sh_moments.T if sh_order is not None else None
     else:
@@ -468,7 +484,12 @@ def trace_ir(
             d_new = jnp.where(use_diff[:, None], d_diff, d_new)
         return (vertex, jnp.where(alive[:, None], d_new, d), amp, path_dist, alive), seg
 
-    amp0 = jnp.ones((n_rays, len(EQ_FREQS)), jnp.float32)
+    if src_directivity is not None:
+        from .directivity import directivity_gain
+
+        amp0 = directivity_gain(dirs, src_directivity)  # (n_rays, n_bands)
+    else:
+        amp0 = jnp.ones((n_rays, len(EQ_FREQS)), jnp.float32)
     carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))
     if (scattering > 0.0 or material_scattering) and key is None:
         raise ValueError("scattering requires a PRNG key")
@@ -490,7 +511,7 @@ def trace_ir(
     jax.jit,
     static_argnames=(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
-        "intersector", "scatter",
+        "intersector", "scatter", "src_directivity",
     ),
 )
 def trace_ir_multi_listener(
@@ -505,6 +526,7 @@ def trace_ir_multi_listener(
     include_direct: bool = True,
     intersector: str = "mt",
     scatter: str = "segment",
+    src_directivity=None,
 ) -> ImpulseResponse:
     """All listeners' IRs from ONE shared path trace.
 
@@ -622,7 +644,12 @@ def trace_ir_multi_listener(
         d_new = reflect(d, n)
         return (vertex, jnp.where(alive[:, None], d_new, d), amp, path_dist, alive), segs
 
-    amp0 = jnp.ones((n_rays, n_bands), jnp.float32)
+    if src_directivity is not None:
+        from .directivity import directivity_gain
+
+        amp0 = directivity_gain(dirs, src_directivity)
+    else:
+        amp0 = jnp.ones((n_rays, n_bands), jnp.float32)
     carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))
     _, seg_all = jax.lax.scan(bounce, carry0, None, length=max_bounces)
     seg = jnp.sum(seg_all, axis=0)  # (L, n_bins, 7)
@@ -630,7 +657,10 @@ def trace_ir_multi_listener(
     dir_sum = jnp.moveaxis(seg[:, :, 4:7], 1, 2)
     if include_direct:
         d_ir = jax.vmap(
-            lambda l: direct_ir(scene_arrays, source, l, cfg=cfg)
+            lambda l: direct_ir(
+                scene_arrays, source, l, cfg=cfg,
+                src_directivity=src_directivity,
+            )
         )(listeners)
         energy = energy + d_ir.energy
         dir_sum = dir_sum + d_ir.dir_sum

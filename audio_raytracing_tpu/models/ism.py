@@ -175,7 +175,7 @@ _ORDER3_CHUNK = 65536  # triples per phase-1 geometry chunk
 
 
 @partial(jax.jit, static_argnames=("cfg", "order", "include_direct",
-                                   "order3_capacity"))
+                                   "order3_capacity", "src_directivity"))
 def image_source_ir(
     scene_arrays,
     source,
@@ -184,6 +184,7 @@ def image_source_ir(
     order: int = 2,
     include_direct: bool = True,
     order3_capacity: int = 16384,
+    src_directivity=None,
 ) -> ImpulseResponse:
     """Deterministic early-reflection IR via image sources, orders 1..order
     (order <= 3), plus the occlusion-tested direct path.
@@ -199,7 +200,12 @@ def image_source_ir(
 
     With scene_arrays.transmission set (models/materials.py), occlusion
     legs attenuate by prod(sqrt(tau)) over crossed surfaces instead of
-    hard-blocking — an image path through a curtain stays audible."""
+    hard-blocking — an image path through a curtain stays audible.
+
+    src_directivity (models/directivity.py, static): each image path's
+    amplitude is weighted by the source's per-band radiation gain along
+    its FIRST leg (source -> first reflection point) — the direction the
+    energy actually left the source."""
     if order not in (1, 2, 3):
         raise ValueError(f"order must be 1, 2 or 3 (got {order})")
     # transmissive occluders (models/materials.py): legs attenuate by
@@ -210,6 +216,11 @@ def image_source_ir(
         if scene_arrays.transmission is None
         else _transmission_log_amp(scene_arrays.transmission)
     )
+    if src_directivity is not None:
+        from .directivity import directivity_gain
+
+        def _src_gain(first_pt, srcv):
+            return directivity_gain(first_pt - srcv[None, :], src_directivity)
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     n = scene_arrays.normals  # (T, 3) unit (zero rows for padding)
     dpl = jnp.sum(n * v0, axis=-1)  # plane offsets
@@ -241,6 +252,8 @@ def image_source_ir(
             scene_arrays, jnp.broadcast_to(lst, (T, 3)), p, log_amp
         ) * _leg_amp(scene_arrays, p, jnp.broadcast_to(src, (T, 3)), log_amp)
     amp1 = keep / (d_total[:, None] + 1.0) * _air_absorption(d_total, air) * trans1
+    if src_directivity is not None:
+        amp1 = amp1 * _src_gain(p, src)
     # unit arrival direction = listener -> first reflection point (the last
     # leg of the path, matching trace_ir's convention)
     u1 = (p - lst[None, :]) / jnp.maximum(
@@ -286,6 +299,8 @@ def image_source_ir(
             * _air_absorption(d2_total, air)
             * trans2
         )
+        if src_directivity is not None:
+            amp2 = amp2 * _src_gain(p1, src)
         u2 = (p2 - lst[None, :]) / jnp.maximum(
             jnp.linalg.norm(p2 - lst[None, :], axis=-1, keepdims=True), 1e-9
         )
@@ -357,6 +372,8 @@ def image_source_ir(
             * _air_absorption(d3_total, air)
             * trans3
         )
+        if src_directivity is not None:
+            amp3 = amp3 * _src_gain(p1, src)
         u3 = (p3 - lst[None, :]) / jnp.maximum(
             jnp.linalg.norm(p3 - lst[None, :], axis=-1, keepdims=True), 1e-9
         )
@@ -365,7 +382,8 @@ def image_source_ir(
         dir_sum = dir_sum + dd3
 
     if include_direct:
-        d = direct_ir(scene_arrays, src, lst, cfg=cfg)
+        d = direct_ir(scene_arrays, src, lst, cfg=cfg,
+                      src_directivity=src_directivity)
         return ImpulseResponse(
             energy=energy.T + d.energy, dir_sum=dir_sum.T + d.dir_sum
         )
@@ -375,7 +393,7 @@ def image_source_ir(
 @partial(
     jax.jit,
     static_argnames=("cfg", "order", "n_rays", "max_bounces", "scattering",
-                     "material_scattering"),
+                     "material_scattering", "src_directivity"),
 )
 def hybrid_ir(
     scene_arrays,
@@ -389,6 +407,7 @@ def hybrid_ir(
     material_scattering: bool = False,
     key=None,
     transition_bin: int | None = None,
+    src_directivity=None,
 ) -> ImpulseResponse:
     """The standard room-acoustics hybrid: exact image sources for the
     early reflections + the Monte-Carlo (optionally scattering) tracer for
@@ -409,13 +428,13 @@ def hybrid_ir(
 
     early = image_source_ir(
         scene_arrays, source, listener, cfg=cfg, order=order,
-        include_direct=True,
+        include_direct=True, src_directivity=src_directivity,
     )
     late = trace_ir(
         scene_arrays, source, listener, cfg=cfg, n_rays=n_rays,
         max_bounces=max_bounces, include_direct=False,
         scattering=scattering, material_scattering=material_scattering,
-        key=key,
+        key=key, src_directivity=src_directivity,
     )
     if transition_bin is None:
         idx = jnp.arange(cfg.ir_n_bins)

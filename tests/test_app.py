@@ -146,6 +146,7 @@ def test_offline_cli_models(tmp_path):
         ("ism", ["--ism-order", "1"]),
         ("hybrid", ["--ism-order", "1"]),
         ("full", ["--ism-order", "1", "--diffraction-order", "2"]),
+        ("trace", ["--directivity", "cardioid@1,0,0"]),
     ]:
         out = tmp_path / f"out_{model}_{len(extra)}.wav"
         msg = offline_main([common[0], str(out)] + common[1:] +
