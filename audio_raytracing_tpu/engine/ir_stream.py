@@ -183,13 +183,19 @@ class IRStreamRenderer:
 
     # -- sources -----------------------------------------------------------
 
-    def add_source(self, samples, pos, gain: float = 1.0, loop: bool = True) -> int:
+    def add_source(self, samples, pos, gain: float = 1.0, loop: bool = True,
+                   directivity=None) -> int:
+        """directivity: optional models/directivity.Directivity radiation
+        pattern for this source (axis in WORLD space; use
+        set_source_directivity to rotate it — that invalidates the trace
+        cache like a position change)."""
         self._sources.append(
             {
                 "samples": np.asarray(samples, np.float32),
                 "pos": np.asarray(pos, np.float32),
                 "gain": float(gain),
                 "loop": bool(loop),
+                "directivity": directivity,
             }
         )
         n = max(len(s["samples"]) for s in self._sources)
@@ -209,6 +215,9 @@ class IRStreamRenderer:
     def set_source_pos(self, idx: int, pos) -> None:
         self._sources[idx]["pos"] = np.asarray(pos, np.float32)
 
+    def set_source_directivity(self, idx: int, directivity) -> None:
+        self._sources[idx]["directivity"] = directivity
+
     # -- acoustic frame ------------------------------------------------------
 
     def update(self, listener_pos, yaw: float = 0.0, pitch: float = 0.0) -> None:
@@ -221,7 +230,13 @@ class IRStreamRenderer:
         crossfade)."""
         cfg = self.cfg
         lp = np.asarray(listener_pos, np.float32)
-        trace_key = (lp.tobytes(), tuple(s["pos"].tobytes() for s in self._sources))
+        trace_key = (
+            lp.tobytes(),
+            tuple(
+                (s["pos"].tobytes(), s.get("directivity"))
+                for s in self._sources
+            ),
+        )
         orient_key = (float(yaw), float(pitch))
         fresh = self._spectra is None
         if not fresh and trace_key == self._trace_key and orient_key == self._orient_key:
@@ -240,6 +255,7 @@ class IRStreamRenderer:
                         self._arrays, jnp.asarray(s["pos"]), listener, cfg=cfg,
                         n_rays=self.n_rays, max_bounces=self.max_bounces,
                         intersector=self.intersector, sh_order=self.sh_order,
+                        src_directivity=s.get("directivity"),
                     )
                     if self.sh_order is not None:
                         from ..models.ir import ambisonic_ir_hoa

@@ -229,3 +229,36 @@ def test_hoa_speaker_stream_matches_static_offline():
     for ga, gb in zip(r._spectra, fresh._spectra):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-6, atol=1e-9)
+
+
+def test_stream_directivity_matches_offline_and_invalidates():
+    """Per-source directivity flows into the stream trace (static-pose
+    equivalence vs render_ir_offline) and changing it re-traces."""
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+    from audio_raytracing_tpu.models.directivity import Directivity
+
+    scene = make_scene()
+    n = 1024
+    t = np.arange(n) / 44100
+    dry = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    pos = [1.5, 0.5, 1.0]
+    lst = [-1.0, 0.0, -1.0]
+    d = Directivity(axis=(-1.0, 0.0, -0.5), alpha=0.5)
+
+    r = IRStreamRenderer(scene, CFG)
+    r.add_source(dry, pos=pos, loop=False, directivity=d)
+    r.update(lst, yaw=0.4)
+    got = r.render(n)
+    want = render_ir_offline(
+        scene, [{"samples": dry, "pos": pos, "directivity": d}], lst,
+        listener_yaw=0.4, cfg=CFG,
+    )[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    # changing the pattern is a trace-cache invalidation (like motion)
+    r.set_source_directivity(0, Directivity(axis=(1.0, 0.0, 0.5), alpha=0.5))
+    r.update(lst, yaw=0.4)
+    assert r.last_update_retraced
+    # same pattern again: rotation-only path still works
+    r.update(lst, yaw=0.5)
+    assert not r.last_update_retraced
