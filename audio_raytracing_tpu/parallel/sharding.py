@@ -29,13 +29,16 @@ from ..models.ir import ImpulseResponse, direct_ir, fibonacci_sphere, trace_ir
 
 
 def _bounces_plus_leader_direct(scene_local, src, listener, dirs_local, cfg,
-                                max_bounces, total_rays):
+                                max_bounces, total_rays,
+                                src_directivity=None):
     lead = (jax.lax.axis_index("rays") == 0).astype(jnp.float32)
     ir = trace_ir(
         scene_local, src, listener, cfg=cfg, max_bounces=max_bounces,
         dirs=dirs_local, total_rays=total_rays, include_direct=False,
+        src_directivity=src_directivity,
     )
-    d = direct_ir(scene_local, src, listener, cfg=cfg)
+    d = direct_ir(scene_local, src, listener, cfg=cfg,
+                  src_directivity=src_directivity)
     return ImpulseResponse(
         energy=ir.energy + d.energy * lead,
         dir_sum=ir.dir_sum + d.dir_sum * lead,
@@ -50,8 +53,14 @@ def trace_ir_sharded(
     cfg: Config = DEFAULT_CONFIG,
     n_rays: int | None = None,
     max_bounces: int | None = None,
+    src_directivity=None,
 ) -> ImpulseResponse:
-    """Single-source trace with rays sharded over mesh axis "rays"."""
+    """Single-source trace with rays sharded over mesh axis "rays".
+
+    src_directivity (models/directivity.py): the source's radiation
+    pattern — a static, so every shard traces with the same weighting and
+    no extra communication is needed. Scene transmission tables ride the
+    replicated scene pytree the same way."""
     n_rays = n_rays or cfg.rays_per_source
     n_shards = mesh.shape["rays"]
     assert n_rays % n_shards == 0, (n_rays, n_shards)
@@ -59,7 +68,8 @@ def trace_ir_sharded(
 
     def shard_fn(dirs_local, source, listener, scene_local):
         ir = _bounces_plus_leader_direct(
-            scene_local, source, listener, dirs_local, cfg, max_bounces, n_rays
+            scene_local, source, listener, dirs_local, cfg, max_bounces,
+            n_rays, src_directivity,
         )
         return ImpulseResponse(
             energy=jax.lax.psum(ir.energy, "rays"),

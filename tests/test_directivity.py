@@ -155,3 +155,41 @@ def test_hybrid_passthrough():
     )
     assert np.isfinite(np.asarray(ir.energy)).all()
     assert float(jnp.sum(ir.energy)) > 0
+
+
+def test_sharded_directivity_matches_single_device():
+    """Directivity + transmission both ride the sharded path (8-device
+    CPU mesh) identically to the single-device trace."""
+    import jax
+    from jax.sharding import Mesh
+
+    from audio_raytracing_tpu.parallel.sharding import trace_ir_sharded
+
+    screen = np.float32([
+        [[0.5, -1.2, -2.0], [0.5, 1.2, -2.0], [0.5, 1.2, 2.0]],
+        [[0.5, -1.2, -2.0], [0.5, 1.2, 2.0], [0.5, -1.2, 2.0]],
+    ])
+    tris = np.concatenate([box_room(size=(6.0, 3.0, 5.0)), screen])
+    trans = np.concatenate([
+        np.zeros((12, 4), np.float32),
+        np.tile(np.float32([0.5, 0.25, 0.1, 0.04]), (2, 1)),
+    ])
+    scene = Scene.from_triangles(tris, CFG, transmission=trans)
+    src = jnp.asarray([1.5, 0.5, 0.5])
+    lst = jnp.asarray([-1.5, -0.5, -1.0])
+    d = Directivity(axis=(-1.0, 0.0, -0.3), alpha=0.5)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("rays",))
+    got = trace_ir_sharded(
+        scene.device_arrays(), src, lst, mesh, cfg=CFG, n_rays=1024,
+        max_bounces=3, src_directivity=d,
+    )
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere
+
+    want = trace_ir(
+        scene.device_arrays(), src, lst, cfg=CFG,
+        dirs=jnp.asarray(fibonacci_sphere(1024)), max_bounces=3,
+        src_directivity=d,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.energy), np.asarray(want.energy), rtol=2e-4, atol=1e-10
+    )
