@@ -65,7 +65,7 @@ _HI = jax.lax.Precision.HIGHEST
 
 @partial(jax.jit, static_argnames=("n_out", "air"))
 def _direct_doppler_bed(dry_pad, pos_k, lst_k, vis_k, t_keys, gain,
-                        n_out: int, air: float, spm):
+                        n_out: int, air: float, spm, dgain_k=None):
     """Per-sample doppler-resampled direct-path ambisonic bed (4, n_out),
     in the WORLD frame (the caller applies listener rotation).
 
@@ -87,6 +87,13 @@ def _direct_doppler_bed(dry_pad, pos_k, lst_k, vis_k, t_keys, gain,
     amp = jnp.clip(1.0 - air * dist[:, None] * EQ_FREQS, 0.0, 1.0) / (
         dist[:, None] + 1.0
     )
+    if dgain_k is not None:
+        dg = jnp.stack(
+            [jnp.interp(i, t_keys, dgain_k[:, c])
+             for c in range(dgain_k.shape[1])],
+            axis=-1,
+        )  # (n_out, n_bands)
+        amp = amp * dg
     g = jnp.sqrt(jnp.mean(amp * amp, axis=-1))  # (n_out,)
     vis = jnp.interp(i, t_keys, vis_k)
     # fractional-delay fetch: read position i - sr*d/c (zig:248-268)
@@ -153,7 +160,12 @@ def render_ir_moving_offline(
     direct-path doppler + keyframed reflection tails.
 
     sources: [{"samples": mono f32, "track": t_sec -> (3,) position,
-    "gain": g}]; a static source may give "pos" instead of "track".
+    "gain": g, "directivity": Directivity?, "orientation_track":
+    (t_sec -> (3,) world emission axis)?}]; a static source may give
+    "pos" instead of "track". A source with a directivity radiates per
+    its pattern along the (possibly rotating) axis: keyframed into the
+    tail traces (src_axis is dynamic — one compile serves every axis) and
+    keyframe-interpolated into the per-sample direct bed.
     The listener is either static (listener_pos + yaw/pitch) or moving:
     listener_track(t_sec) -> (pos (3,), yaw, pitch). Listener translation
     doppler-shifts the direct path through the same total-distance fetch
@@ -218,10 +230,31 @@ def render_ir_moving_offline(
     all_spec_re, all_spec_im = [], []
     pos_keys, vis_keys, dry_pads, gains = [], [], [], []
     ir_cache: dict[bytes, jnp.ndarray] = {}
+    dgain_keys = []
     for s in sources:
         track = track_of(s)
         pk = np.stack([np.asarray(track(t / sr), np.float32) for t in t_keys])
         pos_keys.append(pk)
+        sdir = s.get("directivity")
+        otrack = s.get("orientation_track")
+        if sdir is not None:
+            if otrack is not None:
+                ax_k = np.stack([
+                    np.asarray(otrack(t / sr), np.float32) for t in t_keys
+                ])
+            else:
+                ax_k = np.tile(np.asarray(sdir.axis, np.float32), (K, 1))
+        else:
+            ax_k = None
+        # per-keyframe directivity gains toward the listener (direct bed)
+        if sdir is not None:
+            from ..models.directivity import directivity_gain
+
+            dgain_keys.append(jnp.asarray(directivity_gain(
+                jnp.asarray(lst_k - pk), sdir, axis=jnp.asarray(ax_k)
+            )))
+        else:
+            dgain_keys.append(None)
         # occlusion visibility at keyframes (direct_ir's test, models/ir.py)
         to_l = lst_kj - jnp.asarray(pk)
         d_k = jnp.linalg.norm(to_l, axis=-1)
@@ -232,12 +265,16 @@ def render_ir_moving_offline(
         # and dwell points trace once)
         amb_irs = []
         for k, row in enumerate(pk):
-            key = row.tobytes() + lst_k[k].tobytes()
+            key = row.tobytes() + lst_k[k].tobytes() + repr(sdir).encode()
+            if ax_k is not None:
+                key += ax_k[k].tobytes()
             if key not in ir_cache:
                 ir = trace_ir(
                     arrays, jnp.asarray(row), lst_kj[k], cfg=cfg,
                     n_rays=n_rays, max_bounces=max_bounces,
                     include_direct=False, intersector=intersector,
+                    src_directivity=sdir,
+                    src_axis=None if ax_k is None else jnp.asarray(ax_k[k]),
                 )
                 ir_cache[key] = ambisonic_ir(ir)
             amb_irs.append(ir_cache[key])
@@ -277,6 +314,7 @@ def render_ir_moving_offline(
             dry_pad, jnp.asarray(pos_keys[si]), lst_kj, vis_keys[si],
             jnp.asarray(t_keys), gains[si],
             n_out=n_bed, air=cfg.air_absorption, spm=cfg.samples_per_meter,
+            dgain_k=dgain_keys[si],
         )
         bed = b if bed is None else bed + b
     # per-sample listener rotation: nlerp the keyframe quaternions (the

@@ -79,19 +79,29 @@ DIRECTIVITY_PRESETS = {
 }
 
 
-def directivity_gain(dirs, directivity: Directivity):
+def directivity_gain(dirs, directivity: Directivity, axis=None):
     """Per-band amplitude gains for emission directions.
 
     dirs: (..., 3), need not be normalized. Returns (..., N_BANDS) in
     [0, 1]. Degenerate (zero) directions get on-axis gain 1 (matches the
     co-located-source fades elsewhere in the framework).
+
+    axis: optional DYNAMIC (..., 3) emission axis overriding the
+    Directivity's static one (a rotating source under jit — the pattern
+    shape stays static, the axis is data).
     """
     if directivity is None:
         raise ValueError("directivity is None — call sites gate on None")
     d = jnp.asarray(dirs, jnp.float32)
     n = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    axis = jnp.asarray(directivity.axis, jnp.float32)
-    axis = axis / jnp.linalg.norm(axis)
+    axis = (
+        jnp.asarray(directivity.axis, jnp.float32)
+        if axis is None
+        else jnp.asarray(axis, jnp.float32)
+    )
+    axis = axis / jnp.maximum(
+        jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-12
+    )
     cos_t = jnp.sum(jnp.where(n > 1e-9, d / jnp.maximum(n, 1e-9), axis) * axis,
                     axis=-1)
     a = jnp.asarray(directivity.alpha, jnp.float32)

@@ -128,7 +128,7 @@ def _segment_crossings(org, delta, v0, v1, v2, eps: float = 1e-6):
 @partial(jax.jit, static_argnames=("cfg", "sh_order", "src_directivity"))
 def direct_ir(
     scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG,
-    sh_order: int | None = None, src_directivity=None,
+    sh_order: int | None = None, src_directivity=None, src_axis=None,
 ) -> ImpulseResponse:
     """The single deterministic direct-path term (occlusion-tested).
 
@@ -171,7 +171,9 @@ def direct_ir(
     if src_directivity is not None:
         from .directivity import directivity_gain
 
-        amp_direct = amp_direct * directivity_gain(to_l, src_directivity)
+        amp_direct = amp_direct * directivity_gain(
+            to_l, src_directivity, axis=src_axis
+        )
     e_direct = amp_direct * amp_direct
     bin_direct = jnp.clip((d_direct * spm * bps + 0.5), 0, n_bins - 1).astype(jnp.int32)
     energy = jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32).at[bin_direct].add(e_direct)
@@ -227,6 +229,7 @@ def trace_ir(
     material_scattering: bool = False,
     sh_order: int | None = None,
     src_directivity=None,
+    src_axis=None,
 ) -> ImpulseResponse:
     """Trace one source -> listener impulse response.
 
@@ -262,7 +265,9 @@ def trace_ir(
     src_directivity (models/directivity.py, static): per-band radiation
     gains applied to each ray's initial amplitude (its emission
     direction) and to the direct term — a cardioid voice excites the
-    room mostly forward.
+    room mostly forward. src_axis: optional DYNAMIC (3,) emission axis
+    overriding the pattern's static one (rotating sources re-dispatch,
+    not re-compile).
     """
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     normals, absorption = scene_arrays.normals, scene_arrays.absorption
@@ -352,7 +357,7 @@ def trace_ir(
     if include_direct:
         d = direct_ir(
             scene_arrays, source, listener, cfg=cfg, sh_order=sh_order,
-            src_directivity=src_directivity,
+            src_directivity=src_directivity, src_axis=src_axis,
         )
         energy, dir_sum = d.energy.T, d.dir_sum.T
         sh_acc = d.sh_moments.T if sh_order is not None else None
@@ -487,7 +492,7 @@ def trace_ir(
     if src_directivity is not None:
         from .directivity import directivity_gain
 
-        amp0 = directivity_gain(dirs, src_directivity)  # (n_rays, n_bands)
+        amp0 = directivity_gain(dirs, src_directivity, axis=src_axis)
     else:
         amp0 = jnp.ones((n_rays, len(EQ_FREQS)), jnp.float32)
     carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))

@@ -187,3 +187,67 @@ def test_moving_listener_static_track_matches_static_args():
         cfg=CFG,
     )
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_static_directivity_matches_offline():
+    """A constant track + static pattern reproduces render_ir_offline
+    with the same per-source directivity."""
+    from audio_raytracing_tpu.models.directivity import Directivity
+
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 3.0, 6.0)), CFG,
+        absorption=np.full(12, 0.3, np.float32),
+    )
+    n = 2048
+    t = np.arange(n) / 44100
+    dry = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    pos = [1.0, 0.0, 0.0]
+    lst = [0.0, 0.0, 0.0]
+    d = Directivity(axis=(-1.0, 0.0, 0.2), alpha=0.5)
+
+    got = render_ir_moving_offline(
+        scene, [{"samples": dry, "pos": pos, "directivity": d}], lst,
+        listener_yaw=0.3, cfg=CFG,
+    )
+    want = render_ir_offline(
+        scene, [{"samples": dry, "pos": pos, "directivity": d}], lst,
+        listener_yaw=0.3, cfg=CFG,
+    )
+    lo = min(len(got), len(want))
+    scale = np.abs(want[:lo]).max()
+    np.testing.assert_allclose(got[:lo], want[:lo], atol=0.02 * scale)
+
+
+def test_rotating_source_sweeps_level():
+    """A sharp cardioid spinning from facing the listener to facing away
+    fades the received level over the file."""
+    from audio_raytracing_tpu.models.directivity import Directivity
+
+    scene = Scene.from_triangles(
+        box_room(size=(12.0, 6.0, 10.0)), CFG,
+        absorption=np.full(12, 0.8, np.float32),  # dead room: direct dominates
+    )
+    n = 8192
+    rng = np.random.default_rng(0)
+    dry = (0.3 * rng.standard_normal(n)).astype(np.float32)
+    pos = [2.0, 0.0, 0.0]
+    lst = [-2.0, 0.0, 0.0]
+    dur = n / 44100.0
+
+    def axis(t):
+        # rotate pi over the file: toward (-1,0,0) at t=0, away at t=dur
+        ang = np.pi * min(t / dur, 1.0)
+        return np.float32([-np.cos(ang), 0.0, np.sin(ang)])
+
+    out = render_ir_moving_offline(
+        scene,
+        [{
+            "samples": dry, "pos": pos,
+            "directivity": Directivity(alpha=0.5, order=2.0),
+            "orientation_track": axis,
+        }],
+        lst, cfg=CFG,
+    )
+    head = float(np.sqrt(np.mean(out[500:2500] ** 2)))
+    tail = float(np.sqrt(np.mean(out[6000:8000] ** 2)))
+    assert head > 4.0 * tail  # facing -> away collapses the level
