@@ -120,7 +120,7 @@ class IRStreamRenderer:
                  hrtf=None, n_rays: int | None = None,
                  max_bounces: int | None = None, intersector: str = "mt",
                  speaker_dirs=None, sh_order: int | None = None,
-                 hoa_hrtf: str = "magls4"):
+                 hoa_hrtf: str = "magls4", ir_fn=None):
         """speaker_dirs (n_spk, 3): stream to a physical speaker rig
         (mode-matching first-order decode, no HRTF) instead of binaural
         stereo; render_block then returns (B, n_spk) feeds.
@@ -136,6 +136,12 @@ class IRStreamRenderer:
         render_ir_offline)."""
         self.cfg = cfg
         self.scene = scene
+        if ir_fn is not None and sh_order is not None:
+            raise ValueError(
+                "ir_fn produces first-order IRs; sh_order requires the "
+                "built-in tracer"
+            )
+        self._ir_fn = ir_fn
         self._arrays = scene.device_arrays()
         if hoa_hrtf not in ("magls4", "sphere"):
             raise ValueError(f"unknown hoa_hrtf {hoa_hrtf!r}")
@@ -251,12 +257,19 @@ class IRStreamRenderer:
             with profiling.span("ir_retrace"):
                 irs = []
                 for s in self._sources:
-                    ir = trace_ir(
-                        self._arrays, jnp.asarray(s["pos"]), listener, cfg=cfg,
-                        n_rays=self.n_rays, max_bounces=self.max_bounces,
-                        intersector=self.intersector, sh_order=self.sh_order,
-                        src_directivity=s.get("directivity"),
-                    )
+                    if self._ir_fn is not None:
+                        ir = self._ir_fn(
+                            self._arrays, jnp.asarray(s["pos"]), listener
+                        )
+                    else:
+                        ir = trace_ir(
+                            self._arrays, jnp.asarray(s["pos"]), listener,
+                            cfg=cfg, n_rays=self.n_rays,
+                            max_bounces=self.max_bounces,
+                            intersector=self.intersector,
+                            sh_order=self.sh_order,
+                            src_directivity=s.get("directivity"),
+                        )
                     if self.sh_order is not None:
                         from ..models.ir import ambisonic_ir_hoa
 

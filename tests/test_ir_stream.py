@@ -262,3 +262,40 @@ def test_stream_directivity_matches_offline_and_invalidates():
     # same pattern again: rotation-only path still works
     r.update(lst, yaw=0.5)
     assert not r.last_update_retraced
+
+
+def test_stream_ir_fn_hybrid_matches_offline():
+    """The ir_fn model hook streams alternate families: a hybrid-model
+    stream equals the offline render with the same ir_fn."""
+    import jax
+
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+    from audio_raytracing_tpu.models.ism import hybrid_ir
+
+    scene = make_scene()
+    n = 1024
+    t = np.arange(n) / 44100
+    dry = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    pos = [1.5, 0.5, 1.0]
+    lst = [-1.0, 0.0, -1.0]
+
+    def ir_fn(arrays, p, l):
+        return hybrid_ir(arrays, p, l, cfg=CFG, order=1, n_rays=256,
+                         max_bounces=2, scattering=0.3,
+                         key=jax.random.PRNGKey(0))
+
+    r = IRStreamRenderer(scene, CFG, ir_fn=ir_fn)
+    r.add_source(dry, pos=pos, loop=False)
+    r.update(lst, yaw=0.4)
+    got = r.render(n)
+    want = render_ir_offline(
+        scene, [{"samples": dry, "pos": pos}], lst, listener_yaw=0.4,
+        cfg=CFG, ir_fn=ir_fn,
+    )[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    # sh_order + ir_fn is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="ir_fn"):
+        IRStreamRenderer(scene, CFG, ir_fn=ir_fn, sh_order=2)
