@@ -132,11 +132,11 @@ def build_tri_tables(scene_arrays):
 
 
 def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
-                  gaabb_ref, *out_refs, n_tris: int, max_bounces: int,
+                  gaabb_ref, *refs, n_tris: int, max_bounces: int,
                   cfg: Config, fused_hist: bool = False, cull: bool = False,
                   flat_bands: bool = False, mxu_xform: bool = False,
                   group_fori: bool = False, row_unroll: int = 8,
-                  transmission: bool = False):
+                  transmission: bool = False, weighted: bool = False):
     # large-scene mode: iterate triangle groups with lax.fori_loop +
     # 8-aligned dynamic VMEM loads instead of a fully unrolled Python loop
     # (which explodes trace/compile time past ~32 groups). Incompatible
@@ -164,6 +164,12 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     # amplitude; per-band air absorption is reconstructed from the bin
     # index outside the kernel, shrinking the binned payload from 7 to 4
     n_keep = 1 if (fused_hist and flat_bands) else N_BANDS
+    # weighted: n_keep per-ray initial-amplitude inputs (source
+    # directivity) precede the outputs in *refs
+    if weighted:
+        w_refs, out_refs = refs[:n_keep], refs[n_keep:]
+    else:
+        w_refs, out_refs = None, refs
 
     if fused_hist:
         # out_refs = (hist_out, hist_scratch): accumulate in scratch (safe
@@ -419,7 +425,10 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         ox = sx + 0.0 * dx
         oy = sy + 0.0 * dx
         oz = sz + 0.0 * dx
-        amp = [1.0 + 0.0 * dx for _ in range(n_keep)]
+        if weighted:
+            amp = [w_refs[c][pl.ds(r, 1), :] for c in range(n_keep)]
+        else:
+            amp = [1.0 + 0.0 * dx for _ in range(n_keep)]
         path = 0.0 * dx
         alive = 1.0 + 0.0 * dx  # f32 mask (i1 loop carries don't legalize)
 
@@ -600,9 +609,13 @@ def trace_contributions_pallas(
     max_bounces: int | None = None, total_rays: int | None = None,
     interpret: bool = False, fused_hist: bool = False, cull: bool = False,
     flat_bands: bool = False, mxu_xform: bool = False,
-    group_fori: bool | None = None,
+    group_fori: bool | None = None, src_weights=None,
 ):
     """Run the fused kernel.
+
+    src_weights: optional (R, n_keep) per-ray initial amplitudes (source
+    directivity, models/directivity.py) — n_keep = 1 in flat_bands mode
+    (band-uniform pattern required), else N_BANDS.
 
     group_fori: loop triangle groups with lax.fori_loop (dynamic VMEM
     loads) instead of full unrolling — required for large scenes where
@@ -625,6 +638,11 @@ def trace_contributions_pallas(
     log-amplitude accumulation (exp'd into the contribution) — the same
     law as models/ir.trace_ir. flat_bands then additionally requires
     band-uniform transmission (only the first tau band is carried).
+
+    src_directivity (static) + src_axis (dynamic axis override): per-ray
+    initial amplitudes enter the kernel as extra (rows, 128) inputs —
+    directivity on the fast path. flat_bands requires a band-uniform
+    pattern (equal alpha/order across bands; checked statically).
     """
     if flat_bands and not fused_hist:
         raise ValueError("flat_bands requires fused_hist=True")
@@ -696,13 +714,26 @@ def trace_contributions_pallas(
             "group_fori is incompatible with cull/mxu_xform (unrolled-only "
             "experiments); pass group_fori=False for them"
         )
+    weighted = src_weights is not None
+    n_keep = 1 if (fused_hist and flat_bands) else N_BANDS
+    w_args = ()
+    if weighted:
+        w = jnp.asarray(src_weights, jnp.float32)
+        assert w.shape == (R, n_keep), (w.shape, R, n_keep)
+        w_args = tuple(w[:, c].reshape(rows, LANES) for c in range(n_keep))
+        in_specs = in_specs + [
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_keep)
+        ]
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
         mxu_xform=mxu_xform, group_fori=group_fori,
         row_unroll=1 if interpret else 8, transmission=transmission,
+        weighted=weighted,
     )
-    args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb)
+    args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + w_args
     if fused_hist:
         pc = PAYLOAD_C_FLAT if flat_bands else PAYLOAD_C
         n_bins = cfg.ir_n_bins
@@ -753,7 +784,8 @@ def trace_contributions_pallas(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "total_rays",
                      "include_direct", "interpret", "fused_hist", "cull",
-                     "flat_bands", "mxu_xform", "group_fori"),
+                     "flat_bands", "mxu_xform", "group_fori",
+                     "src_directivity"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -771,6 +803,8 @@ def trace_ir_pallas(
     flat_bands: bool = False,
     mxu_xform: bool = False,
     group_fori: bool | None = None,
+    src_directivity=None,
+    src_axis=None,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -797,20 +831,35 @@ def trace_ir_pallas(
         # spatially-sorted order: same direction set (histograms are
         # order-invariant), tighter per-tile bundles for cull=True
         dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
+    src_weights = None
+    if src_directivity is not None:
+        from ..models.directivity import directivity_gain
+
+        w = directivity_gain(dirs, src_directivity, axis=src_axis)  # (R, 4)
+        if flat_bands:
+            if (len(set(src_directivity.alpha)) > 1
+                    or len(set(src_directivity.order)) > 1):
+                raise ValueError(
+                    "flat_bands carries one amplitude: the directivity "
+                    "pattern must be band-uniform (equal alpha/order); "
+                    "use flat_bands=False for band-dependent patterns"
+                )
+            w = w[:, :1]
+        src_weights = w
     if fused_hist:
         seg = trace_contributions_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,
             max_bounces=max_bounces, total_rays=total_rays,
             interpret=interpret, fused_hist=True, cull=cull,
             flat_bands=flat_bands, mxu_xform=mxu_xform,
-            group_fori=group_fori,
+            group_fori=group_fori, src_weights=src_weights,
         )
     else:
         bins, payload = trace_contributions_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,
             max_bounces=max_bounces, total_rays=total_rays,
             interpret=interpret, cull=cull, mxu_xform=mxu_xform,
-            group_fori=group_fori,
+            group_fori=group_fori, src_weights=src_weights,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     if flat_bands:
@@ -832,7 +881,8 @@ def trace_ir_pallas(
         energy = seg[:, :N_BANDS].T
         dir_sum = seg[:, N_BANDS:].T
     if include_direct:
-        dref = direct_ir(scene_arrays, source, listener, cfg=cfg)
+        dref = direct_ir(scene_arrays, source, listener, cfg=cfg,
+                         src_directivity=src_directivity, src_axis=src_axis)
         energy = energy + dref.energy
         dir_sum = dir_sum + dref.dir_sum
     return ImpulseResponse(energy=energy, dir_sum=dir_sum)

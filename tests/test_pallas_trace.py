@@ -283,3 +283,49 @@ def test_pallas_transmission_matches_xla(mode):
     )
     # the screen-crossed arrivals genuinely exist (not all-blocked)
     assert float(jnp.sum(a.energy)) > 0
+
+
+@pytest.mark.parametrize("mode", ["emit", "fused", "flat"])
+def test_pallas_directivity_matches_xla(mode):
+    """Per-ray initial-amplitude inputs (source directivity) on the fused
+    kernel reproduce trace_ir — flat mode with a band-uniform pattern."""
+    from audio_raytracing_tpu.models.directivity import Directivity
+
+    sc = Scene.from_triangles(
+        box_room(size=(6.0, 3.0, 5.0)), CFG,
+        absorption=np.full(12, 0.2, np.float32),
+    )
+    d = (
+        Directivity(axis=(-1.0, 0.2, -0.5), alpha=0.5)
+        if mode == "flat"
+        else Directivity(axis=(-1.0, 0.2, -0.5), alpha=(0.9, 0.7, 0.5, 0.3))
+    )
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir(sc.device_arrays(), src, lst, cfg=CFG, max_bounces=3,
+                 dirs=dirs, src_directivity=d)
+    kw = dict(cfg=CFG, max_bounces=3, dirs=dirs, interpret=True,
+              src_directivity=d)
+    if mode == "fused":
+        kw.update(fused_hist=True)
+    elif mode == "flat":
+        kw.update(fused_hist=True, flat_bands=True)
+    b = trace_ir_pallas(sc.device_arrays(), src, lst, **kw)
+    tol = 2e-2 if mode in ("fused", "flat") else 1e-4
+    # skip the final bin: the kernel clamps beyond-window arrivals into it,
+    # and flat mode reconstructs their air absorption from the bin's
+    # nominal delay (a known flat-mode quantization, unrelated to the
+    # directivity weights under test)
+    np.testing.assert_allclose(
+        np.asarray(b.energy)[:, :-1], np.asarray(a.energy)[:, :-1],
+        rtol=tol, atol=1e-8,
+    )
+    # band-dependent pattern in flat mode is rejected
+    if mode == "flat":
+        with pytest.raises(ValueError, match="band-uniform"):
+            trace_ir_pallas(
+                sc.device_arrays(), src, lst, cfg=CFG, max_bounces=3,
+                dirs=dirs, interpret=True, fused_hist=True, flat_bands=True,
+                src_directivity=Directivity(alpha=(0.9, 0.7, 0.5, 0.3)),
+            )
