@@ -891,7 +891,8 @@ def trace_ir_pallas(
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
-                     "interpret", "fused_hist", "cull", "flat_bands"),
+                     "interpret", "fused_hist", "cull", "flat_bands",
+                     "src_directivity"),
 )
 def trace_irs_pallas_multi(
     scene_arrays,
@@ -906,28 +907,43 @@ def trace_irs_pallas_multi(
     fused_hist: bool = True,
     cull: bool = False,
     flat_bands: bool = False,
+    src_directivity=None,
+    src_axes=None,
 ):
     """All sources' IRs in one compiled program (BASELINE config 5 on a
     single chip): lax.scan over sources around the fused kernel, so the
     kernel compiles once and the whole 8-source trace is one dispatch.
     sources: (S, 3). Returns stacked ImpulseResponse (S, n_bands/3, n_bins).
     On a multi-chip mesh, shard the source axis outside (see
-    parallel/sharding.py)."""
+    parallel/sharding.py).
+
+    src_directivity (static pattern shared by all sources) + src_axes
+    optional (S, 3) per-source emission axes (dynamic — 8 differently
+    aimed speakers scan through ONE compiled kernel)."""
     from ..models.ir import ImpulseResponse, fibonacci_sphere_sorted
 
     n_rays = n_rays or cfg.rays_per_source
     if dirs is None:
         dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
+    if src_axes is None and src_directivity is not None:
+        src_axes = jnp.broadcast_to(
+            jnp.asarray(src_directivity.axis, jnp.float32),
+            (sources.shape[0], 3),
+        )
 
-    def one(_, src):
+    def one(_, inp):
+        src = inp[0] if src_directivity is not None else inp
         ir = trace_ir_pallas(
             scene_arrays, src, listener, cfg=cfg, max_bounces=max_bounces,
             dirs=dirs, include_direct=include_direct, interpret=interpret,
             fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
+            src_directivity=src_directivity,
+            src_axis=None if src_directivity is None else inp[1],
         )
         return None, ir
 
-    _, irs = jax.lax.scan(one, None, sources)
+    xs = sources if src_directivity is None else (sources, src_axes)
+    _, irs = jax.lax.scan(one, None, xs)
     return ImpulseResponse(energy=irs.energy, dir_sum=irs.dir_sum)
 
 
