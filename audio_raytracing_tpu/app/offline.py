@@ -13,7 +13,7 @@ app/demo.py is the face of the interactive engine:
 — e.g. --material Floor=carpet --material Walls=brick. --speakers N writes
 an N-channel speaker-rig WAV (fibonacci rig) instead of binaural stereo.
 --model picks the acoustic model family: the Monte-Carlo specular tracer
-(default), exact image sources (orders <= 3), the ISM+tail hybrid, or
+(default), exact image sources (orders <= 4), the ISM+tail hybrid, or
 "full" = hybrid + UTD edge diffraction (shadow-zone arrivals around
 occluders, models/diffraction.py); --diffraction-order 2 adds the
 edge-to-edge (double) UTD paths.

@@ -187,16 +187,20 @@ def image_source_ir(
     src_directivity=None,
 ) -> ImpulseResponse:
     """Deterministic early-reflection IR via image sources, orders 1..order
-    (order <= 3), plus the occlusion-tested direct path.
+    (order <= 4), plus the occlusion-tested direct path.
 
     Returns the same ImpulseResponse histograms as trace_ir — exact delta
     arrivals instead of Monte-Carlo estimates. Padding triangles have zero
     normals, so their mirrors collapse to identity and fail the segment
     validity tests (self-masking).
 
-    order3_capacity bounds the number of geometrically-valid third-order
-    paths that proceed to occlusion testing (see module docstring); paths
-    beyond it are dropped silently.
+    order3_capacity bounds the number of geometrically-valid third- AND
+    fourth-order paths that proceed to occlusion testing (see module
+    docstring); paths beyond it are dropped silently. Order 4 enumerates
+    T^4 ordered quadruples in the same two-phase scheme (4 walk-back
+    tests per quadruple, chunked); the flat int32 quadruple index limits
+    it to padded scenes of T <= 128 triangles (2^28 quadruples — room
+    scale, where exact 4th-order reflections are audible at all).
 
     With scene_arrays.transmission set (models/materials.py), occlusion
     legs attenuate by prod(sqrt(tau)) over crossed surfaces instead of
@@ -206,8 +210,8 @@ def image_source_ir(
     amplitude is weighted by the source's per-band radiation gain along
     its FIRST leg (source -> first reflection point) — the direction the
     energy actually left the source."""
-    if order not in (1, 2, 3):
-        raise ValueError(f"order must be 1, 2 or 3 (got {order})")
+    if order not in (1, 2, 3, 4):
+        raise ValueError(f"order must be 1..4 (got {order})")
     # transmissive occluders (models/materials.py): legs attenuate by
     # prod(sqrt(tau)) over crossed surfaces instead of hard-blocking —
     # image paths THROUGH a curtain/glass wall become audible
@@ -380,6 +384,92 @@ def image_source_ir(
         e3, dd3 = _bin_contribs(d3_total, amp3, u3, valid3, cfg)
         energy = energy + e3
         dir_sum = dir_sum + dd3
+
+    if order >= 4:
+        # ---- order 4: two-phase over T^4 ordered quadruples ---------------
+        # same scheme one level deeper; the flat int32 index caps T at 128
+        if T > 128:
+            raise ValueError(
+                f"ISM order 4 supports padded scenes of <= 128 triangles "
+                f"(T^4 index in int32); got T = {T}"
+            )
+        T4 = T * T * T * T
+
+        def geom4(q):
+            a = q // (T * T * T)
+            b = (q // (T * T)) % T
+            c = (q // T) % T
+            e = q % T
+            i1q = i1[a]
+            i12q = _mirror(i1q, n[b], dpl[b])
+            i123q = _mirror(i12q, n[c], dpl[c])
+            i1234q = _mirror(i123q, n[e], dpl[e])
+            lstq = jnp.broadcast_to(lst, i1q.shape)
+            p4, ok4 = _seg_tri(lstq, i1234q, v0[e], v1[e], v2[e])
+            p3, ok3 = _seg_tri(p4, i123q, v0[c], v1[c], v2[c])
+            p2, ok2 = _seg_tri(p3, i12q, v0[b], v1[b], v2[b])
+            _, ok1 = _seg_tri(p2, i1q, v0[a], v1[a], v2[a])
+            return (
+                ok1 & ok2 & ok3 & ok4
+                & (a != b) & (b != c) & (c != e) & (q < T4)
+            )
+
+        n_pad4 = -(-T4 // _ORDER3_CHUNK) * _ORDER3_CHUNK
+        qs4 = jnp.arange(n_pad4, dtype=jnp.int32).reshape(-1, _ORDER3_CHUNK)
+        ok_all4 = jax.lax.map(geom4, qs4).reshape(-1)
+
+        cap = order3_capacity
+        (idx,) = jnp.nonzero(ok_all4, size=cap, fill_value=0)
+        live = jnp.arange(cap) < jnp.sum(ok_all4)
+        a = idx // (T * T * T)
+        b = (idx // (T * T)) % T
+        c = (idx // T) % T
+        ee = idx % T
+        i1q = i1[a]
+        i12q = _mirror(i1q, n[b], dpl[b])
+        i123q = _mirror(i12q, n[c], dpl[c])
+        i1234q = _mirror(i123q, n[ee], dpl[ee])
+        lstb4 = jnp.broadcast_to(lst, (cap, 3))
+        p4, _ = _seg_tri(lstb4, i1234q, v0[ee], v1[ee], v2[ee])
+        p3, _ = _seg_tri(p4, i123q, v0[c], v1[c], v2[c])
+        p2, _ = _seg_tri(p3, i12q, v0[b], v1[b], v2[b])
+        p1, _ = _seg_tri(p2, i1q, v0[a], v1[a], v2[a])
+        d4_total = jnp.linalg.norm(i1234q - lst[None, :], axis=-1)
+        valid4 = live
+        trans4 = 1.0
+        if log_amp is None:
+            valid4 = (
+                valid4
+                & _leg_clear(scene_arrays, lstb4, p4)
+                & _leg_clear(scene_arrays, p4, p3)
+                & _leg_clear(scene_arrays, p3, p2)
+                & _leg_clear(scene_arrays, p2, p1)
+                & _leg_clear(scene_arrays, p1, jnp.broadcast_to(src, (cap, 3)))
+            )
+        else:
+            trans4 = (
+                _leg_amp(scene_arrays, lstb4, p4, log_amp)
+                * _leg_amp(scene_arrays, p4, p3, log_amp)
+                * _leg_amp(scene_arrays, p3, p2, log_amp)
+                * _leg_amp(scene_arrays, p2, p1, log_amp)
+                * _leg_amp(
+                    scene_arrays, p1, jnp.broadcast_to(src, (cap, 3)), log_amp
+                )
+            )
+        amp4 = (
+            keep[a] * keep[b] * keep[c] * keep[ee]
+            / (d4_total[:, None] + 1.0)
+            * _air_absorption(d4_total, air)
+            * trans4
+        )
+        if src_directivity is not None:
+            amp4 = amp4 * _src_gain(p1, src)
+        u4 = (p4 - lst[None, :]) / jnp.maximum(
+            jnp.linalg.norm(p4 - lst[None, :], axis=-1, keepdims=True), 1e-9
+        )
+        e4, dd4 = _bin_contribs(d4_total, amp4, u4, valid4, cfg)
+        energy = energy + e4
+        dir_sum = dir_sum + dd4
 
     if include_direct:
         d = direct_ir(scene_arrays, src, lst, cfg=cfg,

@@ -239,3 +239,72 @@ def test_hybrid_order3_smoke():
                    n_rays=256, max_bounces=4, key=jax.random.PRNGKey(0))
     e = np.asarray(hy.energy)
     assert np.isfinite(e).all() and e.sum() > 0
+
+
+def test_order4_corridor_analytic():
+    """Two parallel walls: the 4-bounce ABAB/BABA flutter paths have
+    closed-form image positions; order=4 adds exactly those two arrivals
+    (beyond order 3) at the right bins with the exact amplitude law."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=4096, triangle_pad=16)
+    L = 4.0
+
+    def wall(x):
+        return np.float32([
+            [[x, -8, -8], [x, 8, -8], [x, 8, 8]],
+            [[x, -8, -8], [x, 8, 8], [x, -8, 8]],
+        ])
+
+    scene = Scene.from_triangles(np.concatenate([wall(0.0), wall(L)]), cfg)
+    src = np.float32([1.0, 0.0, 0.0])
+    lst = np.float32([3.0, 0.2, 0.1])
+    kw = dict(cfg=cfg, include_direct=False)
+    e3 = np.asarray(image_source_ir(
+        scene.device_arrays(), jnp.asarray(src), jnp.asarray(lst),
+        order=3, **kw).energy)
+    e4 = np.asarray(image_source_ir(
+        scene.device_arrays(), jnp.asarray(src), jnp.asarray(lst),
+        order=4, **kw).energy)
+    extra = e4 - e3
+    assert extra.min() > -1e-10  # orders accumulate
+
+    # mirror maps: A: x -> -x ; B: x -> 2L - x (applied first-to-last)
+    def img_x(seq, x):
+        for w in seq:
+            x = -x if w == "A" else 2 * L - x
+        return x
+
+    spm = cfg.samples_per_meter
+    keep = np.sqrt(1.0 - 0.1)  # default absorption
+    expect_bins = {}
+    for seq in ("ABAB", "BABA"):
+        d = np.linalg.norm(np.float32([img_x(seq, src[0]), 0, 0]) - lst)
+        air = np.clip(1.0 - cfg.air_absorption * d * np.asarray(EQ_FREQS),
+                      0.0, 1.0)
+        amp = keep ** 4 / (d + 1.0) * air
+        expect_bins[int(d * spm + 0.5)] = amp * amp
+    got_bins = set(np.nonzero(extra.sum(axis=0) > 1e-12)[0].tolist())
+    assert got_bins == set(expect_bins)
+    for b, e in expect_bins.items():
+        np.testing.assert_allclose(extra[:, b], e, rtol=1e-4)
+
+
+def test_order4_padding_invariance():
+    """The chunked T^4 enumeration gives identical physics at different
+    paddings (degenerate padding rows self-mask)."""
+    tris = np.float32([
+        [[-6, -1, -6], [6, -1, -6], [6, -1, 6]],
+        [[-6, -1, -6], [6, -1, 6], [-6, -1, 6]],
+        [[-6, 2, -6], [6, 2, 6], [6, 2, -6]],
+        [[-6, 2, -6], [-6, 2, 6], [6, 2, 6]],
+    ])
+    src = jnp.asarray([0.5, 0.4, 0.3])
+    lst = jnp.asarray([-0.7, 0.1, -0.4])
+    outs = []
+    for pad in (8, 32):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=4096,
+                                  triangle_pad=pad)
+        sc = Scene.from_triangles(tris, cfg)
+        outs.append(np.asarray(image_source_ir(
+            sc.device_arrays(), src, lst, cfg=cfg, order=4,
+            include_direct=False).energy))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-12)
