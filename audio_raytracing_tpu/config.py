@@ -52,6 +52,17 @@ class Config:
     # (EQ_FREQS etc.): they are tied to the reference's hardcoded LR2
     # sections, not free parameters
     air_absorption: float = 1e-5
+    # IR-pipeline air-absorption model: "reference" = the clamp law above
+    # (which hits EXACTLY zero at d = 1e5/f meters — the top pseudo-band
+    # at ~6 m! fine for the reference's room, wrong at scale) or
+    # "iso9613" = ISO 9613-1 atmospheric absorption (models/air.py) from
+    # the conditions below, amplitude = 10^(-alpha d / 20) per band.
+    # The per-sample engine DSP (ops/eq.py) always keeps the reference
+    # law: it is part of the audible parity surface.
+    air_model: str = "reference"
+    air_temperature_c: float = 20.0
+    air_humidity_pct: float = 50.0
+    air_pressure_kpa: float = 101.325
 
     # --- reverb environment coupling (reference: main.zig:785-786) ---
     reverb_coupling_scale: float = 0.5

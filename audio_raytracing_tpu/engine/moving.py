@@ -63,9 +63,9 @@ from ..utils import quat
 _HI = jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=("n_out", "air"))
+@partial(jax.jit, static_argnames=("n_out", "cfg"))
 def _direct_doppler_bed(dry_pad, pos_k, lst_k, vis_k, t_keys, gain,
-                        n_out: int, air: float, spm, dgain_k=None):
+                        n_out: int, cfg, spm, dgain_k=None):
     """Per-sample doppler-resampled direct-path ambisonic bed (4, n_out),
     in the WORLD frame (the caller applies listener rotation).
 
@@ -83,10 +83,11 @@ def _direct_doppler_bed(dry_pad, pos_k, lst_k, vis_k, t_keys, gain,
         [jnp.interp(i, t_keys, lst_k[:, c]) for c in range(3)], axis=-1
     )
     sh, dist = sh_encode(pos - lpos)  # (n_out, 4), (n_out,)
-    # the IR pipeline's direct amplitude: band-mean energy -> broadband gain
-    amp = jnp.clip(1.0 - air * dist[:, None] * EQ_FREQS, 0.0, 1.0) / (
-        dist[:, None] + 1.0
-    )
+    # the IR pipeline's direct amplitude (cfg.air_model-aware): band-mean
+    # energy -> broadband gain
+    from ..models.ir import _air_amplitude
+
+    amp = _air_amplitude(dist, cfg) / (dist[:, None] + 1.0)
     if dgain_k is not None:
         dg = jnp.stack(
             [jnp.interp(i, t_keys, dgain_k[:, c])
@@ -313,7 +314,7 @@ def render_ir_moving_offline(
         b = _direct_doppler_bed(
             dry_pad, jnp.asarray(pos_keys[si]), lst_kj, vis_keys[si],
             jnp.asarray(t_keys), gains[si],
-            n_out=n_bed, air=cfg.air_absorption, spm=cfg.samples_per_meter,
+            n_out=n_bed, cfg=cfg, spm=cfg.samples_per_meter,
             dgain_k=dgain_keys[si],
         )
         bed = b if bed is None else bed + b

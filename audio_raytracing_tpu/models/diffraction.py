@@ -57,7 +57,7 @@ import numpy as np
 from ..config import Config, DEFAULT_CONFIG
 from ..ops.eq import EQ_FREQS
 from ..ops.intersect import nearest_hit
-from .ir import ImpulseResponse, _air_absorption
+from .ir import ImpulseResponse, _air_amplitude
 
 
 def extract_edges(triangles: np.ndarray, min_dihedral_deg: float = 10.0):
@@ -219,7 +219,7 @@ def diffraction_ir(
 
         gain = gain * directivity_gain(p - src[None, :], src_directivity)
     amp = (
-        gain / (d_total[:, None] + 1.0) * _air_absorption(d_total, cfg.air_absorption)
+        gain / (d_total[:, None] + 1.0) * _air_amplitude(d_total, cfg)
     )
     e = amp * amp * jnp.where(valid, 1.0, 0.0)[:, None]
 
@@ -524,7 +524,7 @@ def diffraction_ir_utd(
         gain = gain * directivity_gain(p - src[None, :], src_directivity)
 
     amp = (
-        gain / (d_total[:, None] + 1.0) * _air_absorption(d_total, cfg.air_absorption)
+        gain / (d_total[:, None] + 1.0) * _air_amplitude(d_total, cfg)
     )
     e = amp * amp * jnp.where(valid, 1.0, 0.0)[:, None]
 
@@ -663,7 +663,7 @@ def diffraction_ir_utd2(
 
     amp = (
         gain / (d_total[:, None] + 1.0)
-        * _air_absorption(d_total, cfg.air_absorption)
+        * _air_amplitude(d_total, cfg)
     )
     e = amp * amp * jnp.where(valid, 1.0, 0.0)[:, None]
 

@@ -87,6 +87,34 @@ def _air_absorption(d, air: float):
     return jnp.clip(1.0 - air * d[..., None] * EQ_FREQS, 0.0, 1.0)
 
 
+# physical center frequencies (Hz) of the four bands for the ISO air
+# model: geometric centers of the EQ crossover bands (~128/768/4608 Hz,
+# sound_system.zig:580-581), with the open-ended top band at ~2x its edge.
+# (EQ_FREQS are the reference's PSEUDO-frequency constants, not Hz.)
+AIR_BAND_HZ = (64.0, 313.5, 1881.0, 9216.0)
+
+
+def _air_amplitude(d, cfg: Config):
+    """Per-band amplitude kept after distance d, per cfg.air_model:
+    the reference clamp law, or ISO 9613-1 exponential decay
+    (models/air.py) evaluated at AIR_BAND_HZ for cfg's atmosphere.
+    cfg is static under jit, so the branch costs nothing."""
+    if cfg.air_model == "reference":
+        return _air_absorption(d, cfg.air_absorption)
+    if cfg.air_model == "iso9613":
+        from .air import amplitude_decay_per_meter
+
+        k = jnp.asarray(
+            amplitude_decay_per_meter(
+                AIR_BAND_HZ, cfg.air_temperature_c, cfg.air_humidity_pct,
+                cfg.air_pressure_kpa,
+            ),
+            jnp.float32,
+        )
+        return jnp.exp(d[..., None] * k)
+    raise ValueError(f"unknown air_model {cfg.air_model!r}")
+
+
 def _transmission_log_amp(transmission):
     """(T, n_bands) per-crossing log amplitude 0.5*log(tau).
 
@@ -157,7 +185,7 @@ def direct_ir(
         )[0]  # (n_bands,)
         amp_direct = (
             trans / (d_direct + 1.0)
-            * _air_absorption(d_direct, cfg.air_absorption)
+            * _air_amplitude(d_direct, cfg)
         )
     else:
         safe_dir = jnp.where(d_direct < 1e-6, jnp.float32([1, 0, 0]), to_l)
@@ -166,7 +194,7 @@ def direct_ir(
         amp_direct = (
             jnp.where(direct_visible, 1.0, 0.0)
             / (d_direct + 1.0)
-            * _air_absorption(d_direct, cfg.air_absorption)
+            * _air_amplitude(d_direct, cfg)
         )  # (n_bands,)
     if src_directivity is not None:
         from .directivity import directivity_gain
@@ -446,7 +474,7 @@ def trace_ir(
             amp
             * vis_amp
             * (lam / (d_total + 1.0))[:, None]
-            * _air_absorption(d_total, cfg.air_absorption)
+            * _air_amplitude(d_total, cfg)
         )
         e_c = amp_c * amp_c * inv_n
         u = (vertex - listener[None, :]) / jnp.maximum(d_l, 1e-20)[:, None]
@@ -618,7 +646,7 @@ def trace_ir_multi_listener(
             amp
             * vis_amp
             * (lam / (d_total + 1.0))[:, None]
-            * _air_absorption(d_total, cfg.air_absorption)
+            * _air_amplitude(d_total, cfg)
         )
         e_c = amp_c * amp_c * inv_n
         u = (vertex - listener[None, :]) / jnp.maximum(d_l, 1e-20)[:, None]

@@ -46,7 +46,7 @@ from ..ops.eq import EQ_FREQS
 from ..ops.intersect import nearest_hit
 from .ir import (
     ImpulseResponse,
-    _air_absorption,
+    _air_amplitude,
     _segment_crossings,
     _transmission_log_amp,
     direct_ir,
@@ -232,7 +232,6 @@ def image_source_ir(
     src = jnp.asarray(source, jnp.float32)
     lst = jnp.asarray(listener, jnp.float32)
     T = v0.shape[0]
-    air = cfg.air_absorption
 
     n_bins = cfg.ir_n_bins
     energy = jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32)
@@ -255,7 +254,7 @@ def image_source_ir(
         trans1 = _leg_amp(
             scene_arrays, jnp.broadcast_to(lst, (T, 3)), p, log_amp
         ) * _leg_amp(scene_arrays, p, jnp.broadcast_to(src, (T, 3)), log_amp)
-    amp1 = keep / (d_total[:, None] + 1.0) * _air_absorption(d_total, air) * trans1
+    amp1 = keep / (d_total[:, None] + 1.0) * _air_amplitude(d_total, cfg) * trans1
     if src_directivity is not None:
         amp1 = amp1 * _src_gain(p, src)
     # unit arrival direction = listener -> first reflection point (the last
@@ -300,7 +299,7 @@ def image_source_ir(
         amp2 = (
             keep[t1] * keep[t2]
             / (d2_total[:, None] + 1.0)
-            * _air_absorption(d2_total, air)
+            * _air_amplitude(d2_total, cfg)
             * trans2
         )
         if src_directivity is not None:
@@ -373,7 +372,7 @@ def image_source_ir(
         amp3 = (
             keep[a] * keep[b] * keep[c]
             / (d3_total[:, None] + 1.0)
-            * _air_absorption(d3_total, air)
+            * _air_amplitude(d3_total, cfg)
             * trans3
         )
         if src_directivity is not None:
@@ -459,7 +458,7 @@ def image_source_ir(
         amp4 = (
             keep[a] * keep[b] * keep[c] * keep[ee]
             / (d4_total[:, None] + 1.0)
-            * _air_absorption(d4_total, air)
+            * _air_amplitude(d4_total, cfg)
             * trans4
         )
         if src_directivity is not None:

@@ -158,6 +158,21 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     air = cfg.air_absorption
     eps = 1e-6
     freqs = [float(f) for f in EQ_FREQS]
+    # per-band air-absorption amplitude at distance d (cfg static: the
+    # model choice and its coefficients are compile-time constants)
+    if cfg.air_model == "iso9613":
+        from ..models.air import amplitude_decay_per_meter
+        from ..models.ir import AIR_BAND_HZ
+
+        k_air = amplitude_decay_per_meter(
+            AIR_BAND_HZ, cfg.air_temperature_c, cfg.air_humidity_pct,
+            cfg.air_pressure_kpa,
+        )
+        aab_of = lambda d, c: jnp.exp(float(k_air[c]) * d)  # noqa: E731
+    else:
+        aab_of = lambda d, c: jnp.clip(  # noqa: E731
+            1.0 - air * d * freqs[c], 0.0, 1.0
+        )
     n_groups = n_tris // TRI_GROUP
     gshape = (TRI_GROUP, LANES)
     # flat-band mode (fused_hist only): all bands share one absorption
@@ -536,7 +551,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             else:
                 es = []
                 for c in range(N_BANDS):
-                    aab = jnp.clip(1.0 - air * d_total * freqs[c], 0.0, 1.0)
+                    aab = aab_of(d_total, c)
                     ac = amp[c] * scale * aab
                     if transmission:
                         ac = ac * t_amp[c]
@@ -866,15 +881,12 @@ def trace_ir_pallas(
         # reconstruct per-band energies from the bin's delay: bin =
         # round(d * spm * bps) so d(bin) = bin / (spm * bps), at most half
         # a bin off the true path length
+        from ..models.ir import _air_amplitude
+
         d_bin = jnp.arange(cfg.ir_n_bins, dtype=jnp.float32) / (
             cfg.samples_per_meter * cfg.ir_bins_per_sample
         )
-        aab2 = (
-            jnp.clip(
-                1.0 - cfg.air_absorption * d_bin[:, None] * EQ_FREQS, 0.0, 1.0
-            )
-            ** 2
-        )  # (n_bins, n_bands)
+        aab2 = _air_amplitude(d_bin, cfg) ** 2  # (n_bins, n_bands)
         energy = (seg[:, :1] * aab2).T
         dir_sum = (seg[:, 1:] * jnp.mean(aab2, axis=1, keepdims=True)).T
     else:
