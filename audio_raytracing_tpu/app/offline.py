@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "binaural stereo (implies an HOA bed)")
     ap.add_argument("--ir-length", type=int, default=None,
                     help="impulse-response length in samples")
+    ap.add_argument("--air", default=None, metavar="MODEL[@T_C,RH%]",
+                    help="IR air-absorption model: 'reference' (default; "
+                         "the clamp law) or 'iso9613' with optional "
+                         "temperature/humidity — e.g. iso9613@10,80")
     return ap
 
 
@@ -99,6 +103,19 @@ def main(argv=None) -> str:
         if args.ir_length <= 0:
             raise SystemExit("--ir-length must be positive")
         cfg = dataclasses.replace(cfg, ir_length=args.ir_length)
+
+    if args.air:
+        name, _, cond = args.air.partition("@")
+        if name not in ("reference", "iso9613"):
+            raise SystemExit(f"unknown air model {name!r}")
+        kw = {"air_model": name}
+        if cond:
+            try:
+                t_c, rh = (float(x) for x in cond.split(","))
+            except ValueError:
+                raise SystemExit(f"--air conditions must be T_C,RH (got {cond!r})")
+            kw.update(air_temperature_c=t_c, air_humidity_pct=rh)
+        cfg = dataclasses.replace(cfg, **kw)
 
     materials = None
     if args.material:
