@@ -138,6 +138,14 @@ def golden_cli_case(tmp_dir):
         "trace": [],
         "ism": ["--model", "ism", "--ism-order", "2"],
         "hybrid": ["--model", "hybrid", "--seed", "7"],
+        # new-capability surfaces (r1 continuation): full model with
+        # double diffraction, source directivity, transmissive material,
+        # ISO air absorption
+        "full": ["--model", "full", "--ism-order", "1",
+                 "--diffraction-order", "2", "--seed", "7"],
+        "trace_directivity": ["--directivity", "cardioid@0,0,-1"],
+        "trace_glass": ["--material", "Material=glass"],
+        "trace_iso_air": ["--air", "iso9613@10,80"],
     }
     return argv, cases
 

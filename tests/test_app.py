@@ -186,7 +186,8 @@ def test_golden_offline_cli(tmp_path):
     for name, extra in cases.items():
         wav = tmp_path / f"{name}.wav"
         msg = cli_main(argv(wav, extra))
-        assert f"model={name}" in msg
+        model = extra[extra.index("--model") + 1] if "--model" in extra else "trace"
+        assert f"model={model}" in msg
         got, sr = read_wav(wav)
         assert sr == 44100
         assert got.shape == want[name].shape
