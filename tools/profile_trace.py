@@ -118,9 +118,12 @@ def parse_device_step_times(profile_dir, step_names=None):
 
 def assert_budgets(step_ms: dict, budgets: dict) -> list:
     """Compare parsed per-step device times against budget bounds (ms).
-    Returns a list of violation strings (empty = within budget)."""
+    Returns a list of violation strings (empty = within budget).
+    Non-numeric entries (e.g. a "_comment" key) are ignored."""
     bad = []
     for step, limit in budgets.items():
+        if not isinstance(limit, (int, float)):
+            continue
         got = step_ms.get(step)
         if got is None:
             bad.append(f"{step}: absent from profile (budget {limit} ms)")
