@@ -129,8 +129,6 @@ def main(argv=None) -> str:
 
     directivity = None
     if args.directivity:
-        import dataclasses as _dc
-
         from ..models.directivity import DIRECTIVITY_PRESETS
 
         name, _, axis = args.directivity.partition("@")
@@ -141,7 +139,9 @@ def main(argv=None) -> str:
             )
         directivity = DIRECTIVITY_PRESETS[name]
         if axis:
-            directivity = _dc.replace(directivity, axis=tuple(_vec3(axis)))
+            directivity = dataclasses.replace(
+                directivity, axis=tuple(_vec3(axis))
+            )
 
     try:
         sources = [

@@ -238,6 +238,12 @@ def render_ir_moving_offline(
         pos_keys.append(pk)
         sdir = s.get("directivity")
         otrack = s.get("orientation_track")
+        if otrack is not None and sdir is None:
+            raise ValueError(
+                "orientation_track was given without a directivity — the "
+                "track would be silently ignored; add 'directivity' to "
+                "the source (an omni pattern has nothing to rotate)"
+            )
         if sdir is not None:
             if otrack is not None:
                 ax_k = np.stack([
@@ -247,21 +253,41 @@ def render_ir_moving_offline(
                 ax_k = np.tile(np.asarray(sdir.axis, np.float32), (K, 1))
         else:
             ax_k = None
-        # per-keyframe directivity gains toward the listener (direct bed)
+        # per-keyframe band gains for the direct bed: directivity toward
+        # the listener x transmission through occluders (both optional)
+        band_gain = None
         if sdir is not None:
             from ..models.directivity import directivity_gain
 
-            dgain_keys.append(jnp.asarray(directivity_gain(
+            band_gain = jnp.asarray(directivity_gain(
                 jnp.asarray(lst_k - pk), sdir, axis=jnp.asarray(ax_k)
-            )))
-        else:
-            dgain_keys.append(None)
-        # occlusion visibility at keyframes (direct_ir's test, models/ir.py)
+            ))
         to_l = lst_kj - jnp.asarray(pk)
         d_k = jnp.linalg.norm(to_l, axis=-1)
-        safe = jnp.where(d_k[:, None] < 1e-6, jnp.float32([[1, 0, 0]]), to_l)
-        t_occ, _, _ = nearest_hit(jnp.asarray(pk), safe, v0, v1, v2)
-        vis_keys.append(jnp.where((t_occ >= d_k) | (d_k < 1e-6), 1.0, 0.0))
+        if arrays.transmission is not None:
+            # transmissive occluders attenuate the direct bed per band
+            # (models/ir.py law) instead of hard-blocking — keeps the
+            # moving renderer consistent with direct_ir on e.g. a
+            # curtain scene
+            from ..models.ir import _segment_crossings, _transmission_log_amp
+
+            cross = _segment_crossings(jnp.asarray(pk), to_l, v0, v1, v2)
+            trans_k = jnp.exp(jnp.dot(
+                cross, _transmission_log_amp(arrays.transmission),
+                precision=jax.lax.Precision.HIGHEST,
+            ))  # (K, 4)
+            band_gain = trans_k if band_gain is None else band_gain * trans_k
+            vis_keys.append(jnp.ones(K, jnp.float32))
+        else:
+            # occlusion visibility at keyframes (direct_ir's test)
+            safe = jnp.where(
+                d_k[:, None] < 1e-6, jnp.float32([[1, 0, 0]]), to_l
+            )
+            t_occ, _, _ = nearest_hit(jnp.asarray(pk), safe, v0, v1, v2)
+            vis_keys.append(
+                jnp.where((t_occ >= d_k) | (d_k < 1e-6), 1.0, 0.0)
+            )
+        dgain_keys.append(band_gain)
         # reflection-only IR per unique keyframe pose pair (static poses
         # and dwell points trace once)
         amb_irs = []

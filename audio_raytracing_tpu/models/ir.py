@@ -196,6 +196,8 @@ def direct_ir(
             / (d_direct + 1.0)
             * _air_amplitude(d_direct, cfg)
         )  # (n_bands,)
+    if src_axis is not None and src_directivity is None:
+        raise ValueError("src_axis requires src_directivity")
     if src_directivity is not None:
         from .directivity import directivity_gain
 
@@ -297,6 +299,8 @@ def trace_ir(
     overriding the pattern's static one (rotating sources re-dispatch,
     not re-compile).
     """
+    if src_axis is not None and src_directivity is None:
+        raise ValueError("src_axis requires src_directivity")
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     normals, absorption = scene_arrays.normals, scene_arrays.absorption
 

@@ -92,15 +92,17 @@ def build_tri_tables(scene_arrays):
     a_rows = [woop_d[:, k * T : (k + 1) * T].T for k in range(3)]  # each (T, 3)
     b_cols = [woop_o[3, k * T : (k + 1) * T][:, None] for k in range(3)]  # (T, 1)
     keep = jnp.sqrt(jnp.clip(1.0 - scene_arrays.absorption[:, :N_BANDS], 0.0, 1.0))
-    # shadow transmission log-amplitudes (models/ir._transmission_log_amp
-    # law: 0.5 log tau, 1e-30 floor — a NORMAL f32, subnormals flush);
+    # shadow transmission log-amplitudes (the models/ir law — shared
+    # helper so the floor/constant can never diverge from the XLA path);
     # only read when the kernel runs with transmission=True
+    from ..models.ir import _transmission_log_amp
+
     tau = (
         scene_arrays.transmission
         if scene_arrays.transmission is not None
         else jnp.zeros_like(scene_arrays.absorption[:, :N_BANDS])
     )
-    tlog = 0.5 * jnp.log(jnp.clip(tau[:, :N_BANDS], 1e-30, 1.0))
+    tlog = _transmission_log_amp(tau[:, :N_BANDS])
     table = jnp.concatenate(
         a_rows + b_cols + [scene_arrays.normals, keep, tlog], axis=1
     )  # (T, 9 + 3 + 3 + 4 + 4)
@@ -667,6 +669,22 @@ def trace_contributions_pallas(
             "surface transmission is incompatible with the cull/mxu_xform "
             "experiments"
         )
+    if transmission and flat_bands:
+        # flat mode carries only band 0's log-tau; a band-varying table
+        # would be silently wrong. Values are only inspectable when the
+        # call is NOT inside a jit trace (e.g. direct tests) — inside one
+        # this stays a documented requirement.
+        import jax.core as _jc
+
+        t = scene_arrays.transmission
+        if not isinstance(t, _jc.Tracer):
+            tv = np.asarray(t)
+            if not np.allclose(tv, tv[:, :1], atol=1e-7):
+                raise ValueError(
+                    "flat_bands carries one amplitude: the transmission "
+                    "table must be band-uniform; use flat_bands=False for "
+                    "band-dependent tau (e.g. the glass preset)"
+                )
     max_bounces = max_bounces or cfg.max_bounces
     e = cfg.specular_exponent
     if not (float(e).is_integer() and int(e) > 0 and (int(e) & (int(e) - 1)) == 0):
@@ -847,6 +865,11 @@ def trace_ir_pallas(
         # order-invariant), tighter per-tile bundles for cull=True
         dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
     src_weights = None
+    if src_axis is not None and src_directivity is None:
+        raise ValueError(
+            "src_axis requires src_directivity (an omni source has no "
+            "axis to aim)"
+        )
     if src_directivity is not None:
         from ..models.directivity import directivity_gain
 
@@ -937,6 +960,11 @@ def trace_irs_pallas_multi(
     n_rays = n_rays or cfg.rays_per_source
     if dirs is None:
         dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
+    if src_axes is not None and src_directivity is None:
+        raise ValueError(
+            "src_axes requires src_directivity (an omni source has no "
+            "axis to aim)"
+        )
     if src_axes is None and src_directivity is not None:
         src_axes = jnp.broadcast_to(
             jnp.asarray(src_directivity.axis, jnp.float32),

@@ -251,3 +251,54 @@ def test_rotating_source_sweeps_level():
     head = float(np.sqrt(np.mean(out[500:2500] ** 2)))
     tail = float(np.sqrt(np.mean(out[6000:8000] ** 2)))
     assert head > 4.0 * tail  # facing -> away collapses the level
+
+
+def test_moving_direct_transmits_through_curtain():
+    """The moving renderer's direct bed uses the transmission law (not
+    hard-blocking): a static track behind a transmissive screen matches
+    render_ir_offline on the same scene."""
+    from audio_raytracing_tpu.models.scene import Scene as _S
+
+    screen = np.float32([
+        [[0.5, -2.0, -4.0], [0.5, 2.0, -4.0], [0.5, 2.0, 4.0]],
+        [[0.5, -2.0, -4.0], [0.5, 2.0, 4.0], [0.5, -2.0, 4.0]],
+    ])
+    tris = np.concatenate([box_room(size=(8.0, 3.0, 6.0)), screen])
+    trans = np.concatenate([
+        np.zeros((12, 4), np.float32),
+        np.tile(np.float32([0.25, 0.16, 0.09, 0.04]), (2, 1)),
+    ])
+    scene = _S.from_triangles(
+        tris, CFG, absorption=np.full(14, 0.3, np.float32),
+        transmission=trans,
+    )
+    n = 2048
+    t = np.arange(n) / 44100
+    dry = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    pos = [2.0, 0.0, 0.0]   # source behind the screen from the listener
+    lst = [-2.0, 0.0, 0.0]
+    got = render_ir_moving_offline(
+        scene, [{"samples": dry, "pos": pos}], lst, cfg=CFG
+    )
+    want = render_ir_offline(
+        scene, [{"samples": dry, "pos": pos}], lst, cfg=CFG
+    )
+    lo = min(len(got), len(want))
+    scale = np.abs(want[:lo]).max()
+    assert scale > 1e-5  # the transmitted direct sound is audible at all
+    np.testing.assert_allclose(got[:lo], want[:lo], atol=0.03 * scale)
+
+
+def test_orientation_track_without_directivity_raises():
+    import pytest
+
+    from audio_raytracing_tpu.models.scene import Scene as _S
+
+    scene = _S.from_triangles(box_room(), CFG)
+    with pytest.raises(ValueError, match="orientation_track"):
+        render_ir_moving_offline(
+            scene,
+            [{"samples": np.zeros(256, np.float32), "pos": [1.0, 0, 0],
+              "orientation_track": lambda t: np.float32([1, 0, 0])}],
+            [0.0, 0.0, 0.0], cfg=CFG,
+        )

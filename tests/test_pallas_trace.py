@@ -356,3 +356,38 @@ def test_multi_source_directional_scan(scene):
             np.asarray(irs.energy[i]), np.asarray(want.energy),
             rtol=2e-2, atol=1e-8,
         )
+
+
+def test_misuse_guards(scene):
+    """src_axes/src_axis without a directivity raise; flat_bands with a
+    band-varying transmission table raises on concrete (non-traced)
+    inputs."""
+    from audio_raytracing_tpu.ops.pallas_trace import (
+        trace_contributions_pallas,
+        trace_irs_pallas_multi,
+    )
+
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    with pytest.raises(ValueError, match="src_axes requires"):
+        trace_irs_pallas_multi(
+            scene.device_arrays(), jnp.asarray([[1.0, 0.5, 0.5]]), lst,
+            cfg=CFG, max_bounces=1, dirs=dirs, interpret=True,
+            src_axes=jnp.asarray([[1.0, 0.0, 0.0]]),
+        )
+    with pytest.raises(ValueError, match="src_axis requires"):
+        trace_ir_pallas(
+            scene.device_arrays(), jnp.asarray([1.0, 0.5, 0.5]), lst,
+            cfg=CFG, max_bounces=1, dirs=dirs, interpret=True,
+            src_axis=jnp.asarray([1.0, 0.0, 0.0]),
+        )
+    glass_tau = np.tile(np.float32([0.03, 0.01, 0.003, 0.001]), (12, 1))
+    sc = Scene.from_triangles(
+        box_room(size=(6.0, 3.0, 5.0)), CFG, transmission=glass_tau
+    )
+    with pytest.raises(ValueError, match="band-uniform"):
+        trace_contributions_pallas(
+            sc.device_arrays(), jnp.asarray([1.0, 0.5, 0.5]), lst, dirs,
+            cfg=CFG, max_bounces=1, interpret=True, fused_hist=True,
+            flat_bands=True,
+        )

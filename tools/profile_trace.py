@@ -222,9 +222,17 @@ def main():
         step_ms = parse_device_step_times(out, step_names=[n for n, _ in steps])
         print("device kernel ms per step:",
               {k: round(v, 2) for k, v in sorted(step_ms.items())})
-        bad = assert_budgets(step_ms, json.loads(Path(args.assert_budgets).read_text())
-                             if Path(args.assert_budgets).exists()
-                             else json.loads(args.assert_budgets))
+        spec = args.assert_budgets.strip()
+        if spec.startswith("{"):
+            budgets = json.loads(spec)
+        elif Path(spec).exists():
+            budgets = json.loads(Path(spec).read_text())
+        else:
+            raise SystemExit(
+                f"--assert-budgets: {spec!r} is neither an existing file "
+                "nor inline JSON (inline must start with '{')"
+            )
+        bad = assert_budgets(step_ms, budgets)
         if bad:
             print("BUDGET VIOLATIONS:\n  " + "\n  ".join(bad))
             raise SystemExit(1)
