@@ -311,3 +311,29 @@ def test_hybrid_transition_ignores_phantom_arrivals():
         LST2, cfg=CFG, order=1, include_direct=True,
     )
     assert float(jnp.sum(soft.energy)) > float(jnp.sum(ism.energy))
+
+
+def test_multi_listener_transmission_and_directivity_parity():
+    """trace_ir_multi_listener's shared-path NEE applies the same
+    transmission + directivity laws as per-listener trace_ir."""
+    from audio_raytracing_tpu.models.directivity import Directivity
+    from audio_raytracing_tpu.models.ir import trace_ir_multi_listener
+
+    tau = np.asarray([0.5, 0.25, 0.1, 0.04], np.float32)
+    arrays = _floor_screen_scene(tau).device_arrays()
+    dirs = _aimed_dirs()
+    d = Directivity(axis=(1.0, -0.5, 0.0), alpha=0.5)
+    lsts = jnp.asarray([[2.5, 0.3, 0.0], [1.5, 0.8, 0.5]])
+    multi = trace_ir_multi_listener(
+        arrays, jnp.asarray(SRC2), lsts, cfg=CFG, dirs=dirs, max_bounces=2,
+        src_directivity=d,
+    )
+    for i in range(2):
+        want = trace_ir(
+            arrays, jnp.asarray(SRC2), lsts[i], cfg=CFG, dirs=dirs,
+            max_bounces=2, src_directivity=d,
+        )
+        np.testing.assert_allclose(
+            np.asarray(multi.energy[i]), np.asarray(want.energy),
+            rtol=1e-4, atol=1e-12,
+        )
