@@ -238,6 +238,7 @@ def direct_ir(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
         "intersector", "scatter", "scattering", "bih_leaf_cap",
         "material_scattering", "sh_order", "src_directivity",
+        "scattering_rng", "rng_seed",
     ),
 )
 def trace_ir(
@@ -260,6 +261,8 @@ def trace_ir(
     sh_order: int | None = None,
     src_directivity=None,
     src_axis=None,
+    scattering_rng: str = "threefry",
+    rng_seed: int = 0,
 ) -> ImpulseResponse:
     """Trace one source -> listener impulse response.
 
@@ -298,6 +301,12 @@ def trace_ir(
     room mostly forward. src_axis: optional DYNAMIC (3,) emission axis
     overriding the pattern's static one (rotating sources re-dispatch,
     not re-compile).
+
+    scattering_rng: "threefry" (default; requires `key`) or "hash" —
+    the counter-based hash RNG (ops/hashrng.py) seeded by the static
+    rng_seed, whose draws are BIT-IDENTICAL to the fused Pallas kernel's
+    in-kernel sampling (same counter layout: ((ray * max_bounces +
+    bounce) * 3 + draw) offset by hash(seed)); `key` is then unused.
     """
     if src_axis is not None and src_directivity is None:
         raise ValueError("src_axis requires src_directivity")
@@ -494,11 +503,24 @@ def trace_ir(
 
         d_new = reflect(d, n)
         if scattering > 0.0 or material_scattering:
-            kb = jax.random.fold_in(key, b_i)
-            ku, kd1, kd2 = jax.random.split(kb, 3)
-            # cosine-weighted hemisphere sample about n
-            u1 = jax.random.uniform(kd1, (d.shape[0],))
-            u2 = jax.random.uniform(kd2, (d.shape[0],))
+            if scattering_rng == "hash":
+                from ..ops.hashrng import hash_u32, uniform01
+
+                base = hash_u32(jnp.int32(rng_seed))
+                idx3 = (
+                    jnp.arange(d.shape[0], dtype=jnp.int32) * max_bounces
+                    + b_i.astype(jnp.int32)
+                ) * 3
+                u_sel = uniform01(base + idx3)
+                u1 = uniform01(base + idx3 + 1)
+                u2 = uniform01(base + idx3 + 2)
+            else:
+                kb = jax.random.fold_in(key, b_i)
+                ku, kd1, kd2 = jax.random.split(kb, 3)
+                # cosine-weighted hemisphere sample about n
+                u1 = jax.random.uniform(kd1, (d.shape[0],))
+                u2 = jax.random.uniform(kd2, (d.shape[0],))
+                u_sel = jax.random.uniform(ku, (d.shape[0],))
             r = jnp.sqrt(u1)
             phi = 2.0 * jnp.pi * u2
             z = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
@@ -517,7 +539,7 @@ def trace_ir(
                 + n * z[:, None]
             )
             prob = scat_prob if material_scattering else scattering
-            use_diff = jax.random.uniform(ku, (d.shape[0],)) < prob
+            use_diff = u_sel < prob
             d_new = jnp.where(use_diff[:, None], d_diff, d_new)
         return (vertex, jnp.where(alive[:, None], d_new, d), amp, path_dist, alive), seg
 
@@ -528,8 +550,14 @@ def trace_ir(
     else:
         amp0 = jnp.ones((n_rays, len(EQ_FREQS)), jnp.float32)
     carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))
-    if (scattering > 0.0 or material_scattering) and key is None:
-        raise ValueError("scattering requires a PRNG key")
+    if (
+        (scattering > 0.0 or material_scattering)
+        and key is None
+        and scattering_rng != "hash"
+    ):
+        raise ValueError(
+            'scattering requires a PRNG key (or scattering_rng="hash")'
+        )
     _, seg_all = jax.lax.scan(
         bounce_simple, carry0, jnp.arange(max_bounces), length=max_bounces
     )

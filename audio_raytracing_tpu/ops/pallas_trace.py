@@ -60,7 +60,8 @@ _B = 9  # 3: affine offset
 _N = 12  # 3: unit normal
 _K = 15  # N_BANDS: per-band amplitude kept = sqrt(1 - absorption)
 _TAU = 19  # N_BANDS: shadow-crossing log amplitude 0.5*log(transmission)
-TRI_COLS = 24  # padded
+_SCAT = 23  # 1: per-surface diffuse-bounce probability (scattering)
+TRI_COLS = 24  # full
 
 
 def _morton3(q):
@@ -103,11 +104,16 @@ def build_tri_tables(scene_arrays):
         else jnp.zeros_like(scene_arrays.absorption[:, :N_BANDS])
     )
     tlog = _transmission_log_amp(tau[:, :N_BANDS])
+    scat = (
+        scene_arrays.scattering
+        if scene_arrays.scattering is not None
+        else jnp.zeros(keep.shape[0], jnp.float32)
+    )[:, None]
     table = jnp.concatenate(
-        a_rows + b_cols + [scene_arrays.normals, keep, tlog], axis=1
-    )  # (T, 9 + 3 + 3 + 4 + 4)
-    pad = TRI_COLS - table.shape[1]
-    table = jnp.pad(table, ((0, 0), (0, pad))).astype(jnp.float32)
+        a_rows + b_cols + [scene_arrays.normals, keep, tlog, scat], axis=1
+    )  # (T, 9 + 3 + 3 + 4 + 4 + 1) = (T, 24)
+    assert table.shape[1] == TRI_COLS, table.shape
+    table = table.astype(jnp.float32)
 
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     lo = jnp.minimum(jnp.minimum(v0, v1), v2)
@@ -138,7 +144,9 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   cfg: Config, fused_hist: bool = False, cull: bool = False,
                   flat_bands: bool = False, mxu_xform: bool = False,
                   group_fori: bool = False, row_unroll: int = 8,
-                  transmission: bool = False, weighted: bool = False):
+                  transmission: bool = False, weighted: bool = False,
+                  scattering: float = 0.0, material_scattering: bool = False,
+                  rng_seed: int = 0):
     # large-scene mode: iterate triangle groups with lax.fori_loop +
     # 8-aligned dynamic VMEM loads instead of a fully unrolled Python loop
     # (which explodes trace/compile time past ~32 groups). Incompatible
@@ -151,6 +159,18 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     # (models/ir.py's law, in-kernel). Excluded from the experiments.
     if transmission:
         assert not cull and not mxu_xform, "transmission excludes cull/mxu_xform"
+    # stochastic scattering (models/ir.py's diffuse family, in-kernel):
+    # counter-based hash uniforms (ops/hashrng.py) with the SAME counter
+    # layout as trace_ir(scattering_rng="hash") — bit-identical sampling,
+    # so interpret-mode tests compare against the XLA path directly
+    scatter_on = scattering > 0.0 or material_scattering
+    if scatter_on:
+        from .hashrng import hash_u32_py, uniform01
+
+        seed_base = hash_u32_py(rng_seed)
+        # program_id must be read at kernel top level (its interpret-mode
+        # interception doesn't reach inside the row fori_loop body)
+        tile_base = pl.program_id(0) * TILE
     inf = jnp.float32(np.inf)
     sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
     lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
@@ -288,6 +308,8 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         sel = [jnp.zeros(gshape, jnp.float32) for _ in range(3)] + [
             jnp.ones(gshape, jnp.float32) for _ in range(n_keep)
         ]
+        if material_scattering:
+            sel.append(jnp.zeros(gshape, jnp.float32))  # diffuse prob
         if mxu_xform:
             dvec = jnp.concatenate([dx, dy, dz], axis=0)  # (3, 128)
             dp_all = [_xf(a_rows[k], dvec) for k in range(3)]
@@ -337,6 +359,10 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 sel[c] = jnp.where(improved, col(_N + c), sel[c])
             for c in range(n_keep):
                 sel[3 + c] = jnp.where(improved, col(_K + c), sel[3 + c])
+            if material_scattering:
+                sel[3 + n_keep] = jnp.where(
+                    improved, col(_SCAT), sel[3 + n_keep]
+                )
             return (best_t, *sel)
 
         carry = (best_t, *sel)
@@ -472,19 +498,21 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             min_t = jnp.min(best_t8, axis=0, keepdims=True)  # (1, 128)
             # first-winning-sublane select (no cumsum in Mosaic: static sweep)
             taken = 0.0 * min_t
-            acc = [0.0 * min_t for _ in range(3 + n_keep)]
+            n_sel = 3 + n_keep + (1 if material_scattering else 0)
+            acc = [0.0 * min_t for _ in range(n_sel)]
             for s in range(TRI_GROUP):
                 row_min = (
                     jax.lax.slice(best_t8, (s, 0), (s + 1, LANES)) == min_t
                 ).astype(jnp.float32)
                 use = row_min * (1.0 - taken)
-                for c in range(3 + n_keep):
+                for c in range(n_sel):
                     acc[c] = acc[c] + use * jax.lax.slice(
                         sel[c], (s, 0), (s + 1, LANES)
                     )
                 taken = jnp.maximum(taken, row_min)
             nx, ny, nz = acc[0], acc[1], acc[2]
-            keep = acc[3:]
+            keep = acc[3:3 + n_keep]
+            scat_sel = acc[3 + n_keep] if material_scattering else None
 
             hitf = (min_t < inf).astype(jnp.float32)
             alive = alive * hitf
@@ -606,9 +634,46 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             if b + 1 < max_bounces:
                 two_ndd = 2.0 * (nx * dx + ny * dy + nz * dz)
                 live = alive > 0
-                dx = jnp.where(live, dx - two_ndd * nx, dx)
-                dy = jnp.where(live, dy - two_ndd * ny, dy)
-                dz = jnp.where(live, dz - two_ndd * nz, dz)
+                sdx = dx - two_ndd * nx
+                sdy = dy - two_ndd * ny
+                sdz = dz - two_ndd * nz
+                if scatter_on:
+                    # hash uniforms at ((ray*max_bounces + b)*3 + draw);
+                    # formulas mirror models/ir.py's hemisphere sample
+                    # op-for-op so interpret paths are bit-identical
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                    gidx = tile_base + r * LANES + lane
+                    cnt = seed_base + (gidx * max_bounces + b) * 3
+                    u_sel = uniform01(cnt)
+                    u1 = uniform01(cnt + 1)
+                    u2 = uniform01(cnt + 2)
+                    r_s = jnp.sqrt(u1)
+                    phi = 2.0 * jnp.float32(np.pi) * u2
+                    z_s = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+                    hxv = (jnp.abs(nz) >= 0.9).astype(jnp.float32)
+                    hzv = 1.0 - hxv
+                    txx = -hzv * ny
+                    txy = hzv * nx - hxv * nz
+                    txz = hxv * ny
+                    tl = jnp.sqrt(txx * txx + txy * txy + txz * txz)
+                    ti = 1.0 / jnp.maximum(tl, 1e-20)
+                    txx, txy, txz = txx * ti, txy * ti, txz * ti
+                    tyx = ny * txz - nz * txy
+                    tyy = nz * txx - nx * txz
+                    tyz = nx * txy - ny * txx
+                    rc = r_s * jnp.cos(phi)
+                    rs = r_s * jnp.sin(phi)
+                    ddx = txx * rc + tyx * rs + nx * z_s
+                    ddy = txy * rc + tyy * rs + ny * z_s
+                    ddz = txz * rc + tyz * rs + nz * z_s
+                    prob = scat_sel if material_scattering else scattering
+                    use = u_sel < prob
+                    sdx = jnp.where(use, ddx, sdx)
+                    sdy = jnp.where(use, ddy, sdy)
+                    sdz = jnp.where(use, ddz, sdz)
+                dx = jnp.where(live, sdx, dx)
+                dy = jnp.where(live, sdy, dy)
+                dz = jnp.where(live, sdz, dz)
                 ox, oy, oz = vx, vy, vz
         return carry
 
@@ -627,12 +692,20 @@ def trace_contributions_pallas(
     interpret: bool = False, fused_hist: bool = False, cull: bool = False,
     flat_bands: bool = False, mxu_xform: bool = False,
     group_fori: bool | None = None, src_weights=None,
+    scattering: float = 0.0, material_scattering: bool = False,
+    rng_seed: int = 0,
 ):
     """Run the fused kernel.
 
     src_weights: optional (R, n_keep) per-ray initial amplitudes (source
     directivity, models/directivity.py) — n_keep = 1 in flat_bands mode
     (band-uniform pattern required), else N_BANDS.
+
+    scattering / material_scattering / rng_seed: the stochastic diffuse
+    family IN-KERNEL — cosine-weighted hemisphere bounces chosen by
+    counter-hash uniforms (ops/hashrng.py) that are bit-identical to
+    trace_ir(scattering_rng="hash", rng_seed=...); material mode reads
+    each surface's probability from the tri table's scattering column.
 
     group_fori: loop triangle groups with lax.fori_loop (dynamic VMEM
     loads) instead of full unrolling — required for large scenes where
@@ -660,6 +733,10 @@ def trace_contributions_pallas(
     initial amplitudes enter the kernel as extra (rows, 128) inputs —
     directivity on the fast path. flat_bands requires a band-uniform
     pattern (equal alpha/order across bands; checked statically).
+
+    scattering (static float) / material_scattering / rng_seed: the
+    stochastic diffuse family in-kernel, sampling-identical to
+    trace_ir(scattering_rng="hash") — see trace_contributions_pallas.
     """
     if flat_bands and not fused_hist:
         raise ValueError("flat_bands requires fused_hist=True")
@@ -764,7 +841,8 @@ def trace_contributions_pallas(
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
         mxu_xform=mxu_xform, group_fori=group_fori,
         row_unroll=1 if interpret else 8, transmission=transmission,
-        weighted=weighted,
+        weighted=weighted, scattering=scattering,
+        material_scattering=material_scattering, rng_seed=rng_seed,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + w_args
     if fused_hist:
@@ -818,7 +896,8 @@ def trace_contributions_pallas(
     static_argnames=("cfg", "n_rays", "max_bounces", "total_rays",
                      "include_direct", "interpret", "fused_hist", "cull",
                      "flat_bands", "mxu_xform", "group_fori",
-                     "src_directivity"),
+                     "src_directivity", "scattering", "material_scattering",
+                     "rng_seed"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -838,6 +917,9 @@ def trace_ir_pallas(
     group_fori: bool | None = None,
     src_directivity=None,
     src_axis=None,
+    scattering: float = 0.0,
+    material_scattering: bool = False,
+    rng_seed: int = 0,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -891,6 +973,8 @@ def trace_ir_pallas(
             interpret=interpret, fused_hist=True, cull=cull,
             flat_bands=flat_bands, mxu_xform=mxu_xform,
             group_fori=group_fori, src_weights=src_weights,
+            scattering=scattering, material_scattering=material_scattering,
+            rng_seed=rng_seed,
         )
     else:
         bins, payload = trace_contributions_pallas(
@@ -898,6 +982,8 @@ def trace_ir_pallas(
             max_bounces=max_bounces, total_rays=total_rays,
             interpret=interpret, cull=cull, mxu_xform=mxu_xform,
             group_fori=group_fori, src_weights=src_weights,
+            scattering=scattering, material_scattering=material_scattering,
+            rng_seed=rng_seed,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     if flat_bands:

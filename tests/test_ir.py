@@ -366,3 +366,40 @@ def test_multi_listener_matches_per_listener():
                 np.asarray(multi.dir_sum[i]), np.asarray(one.dir_sum),
                 rtol=1e-4, atol=atol,
             )
+
+
+def test_hash_rng_scattering_variant():
+    """trace_ir(scattering_rng='hash'): deterministic per seed, key-free,
+    statistically consistent with the threefry family."""
+    import dataclasses as _dc
+
+    from audio_raytracing_tpu.ops.hashrng import hash_u32, hash_u32_py, uniform01
+
+    # the python mirror is bit-equal to the traced hash
+    for s in (0, 1, 42, 123456, 2**31 - 1):
+        assert int(jnp.asarray(hash_u32(jnp.int32(s)))) == hash_u32_py(s)
+    u = np.asarray(uniform01(jnp.arange(1 << 16, dtype=jnp.int32)))
+    assert 0.0 <= u.min() and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 5e-3 and abs(u.std() - 0.2887) < 5e-3
+
+    cfg = _dc.replace(DEFAULT_CONFIG, ir_length=2048)
+    scene = Scene.from_triangles(box_room(), cfg)
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    kw = dict(cfg=cfg, max_bounces=4, dirs=dirs, scattering=0.5)
+    a = trace_ir(scene.device_arrays(), src, lst, scattering_rng="hash",
+                 rng_seed=3, **kw)
+    b = trace_ir(scene.device_arrays(), src, lst, scattering_rng="hash",
+                 rng_seed=3, **kw)
+    np.testing.assert_array_equal(np.asarray(a.energy), np.asarray(b.energy))
+    c = trace_ir(scene.device_arrays(), src, lst, scattering_rng="hash",
+                 rng_seed=4, **kw)
+    assert float(jnp.abs(a.energy - c.energy).sum()) > 0
+    import jax as _jax
+
+    th = trace_ir(scene.device_arrays(), src, lst,
+                  key=_jax.random.PRNGKey(0), **kw)
+    assert abs(float(a.energy.sum()) - float(th.energy.sum())) < 0.05 * float(
+        th.energy.sum()
+    )

@@ -391,3 +391,68 @@ def test_misuse_guards(scene):
             cfg=CFG, max_bounces=1, interpret=True, fused_hist=True,
             flat_bands=True,
         )
+
+
+def test_pallas_scattering_matches_xla_hash(scene):
+    """In-kernel stochastic scattering draws the SAME counter-hash
+    uniforms as trace_ir(scattering_rng='hash'): constant-probability
+    paths are bit-close (identical sampling + identical hemisphere
+    math)."""
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir(scene.device_arrays(), src, lst, cfg=CFG, max_bounces=4,
+                 dirs=dirs, scattering=0.5, scattering_rng="hash", rng_seed=9)
+    b = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=4, dirs=dirs, interpret=True,
+                        scattering=0.5, rng_seed=9)
+    da, db = np.asarray(a.energy), np.asarray(b.energy)
+    assert np.abs(da - db).sum() / da.sum() < 1e-5
+    # different seed -> different paths; same seed -> deterministic
+    b2 = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                         max_bounces=4, dirs=dirs, interpret=True,
+                         scattering=0.5, rng_seed=10)
+    assert np.abs(np.asarray(b2.energy) - db).sum() > 0
+    b3 = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                         max_bounces=4, dirs=dirs, interpret=True,
+                         scattering=0.5, rng_seed=9)
+    np.testing.assert_array_equal(np.asarray(b3.energy), db)
+
+
+def test_pallas_material_scattering_matches_xla_hash():
+    """Per-surface probabilities ride the tri table's scattering column;
+    marginal u<prob flips from the attr-fetch rounding keep this a
+    statistical (not bitwise) comparison."""
+    scat = np.full(12, 0.6, np.float32)
+    sc = Scene.from_triangles(
+        box_room(size=(6.0, 3.0, 5.0)), CFG,
+        absorption=np.full(12, 0.2, np.float32), scattering=scat,
+    )
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir(sc.device_arrays(), src, lst, cfg=CFG, max_bounces=4,
+                 dirs=dirs, material_scattering=True, scattering_rng="hash",
+                 rng_seed=9)
+    b = trace_ir_pallas(sc.device_arrays(), src, lst, cfg=CFG, max_bounces=4,
+                        dirs=dirs, interpret=True, material_scattering=True,
+                        rng_seed=9)
+    da, db = np.asarray(a.energy), np.asarray(b.energy)
+    assert np.abs(da - db).sum() / da.sum() < 1e-3
+
+
+def test_pallas_scattering_fused_hist(scene):
+    """Scattering composes with in-kernel binning (fused path vs external
+    scatter on identical sampling)."""
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    a = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        scattering=0.5, rng_seed=3)
+    b = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=3, dirs=dirs, interpret=True,
+                        fused_hist=True, scattering=0.5, rng_seed=3)
+    np.testing.assert_allclose(
+        float(b.energy.sum()), float(a.energy.sum()), rtol=2e-3
+    )
