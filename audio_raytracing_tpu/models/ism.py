@@ -482,7 +482,8 @@ def image_source_ir(
 @partial(
     jax.jit,
     static_argnames=("cfg", "order", "n_rays", "max_bounces", "scattering",
-                     "material_scattering", "src_directivity"),
+                     "material_scattering", "src_directivity",
+                     "tail_backend", "rng_seed", "tail_interpret"),
 )
 def hybrid_ir(
     scene_arrays,
@@ -497,6 +498,9 @@ def hybrid_ir(
     key=None,
     transition_bin: int | None = None,
     src_directivity=None,
+    tail_backend: str = "xla",
+    rng_seed: int = 0,
+    tail_interpret: bool = False,
 ) -> ImpulseResponse:
     """The standard room-acoustics hybrid: exact image sources for the
     early reflections + the Monte-Carlo (optionally scattering) tracer for
@@ -512,19 +516,38 @@ def hybrid_ir(
       * the two estimators use different reflection weights (ISM: exact
         surface energy; tracer: the reference's lam = |cos| + Blinn^16 NEE
         law), so energy levels can step at the transition — acceptable
-        for rendering, but don't fit decay slopes across it."""
+        for rendering, but don't fit decay slopes across it.
+
+    tail_backend="pallas" runs the Monte-Carlo tail on the fused kernel
+    (~5-6x faster; requires n_rays % 1024 == 0 and a power-of-two
+    specular exponent) using the counter-hash RNG seeded by the static
+    rng_seed — `key` is then unused. The default "xla" tail keeps the
+    threefry `key` semantics."""
     from .ir import trace_ir
 
     early = image_source_ir(
         scene_arrays, source, listener, cfg=cfg, order=order,
         include_direct=True, src_directivity=src_directivity,
     )
-    late = trace_ir(
-        scene_arrays, source, listener, cfg=cfg, n_rays=n_rays,
-        max_bounces=max_bounces, include_direct=False,
-        scattering=scattering, material_scattering=material_scattering,
-        key=key, src_directivity=src_directivity,
-    )
+    if tail_backend == "pallas":
+        from ..ops.pallas_trace import trace_ir_pallas
+
+        late = trace_ir_pallas(
+            scene_arrays, source, listener, cfg=cfg, n_rays=n_rays,
+            max_bounces=max_bounces, include_direct=False, fused_hist=True,
+            scattering=scattering, material_scattering=material_scattering,
+            rng_seed=rng_seed, src_directivity=src_directivity,
+            interpret=tail_interpret,
+        )
+    elif tail_backend == "xla":
+        late = trace_ir(
+            scene_arrays, source, listener, cfg=cfg, n_rays=n_rays,
+            max_bounces=max_bounces, include_direct=False,
+            scattering=scattering, material_scattering=material_scattering,
+            key=key, src_directivity=src_directivity,
+        )
+    else:
+        raise ValueError(f"unknown tail_backend {tail_backend!r}")
     if transition_bin is None:
         idx = jnp.arange(cfg.ir_n_bins)
         # threshold, not > 0: with transmissive materials, opaque-blocked
