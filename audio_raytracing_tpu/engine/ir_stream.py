@@ -120,7 +120,8 @@ class IRStreamRenderer:
                  hrtf=None, n_rays: int | None = None,
                  max_bounces: int | None = None, intersector: str = "mt",
                  speaker_dirs=None, sh_order: int | None = None,
-                 hoa_hrtf: str = "magls4", ir_fn=None):
+                 hoa_hrtf: str = "magls4", ir_fn=None,
+                 pallas_interpret: bool = False):
         """speaker_dirs (n_spk, 3): stream to a physical speaker rig
         (mode-matching first-order decode, no HRTF) instead of binaural
         stereo; render_block then returns (B, n_spk) feeds.
@@ -171,6 +172,12 @@ class IRStreamRenderer:
             self.n_out = 2
         self.n_rays = n_rays or cfg.rays_per_source
         self.max_bounces = max_bounces or cfg.max_bounces
+        self._pallas_interpret = pallas_interpret
+        if intersector == "pallas" and sh_order is not None:
+            raise ValueError(
+                'intersector="pallas" emits first-order moments only; '
+                "drop sh_order or use mt/mxu"
+            )
         self.intersector = intersector
         self._sources: list[dict] = []
         self._dry = None  # (S, N) padded dry signals
@@ -260,6 +267,16 @@ class IRStreamRenderer:
                     if self._ir_fn is not None:
                         ir = self._ir_fn(
                             self._arrays, jnp.asarray(s["pos"]), listener
+                        )
+                    elif self.intersector == "pallas":
+                        from ..ops.pallas_trace import trace_ir_pallas
+
+                        ir = trace_ir_pallas(
+                            self._arrays, jnp.asarray(s["pos"]), listener,
+                            cfg=cfg, n_rays=self.n_rays,
+                            max_bounces=self.max_bounces, fused_hist=True,
+                            src_directivity=s.get("directivity"),
+                            interpret=self._pallas_interpret,
                         )
                     else:
                         ir = trace_ir(

@@ -299,3 +299,33 @@ def test_stream_ir_fn_hybrid_matches_offline():
 
     with pytest.raises(ValueError, match="ir_fn"):
         IRStreamRenderer(scene, CFG, ir_fn=ir_fn, sh_order=2)
+
+
+def test_stream_pallas_intersector():
+    """intersector='pallas' streams through the fused kernel: static-pose
+    output matches the mt stream within the bf16 binner tolerance."""
+    scene = make_scene()
+    n = 1024
+    t = np.arange(n) / 44100
+    dry = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    pos = [1.5, 0.5, 1.0]
+    lst = [-1.0, 0.0, -1.0]
+    import dataclasses as _dc
+
+    cfg = _dc.replace(CFG, rays_per_source=1024)
+    a = IRStreamRenderer(scene, cfg)
+    a.add_source(dry, pos=pos, loop=False)
+    a.update(lst, yaw=0.4)
+    want = a.render(n)
+    b = IRStreamRenderer(scene, cfg, intersector="pallas",
+                         pallas_interpret=True)
+    b.add_source(dry, pos=pos, loop=False)
+    b.update(lst, yaw=0.4)
+    got = b.render(n)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)
+    # sh_order is kernel-unsupported
+    import pytest
+
+    with pytest.raises(ValueError, match="pallas"):
+        IRStreamRenderer(scene, cfg, intersector="pallas", sh_order=2)
