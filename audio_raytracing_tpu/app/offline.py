@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "supercardioid, figure8, speaker, voice), with an "
                          "optional emission axis — e.g. cardioid@0,0,-1")
     ap.add_argument("--seed", type=int, default=0, help="hybrid PRNG seed")
+    ap.add_argument("--tail", choices=("xla", "pallas"), default="xla",
+                    help="hybrid/full Monte-Carlo tail backend: 'pallas' "
+                         "runs it on the fused kernel (~4x faster on TPU; "
+                         "counter-hash RNG seeded by --seed)")
     ap.add_argument("--material", action="append", default=[],
                     metavar="NAME=PRESET",
                     help="map an OBJ usemtl name to an acoustic preset")
@@ -173,6 +177,7 @@ def main(argv=None) -> str:
                 n_rays=args.rays, max_bounces=args.bounces,
                 key=jax.random.PRNGKey(args.seed),
                 src_directivity=directivity,
+                tail_backend=args.tail, rng_seed=args.seed,
             )
         else:  # full: ISM early + MC tail + UTD edge diffraction
             from ..models.diffraction import (
@@ -192,6 +197,7 @@ def main(argv=None) -> str:
                     n_rays=args.rays, max_bounces=args.bounces,
                     key=jax.random.PRNGKey(args.seed),
                     src_directivity=directivity,
+                    tail_backend=args.tail, rng_seed=args.seed,
                 )
                 di = diffraction_ir_utd(arrays, wedges, pos, lst, cfg=cfg,
                                         src_directivity=directivity)
