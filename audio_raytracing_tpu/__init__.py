@@ -57,6 +57,9 @@ def __getattr__(name):
         "Directivity": ("models.directivity", "Directivity"),
         "DIRECTIVITY_PRESETS": ("models.directivity", "DIRECTIVITY_PRESETS"),
         "directivity_gain": ("models.directivity", "directivity_gain"),
+        "reverb_params_from_ir": ("engine.calibrate", "reverb_params_from_ir"),
+        "fdn_gain_for_t60": ("engine.calibrate", "fdn_gain_for_t60"),
+        "fdn_t60_of_gain": ("engine.calibrate", "fdn_t60_of_gain"),
         "extract_edges": ("models.diffraction", "extract_edges"),
         "extract_wedges": ("models.diffraction", "extract_wedges"),
         "rigid_transform_arrays": ("models.scene", "rigid_transform_arrays"),
@@ -79,5 +82,6 @@ __all__ = [
     "hybrid_ir", "diffraction_ir", "diffraction_ir_utd",
     "diffraction_ir_utd2", "extract_edges", "extract_wedges",
     "Directivity", "DIRECTIVITY_PRESETS", "directivity_gain",
+    "reverb_params_from_ir", "fdn_gain_for_t60", "fdn_t60_of_gain",
     "rigid_transform_arrays", "__version__",
 ]
