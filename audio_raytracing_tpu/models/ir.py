@@ -238,7 +238,7 @@ def direct_ir(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
         "intersector", "scatter", "scattering", "bih_leaf_cap",
         "material_scattering", "sh_order", "src_directivity",
-        "scattering_rng", "rng_seed",
+        "scattering_rng",
     ),
 )
 def trace_ir(
@@ -303,13 +303,22 @@ def trace_ir(
     not re-compile).
 
     scattering_rng: "threefry" (default; requires `key`) or "hash" —
-    the counter-based hash RNG (ops/hashrng.py) seeded by the static
-    rng_seed, whose draws are BIT-IDENTICAL to the fused Pallas kernel's
-    in-kernel sampling (same counter layout: ((ray * max_bounces +
-    bounce) * 3 + draw) offset by hash(seed)); `key` is then unused.
+    the counter-based hash RNG (ops/hashrng.py) seeded by rng_seed
+    (dynamic here: seed sweeps re-dispatch without recompiling), whose
+    draws are BIT-IDENTICAL to the fused Pallas kernel's in-kernel
+    sampling (same counter layout: ((ray * max_bounces + bounce) * 3 +
+    draw) offset by hash(seed)); `key` is then unused. Counters are
+    LOCAL ray indices — when sharding rays across devices, fold the
+    shard id into the seed (rng_seed + jax.lax.axis_index(...)) so
+    shards draw independent streams.
     """
     if src_axis is not None and src_directivity is None:
         raise ValueError("src_axis requires src_directivity")
+    if scattering_rng not in ("threefry", "hash"):
+        raise ValueError(
+            f'scattering_rng must be "threefry" or "hash", got '
+            f"{scattering_rng!r}"
+        )
     v0, v1, v2 = scene_arrays.v0, scene_arrays.v1, scene_arrays.v2
     normals, absorption = scene_arrays.normals, scene_arrays.absorption
 

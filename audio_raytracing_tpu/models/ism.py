@@ -521,10 +521,19 @@ def hybrid_ir(
     tail_backend="pallas" runs the Monte-Carlo tail on the fused kernel
     (~5-6x faster; requires n_rays % 1024 == 0 and a power-of-two
     specular exponent) using the counter-hash RNG seeded by the static
-    rng_seed — `key` is then unused. The default "xla" tail keeps the
-    threefry `key` semantics."""
+    rng_seed — passing a threefry `key` alongside it raises (vary
+    rng_seed, not keys, for ensemble averaging). The default "xla" tail
+    keeps the threefry `key` semantics."""
     from .ir import trace_ir
 
+    if tail_backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown tail_backend {tail_backend!r}")
+    if tail_backend == "pallas" and key is not None:
+        raise ValueError(
+            "tail_backend='pallas' uses the counter-hash RNG (rng_seed); "
+            "a threefry key would be silently ignored — vary rng_seed "
+            "instead of keys for ensemble averaging"
+        )
     early = image_source_ir(
         scene_arrays, source, listener, cfg=cfg, order=order,
         include_direct=True, src_directivity=src_directivity,
@@ -546,8 +555,8 @@ def hybrid_ir(
             scattering=scattering, material_scattering=material_scattering,
             key=key, src_directivity=src_directivity,
         )
-    else:
-        raise ValueError(f"unknown tail_backend {tail_backend!r}")
+    else:  # unreachable: validated above
+        raise AssertionError(tail_backend)
     if transition_bin is None:
         idx = jnp.arange(cfg.ir_n_bins)
         # threshold, not > 0: with transmissive materials, opaque-blocked

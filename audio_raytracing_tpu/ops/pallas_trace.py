@@ -706,6 +706,9 @@ def trace_contributions_pallas(
     counter-hash uniforms (ops/hashrng.py) that are bit-identical to
     trace_ir(scattering_rng="hash", rng_seed=...); material mode reads
     each surface's probability from the tri table's scattering column.
+    Counters are LOCAL ray indices (rng_seed is compile-time here): for
+    multi-shard tracing give each shard its own seed so streams are
+    independent.
 
     group_fori: loop triangle groups with lax.fori_loop (dynamic VMEM
     loads) instead of full unrolling — required for large scenes where
