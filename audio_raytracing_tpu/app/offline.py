@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="hybrid/full Monte-Carlo tail backend: 'pallas' "
                          "runs it on the fused kernel (~4x faster on TPU; "
                          "counter-hash RNG seeded by --seed)")
+    ap.add_argument("--tail-interpret", action="store_true",
+                    help=argparse.SUPPRESS)  # pallas interpret mode (CPU CI)
     ap.add_argument("--material", action="append", default=[],
                     metavar="NAME=PRESET",
                     help="map an OBJ usemtl name to an acoustic preset")
@@ -172,12 +174,16 @@ def main(argv=None) -> str:
                 src_directivity=directivity,
             )
         elif args.model == "hybrid":
+            # pallas tail uses the counter-hash RNG seeded by rng_seed; a
+            # threefry key alongside it raises (hybrid_ir's contract)
             ir_fn = lambda arrays, pos, lst: hybrid_ir(  # noqa: E731
                 arrays, pos, lst, cfg=cfg, order=args.ism_order,
                 n_rays=args.rays, max_bounces=args.bounces,
-                key=jax.random.PRNGKey(args.seed),
+                key=None if args.tail == "pallas"
+                else jax.random.PRNGKey(args.seed),
                 src_directivity=directivity,
                 tail_backend=args.tail, rng_seed=args.seed,
+                tail_interpret=args.tail_interpret,
             )
         else:  # full: ISM early + MC tail + UTD edge diffraction
             from ..models.diffraction import (
@@ -195,9 +201,11 @@ def main(argv=None) -> str:
                 hy = hybrid_ir(
                     arrays, pos, lst, cfg=cfg, order=args.ism_order,
                     n_rays=args.rays, max_bounces=args.bounces,
-                    key=jax.random.PRNGKey(args.seed),
+                    key=None if args.tail == "pallas"
+                    else jax.random.PRNGKey(args.seed),
                     src_directivity=directivity,
                     tail_backend=args.tail, rng_seed=args.seed,
+                    tail_interpret=args.tail_interpret,
                 )
                 di = diffraction_ir_utd(arrays, wedges, pos, lst, cfg=cfg,
                                         src_directivity=directivity)

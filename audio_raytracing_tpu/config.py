@@ -64,6 +64,15 @@ class Config:
     air_humidity_pct: float = 50.0
     air_pressure_kpa: float = 101.325
 
+    # --- diffraction band frequencies (models/diffraction.py) ---
+    # "pseudo" evaluates wedge/knife-edge wavenumbers at the reference's
+    # pseudo-frequency EQ constants (4/64/1024/16384 — NOT Hz; band 0's
+    # kL then sits at 4 Hz, lambda ~ 87 m, far from the band's real
+    # ~64 Hz center) for continuity with the EQ/air parity surface;
+    # "physical" uses AIR_BAND_HZ (64/313.5/1881/9216 Hz), the measured
+    # LR2 band centers, which is what the UTD coefficient physics wants.
+    diffraction_band_model: str = "pseudo"
+
     # --- reverb environment coupling (reference: main.zig:785-786) ---
     reverb_coupling_scale: float = 0.5
     reverb_coupling_rate: float = 100.0

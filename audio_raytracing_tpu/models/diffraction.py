@@ -161,6 +161,26 @@ def _leg_clear(scene_arrays, a, b, eps=1e-3):
     return (~hit) | (t_hit >= length * (1.0 - 2.0 * eps))
 
 
+def _band_freqs(cfg):
+    """Band frequencies for diffraction wavenumbers/wavelengths, per
+    cfg.diffraction_band_model: "pseudo" keeps the reference's EQ
+    pseudo-frequency constants (continuity with the pre-UTD Kurze-Anderson
+    behavior and the EQ/air parity surface), "physical" uses the measured
+    LR2 band centers AIR_BAND_HZ — the physically meaningful choice for
+    the UTD wedge coefficient (r1 ADVICE: band 0 at 4 Hz puts lambda at
+    ~87 m, far off the band's real ~64 Hz center)."""
+    if cfg.diffraction_band_model == "physical":
+        from .ir import AIR_BAND_HZ
+
+        return np.asarray(AIR_BAND_HZ, np.float32)
+    if cfg.diffraction_band_model != "pseudo":
+        raise ValueError(
+            f"diffraction_band_model must be 'pseudo' or 'physical', got "
+            f"{cfg.diffraction_band_model!r}"
+        )
+    return EQ_FREQS
+
+
 def kurze_anderson_db(fresnel_n):
     """Insertion loss in dB for Fresnel number N > ~0 (Kurze & Anderson
     1971); clamped to >= 0 and evaluated smoothly near N = 0."""
@@ -211,7 +231,7 @@ def diffraction_ir(
     )
     valid = direct_blocked & legs & (delta > 1e-6) & interior
 
-    lam = cfg.speed_of_sound / EQ_FREQS  # (4,) band wavelengths
+    lam = cfg.speed_of_sound / _band_freqs(cfg)  # (4,) band wavelengths
     fresnel = 2.0 * delta[:, None] / lam[None, :]
     gain = 10.0 ** (-kurze_anderson_db(fresnel) / 20.0)
     if src_directivity is not None:
@@ -506,7 +526,7 @@ def diffraction_ir_utd(
     # wedge-frame angles at the apex
     w = edges[:, 1] - edges[:, 0]
     w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
-    k = 2.0 * jnp.pi * EQ_FREQS / cfg.speed_of_sound  # (4,)
+    k = 2.0 * jnp.pi * _band_freqs(cfg) / cfg.speed_of_sound  # (4,)
     keep = jnp.sqrt(jnp.clip(1.0 - scene_arrays.absorption, 0.0, 1.0))  # (T, 4)
     r_o = keep[jnp.asarray(wedges.face_o)]
     r_n = keep[jnp.asarray(wedges.face_n)]
@@ -635,7 +655,7 @@ def diffraction_ir_utd2(
         & (i != j) & (s2 > 1e-4) & (delta > 1e-6)
     )
 
-    k = 2.0 * jnp.pi * EQ_FREQS / cfg.speed_of_sound  # (4,)
+    k = 2.0 * jnp.pi * _band_freqs(cfg) / cfg.speed_of_sound  # (4,)
     keep = jnp.sqrt(jnp.clip(1.0 - scene_arrays.absorption, 0.0, 1.0))
     xh = jnp.asarray(wedges.xhat)
     yh = jnp.asarray(wedges.yhat)

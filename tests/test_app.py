@@ -161,6 +161,39 @@ def test_offline_cli_models(tmp_path):
             assert audio.shape[1] == 2
 
 
+def test_offline_cli_pallas_tail(tmp_path):
+    """--tail pallas must not pass a threefry key into hybrid_ir (r1
+    ADVICE: the CLI passed key=PRNGKey alongside tail_backend='pallas',
+    which hybrid_ir rejects — every such invocation died). Runs the fused
+    kernel in interpret mode on the CPU suite via the hidden
+    --tail-interpret flag."""
+    import numpy as np
+    from pathlib import Path
+
+    from audio_raytracing_tpu.app.offline import main as offline_main
+    from audio_raytracing_tpu.utils.wav import read_wav, write_wav
+
+    dry = (0.3 * np.sin(2 * np.pi * 440 * np.arange(2000) / 44100)).astype(
+        np.float32
+    )
+    src_wav = tmp_path / "dry.wav"
+    write_wav(src_wav, dry, 44100)
+    out = tmp_path / "out_pallas_tail.wav"
+    msg = offline_main([
+        str(Path(__file__).resolve().parent.parent / "data" / "world.obj"),
+        str(out),
+        "--source", str(src_wav), "2,0.5,1",
+        "--listener", "0,0,0",
+        "--rays", "1024", "--bounces", "2", "--ir-length", "2048",
+        "--model", "hybrid", "--ism-order", "1",
+        "--tail", "pallas", "--tail-interpret",
+    ])
+    assert "wrote" in msg
+    audio, rate = read_wav(out)
+    assert rate == 44100 and np.isfinite(audio).all()
+    assert np.abs(audio).max() > 0 and audio.shape[1] == 2
+
+
 def test_golden_offline_cli(tmp_path):
     """Golden WAVs for the offline CLI, one per acoustic model family
     (trace / ism / hybrid): the full CLI surface — arg plumbing, model

@@ -386,3 +386,62 @@ def test_utd2_strip_double_diffraction_below_first_order():
     onset1 = int(np.argmax(np.asarray(ir1.energy).sum(axis=0) > 0))
     onset2 = int(np.argmax(np.asarray(ir2.energy).sum(axis=0) > 0))
     assert onset2 > onset1
+
+
+def test_physical_band_model():
+    """cfg.diffraction_band_model="physical" evaluates wavenumbers at
+    AIR_BAND_HZ (real LR2 band centers) instead of the reference's
+    pseudo-frequency EQ constants: band 0 moves 4 Hz -> 64 Hz, bands 1-3
+    move too, so the spectra differ while staying finite, gated, and
+    reciprocal (r1 ADVICE low)."""
+    import pytest
+
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd, extract_wedges)
+
+    tris = screen()
+    scene = Scene.from_triangles(tris, CFG)
+    W = extract_wedges(tris)
+    src = jnp.asarray([2.0, 0.0, 0.0])
+    lst = jnp.asarray([-2.0, 0.0, 0.0])
+    cfg_phys = dataclasses.replace(CFG, diffraction_band_model="physical")
+
+    e_pseudo = np.asarray(
+        diffraction_ir_utd(scene.device_arrays(), W, src, lst, cfg=CFG).energy
+    )
+    e_phys = np.asarray(
+        diffraction_ir_utd(
+            scene.device_arrays(), W, src, lst, cfg=cfg_phys
+        ).energy
+    )
+    assert np.isfinite(e_phys).all() and float(e_phys.sum()) > 0
+    # every band's wavenumber moved, so every band's energy moves
+    for b in range(4):
+        assert not np.allclose(e_pseudo[b], e_phys[b]), b
+
+    # reciprocity holds under the physical model too
+    e_rev = np.asarray(
+        diffraction_ir_utd(
+            scene.device_arrays(), W, lst, src, cfg=cfg_phys
+        ).energy
+    )
+    np.testing.assert_allclose(e_phys, e_rev, rtol=1e-4, atol=1e-10)
+
+    # knife-edge Kurze-Anderson rides the same flag
+    edges = extract_edges(tris)
+    ka_pseudo = np.asarray(
+        diffraction_ir(scene.device_arrays(), edges, src, lst, cfg=CFG).energy
+    )
+    ka_phys = np.asarray(
+        diffraction_ir(
+            scene.device_arrays(), edges, src, lst, cfg=cfg_phys
+        ).energy
+    )
+    assert np.isfinite(ka_phys).all() and float(ka_phys.sum()) > 0
+    assert not np.allclose(ka_pseudo, ka_phys)
+
+    with pytest.raises(ValueError, match="diffraction_band_model"):
+        diffraction_ir_utd(
+            scene.device_arrays(), W, src, lst,
+            cfg=dataclasses.replace(CFG, diffraction_band_model="nope"),
+        )
