@@ -308,9 +308,11 @@ def trace_ir(
     draws are BIT-IDENTICAL to the fused Pallas kernel's in-kernel
     sampling (same counter layout: ((ray * max_bounces + bounce) * 3 +
     draw) offset by hash(seed)); `key` is then unused. Counters are
-    LOCAL ray indices — when sharding rays across devices, fold the
-    shard id into the seed (rng_seed + jax.lax.axis_index(...)) so
-    shards draw independent streams.
+    LOCAL ray indices — when sharding rays across devices, shards must
+    draw from distinct seeds. parallel/sharding.trace_ir_sharded does
+    this automatically (rng_seed * n_shards + axis_index, or
+    jax.random.fold_in for threefry); only hand-rolled shard_maps need
+    to fold the shard id in themselves.
     """
     if src_axis is not None and src_directivity is None:
         raise ValueError("src_axis requires src_directivity")

@@ -30,12 +30,12 @@ from ..models.ir import ImpulseResponse, direct_ir, fibonacci_sphere, trace_ir
 
 def _bounces_plus_leader_direct(scene_local, src, listener, dirs_local, cfg,
                                 max_bounces, total_rays,
-                                src_directivity=None):
+                                src_directivity=None, **stochastic):
     lead = (jax.lax.axis_index("rays") == 0).astype(jnp.float32)
     ir = trace_ir(
         scene_local, src, listener, cfg=cfg, max_bounces=max_bounces,
         dirs=dirs_local, total_rays=total_rays, include_direct=False,
-        src_directivity=src_directivity,
+        src_directivity=src_directivity, **stochastic,
     )
     d = direct_ir(scene_local, src, listener, cfg=cfg,
                   src_directivity=src_directivity)
@@ -54,22 +54,53 @@ def trace_ir_sharded(
     n_rays: int | None = None,
     max_bounces: int | None = None,
     src_directivity=None,
+    scattering: float = 0.0,
+    material_scattering: bool = False,
+    scattering_rng: str = "threefry",
+    rng_seed: int = 0,
+    key=None,
 ) -> ImpulseResponse:
     """Single-source trace with rays sharded over mesh axis "rays".
 
     src_directivity (models/directivity.py): the source's radiation
     pattern — a static, so every shard traces with the same weighting and
     no extra communication is needed. Scene transmission tables ride the
-    replicated scene pytree the same way."""
+    replicated scene pytree the same way.
+
+    Stochastic scattering decorrelates across shards AUTOMATICALLY
+    (VERDICT r1 item 6 — the counter-hash RNG's counters are LOCAL ray
+    indices, so identical seeds on every shard would trace n_shards
+    copies of the same random streams): the hash path folds the shard
+    index into the seed as `rng_seed * n_shards + axis_index("rays")`
+    (bijective over (seed, shard) — ensemble seed sweeps never collide
+    across shards), and the threefry path folds it into the key via
+    `jax.random.fold_in`. Shard i's stream equals a single-device
+    trace of that shard's dirs slice with seed
+    `rng_seed * n_shards + i` (tested in test_sharding.py)."""
     n_rays = n_rays or cfg.rays_per_source
     n_shards = mesh.shape["rays"]
     assert n_rays % n_shards == 0, (n_rays, n_shards)
     dirs = jnp.asarray(fibonacci_sphere(n_rays))
+    stochastic_on = scattering > 0.0 or material_scattering
 
     def shard_fn(dirs_local, source, listener, scene_local):
+        stoch = {}
+        if stochastic_on:
+            idx = jax.lax.axis_index("rays")
+            stoch = dict(
+                scattering=scattering,
+                material_scattering=material_scattering,
+                scattering_rng=scattering_rng,
+            )
+            if scattering_rng == "hash":
+                stoch["rng_seed"] = (
+                    jnp.asarray(rng_seed, jnp.int32) * n_shards + idx
+                )
+            else:
+                stoch["key"] = jax.random.fold_in(key, idx)
         ir = _bounces_plus_leader_direct(
             scene_local, source, listener, dirs_local, cfg, max_bounces,
-            n_rays, src_directivity,
+            n_rays, src_directivity, **stoch,
         )
         return ImpulseResponse(
             energy=jax.lax.psum(ir.energy, "rays"),
