@@ -238,3 +238,78 @@ class RealtimeEngine:
     def __exit__(self, *exc):
         self.stop()
         return False
+
+
+def run_deadline_harness(
+    engine: RealtimeEngine,
+    duration_s: float,
+    chunk_blocks: int = 16,
+    lead_blocks: int = 32,
+    block_cost_s: float | None = None,
+):
+    """Hard-real-time accounting for the audio loop (VERDICT r1 item 5):
+    render `duration_s` of audio in `chunk_blocks`-block chunks against a
+    simulated audio device consuming one 128-sample block every ~2.9 ms
+    (cfg.block_size / sample_rate — the reference's pull-callback deadline,
+    sound_system.zig:123-172), while the engine's tracing thread lands
+    acoustic updates asynchronously through the mailbox.
+
+    The renderer may run at most `lead_blocks` blocks ahead of the
+    consumer (the ring-buffer lead every real audio stack has; the
+    reference's SDL stream plays the same role). Block i misses its
+    deadline when its render completes after the consumer needed it.
+
+    block_cost_s: per-block render cost charged on the VIRTUAL clock.
+    None = measured wall time of each chunk (realistic on the TPU, where
+    the amortized block cost beats the deadline; through the relay, chunk
+    batching is what amortizes the ~25 ms dispatch). Tests on the CPU
+    suite (which renders ~6x slower than real time) charge the committed
+    TPU device-time budget instead (benchmarks/budgets.json
+    engine_16blocks, enforced on hardware by tools/profile_trace.py
+    --assert-budgets), so the schedule math, mailbox handoff, and update
+    adoption run for real while the cost model is the measured chip time.
+
+    Returns {"blocks", "deadline_misses", "worst_slack_ms",
+    "updates_done", "audio"}.
+    """
+    cfg = engine.cfg
+    period = cfg.block_size / cfg.sample_rate
+    n_blocks = int(np.ceil(duration_s / period))
+    finish = 0.0  # virtual completion time of the last rendered block
+    origin = None  # playback start: when the priming chunk is ready
+    misses = 0
+    worst_slack = np.inf
+    outs = []
+    b = 0
+    while b < n_blocks:
+        k = min(chunk_blocks, n_blocks - b)
+        t0 = time.perf_counter()
+        outs.append(engine.render(k * cfg.block_size))
+        wall = time.perf_counter() - t0
+        cost = wall if block_cost_s is None else block_cost_s * k
+        if origin is None:
+            # the first chunk primes the ring; playback starts when it's
+            # ready (that's startup latency, not an underrun)
+            finish = cost
+            origin = finish
+        else:
+            # ring space: block j can't be rendered before the consumer
+            # is within lead_blocks of it
+            start = max(finish, origin + (b + k - lead_blocks) * period)
+            finish = start + cost
+        # the device pulls block j at origin + j * period; it must be
+        # complete by then
+        for j in range(b, b + k):
+            slack = origin + j * period - finish
+            if j >= chunk_blocks:  # primed blocks carry no deadline
+                worst_slack = min(worst_slack, slack)
+                if slack < 0:
+                    misses += 1
+        b += k
+    return {
+        "blocks": n_blocks,
+        "deadline_misses": misses,
+        "worst_slack_ms": float(worst_slack * 1e3),
+        "updates_done": engine.updates_done,
+        "audio": np.concatenate(outs) if outs else np.zeros((0, 2), np.float32),
+    }

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Big-scene scaling benchmark (separate from the driver-tracked bench.py
-to keep its compile budget small): 3072-triangle subdivided room, traced
-by BOTH the fused Pallas kernel (group_fori large-scene mode) and the XLA
-MXU path; the faster one is the headline. Prints one JSON line."""
+to keep its compile budget small): subdivided rooms at 3k and 49k
+triangles, traced by the fused Pallas kernel (group_fori large-scene mode,
+supergroup culling on AND off), the XLA MXU path, and — at the large size
+— the BIH traversal path (ops/traverse.py, sub-linear broad phase).
+Prints one JSON line; headline = the fastest path on the largest scene.
+"""
 
 import dataclasses
 import json
@@ -13,6 +16,17 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _med(step, n=5):
+    step(0)
+    step(1)
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        step(i + 2)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def main():
@@ -28,50 +42,74 @@ def main():
     from audio_raytracing_tpu.ops.pallas_trace import trace_ir_pallas
 
     cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=32768)
-    scene = Scene.from_triangles(box_room_subdivided(size=(10.0, 4.0, 8.0), k=16), cfg)
-    arrays = scene.device_arrays()
     rays = 1 << 15
+    bounces = 4
     dirs = jnp.asarray(fibonacci_sphere(rays))
     dirs_sorted = jnp.asarray(fibonacci_sphere_sorted(rays))
     lst = jnp.asarray([-1.0, 0.0, -0.5])
     srcs = [jnp.asarray([1.0 + 0.001 * i, 0.3, 0.5]) for i in range(8)]
 
-    def xla_step(i):
-        ir = trace_ir(arrays, srcs[i % 8], lst, cfg=cfg, max_bounces=4,
-                      dirs=dirs, intersector="mxu", scatter="matmul")
-        float(jnp.sum(ir.energy))
+    sizes = {}
+    for k in (16, 64):
+        scene = Scene.from_triangles(
+            box_room_subdivided(size=(10.0, 4.0, 8.0), k=k), cfg
+        )
+        arrays = scene.device_arrays()
+        T = int(arrays.v0.shape[0])
+        row = {"triangles": int(scene.n_triangles), "padded": T}
 
-    def pallas_step(i):
-        # group_fori large-scene mode engages automatically (> 32 groups)
-        ir = trace_ir_pallas(arrays, srcs[i % 8], lst, cfg=cfg, max_bounces=4,
-                             dirs=dirs_sorted, fused_hist=True, flat_bands=True)
-        float(jnp.sum(ir.energy))
+        def xla_step(i):
+            ir = trace_ir(arrays, srcs[i % 8], lst, cfg=cfg,
+                          max_bounces=bounces, dirs=dirs,
+                          intersector="mxu", scatter="matmul")
+            float(jnp.sum(ir.energy))
 
-    def med(step):
-        step(0)
-        step(1)
-        ts = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            step(i + 2)
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        row["xla_ms"] = _med(xla_step) * 1e3
 
-    t_xla = med(xla_step)
-    try:
-        t_pallas = med(pallas_step)
-    except Exception:
-        t_pallas = float("inf")
-    t = min(t_xla, t_pallas)
+        for sg in (False, True):
+            def pallas_step(i, sg=sg):
+                ir = trace_ir_pallas(
+                    arrays, srcs[i % 8], lst, cfg=cfg, max_bounces=bounces,
+                    dirs=dirs_sorted, fused_hist=True, flat_bands=True,
+                    sg_cull=sg,
+                )
+                float(jnp.sum(ir.energy))
+
+            try:
+                row["pallas_sgcull_ms" if sg else "pallas_ms"] = (
+                    _med(pallas_step) * 1e3
+                )
+            except Exception as e:  # keep the other paths' numbers
+                row["pallas_sgcull_err" if sg else "pallas_err"] = repr(e)[:200]
+
+        if k == 64:
+            # the BIH traversal path (never benchmarked in r1): sub-linear
+            # per-ray work, divergent while_loop control flow — measured
+            # here so the large-scene story rests on numbers, not vibes
+            def bih_step(i):
+                ir = trace_ir(arrays, srcs[i % 8], lst, cfg=cfg,
+                              max_bounces=bounces, dirs=dirs,
+                              intersector="bih")
+                float(jnp.sum(ir.energy))
+
+            try:
+                row["bih_ms"] = _med(bih_step, n=3) * 1e3
+            except Exception as e:
+                row["bih_err"] = repr(e)[:200]
+
+        best = min(
+            v for key, v in row.items() if key.endswith("_ms")
+        )
+        row["trace_ms"] = best
+        row["tests_per_sec"] = rays * bounces * T * 2 / (best / 1e3)
+        sizes[f"k{k}"] = row
+
+    big = sizes["k64"]
     print(json.dumps({
         "metric": "bigscene_ray_triangle_tests_per_sec",
-        "value": rays * 4 * arrays.v0.shape[0] * 2 / t,
+        "value": big["tests_per_sec"],
         "unit": "tests/s",
-        "extra": {"triangles": int(scene.n_triangles), "trace_ms": t * 1e3,
-                  "rays": rays, "bounces": 4,
-                  "path": "pallas_fori" if t_pallas < t_xla else "xla_mxu",
-                  "xla_ms": t_xla * 1e3,
-                  "pallas_ms": None if t_pallas == float("inf") else t_pallas * 1e3},
+        "extra": {"rays": rays, "bounces": bounces, **sizes},
     }))
 
 

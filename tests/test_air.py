@@ -89,6 +89,7 @@ def test_iso_trace_backends_agree(intersector):
 
 
 @pytest.mark.parametrize("mode", ["fused", "flat"])
+@pytest.mark.slow
 def test_iso_pallas_matches_xla(mode):
     from audio_raytracing_tpu.ops.pallas_trace import trace_ir_pallas
 

@@ -4,6 +4,7 @@ offline renderers."""
 import math
 
 import numpy as np
+import pytest
 
 from audio_raytracing_tpu.app.camera import Camera
 from audio_raytracing_tpu.app.input import GameInput, Input
@@ -161,6 +162,7 @@ def test_offline_cli_models(tmp_path):
             assert audio.shape[1] == 2
 
 
+@pytest.mark.slow
 def test_offline_cli_pallas_tail(tmp_path):
     """--tail pallas must not pass a threefry key into hybrid_ir (r1
     ADVICE: the CLI passed key=PRNGKey alongside tail_backend='pallas',
@@ -194,6 +196,7 @@ def test_offline_cli_pallas_tail(tmp_path):
     assert np.abs(audio).max() > 0 and audio.shape[1] == 2
 
 
+@pytest.mark.slow
 def test_golden_offline_cli(tmp_path):
     """Golden WAVs for the offline CLI, one per acoustic model family
     (trace / ism / hybrid): the full CLI surface — arg plumbing, model

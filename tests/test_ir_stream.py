@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from audio_raytracing_tpu.config import DEFAULT_CONFIG
 from audio_raytracing_tpu.engine.ir_stream import IRStreamRenderer
@@ -301,6 +302,7 @@ def test_stream_ir_fn_hybrid_matches_offline():
         IRStreamRenderer(scene, CFG, ir_fn=ir_fn, sh_order=2)
 
 
+@pytest.mark.slow
 def test_stream_pallas_intersector():
     """intersector='pallas' streams through the fused kernel: static-pose
     output matches the mt stream within the bf16 binner tolerance."""

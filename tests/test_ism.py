@@ -4,6 +4,7 @@ alignment with the Monte-Carlo specular tracer."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -288,6 +289,7 @@ def test_order4_corridor_analytic():
         np.testing.assert_allclose(extra[:, b], e, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_order4_padding_invariance():
     """The chunked T^4 enumeration gives identical physics at different
     paddings (degenerate padding rows self-mask)."""
@@ -310,6 +312,7 @@ def test_order4_padding_invariance():
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_hybrid_pallas_tail():
     """tail_backend='pallas' runs the Monte-Carlo tail on the fused
     kernel: for a purely specular tail it matches the xla backend up to

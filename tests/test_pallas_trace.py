@@ -25,6 +25,7 @@ def scene():
     )
 
 
+@pytest.mark.slow
 def test_pallas_matches_xla_tracer(scene):
     src = jnp.asarray([1.0, 0.5, 0.5])
     lst = jnp.asarray([-1.0, -0.5, -1.0])
@@ -64,6 +65,7 @@ def test_pallas_banded_absorption(scene):
     assert e[0] > e[1] > e[2] > e[3] > 0
 
 
+@pytest.mark.slow
 def test_pallas_fused_hist_matches_emit(scene):
     """In-kernel MXU binning vs external exact scatter (bf16 bound ~1%)."""
     src = jnp.asarray([1.0, 0.5, 0.5])
@@ -82,6 +84,7 @@ def test_pallas_fused_hist_matches_emit(scene):
     )
 
 
+@pytest.mark.slow
 def test_pallas_flat_bands_matches_full(scene):
     """flat_bands payload-4 fast path vs the full 7-channel fused path on a
     band-uniform scene (exact up to bf16 binning noise + the half-bin air
@@ -109,6 +112,7 @@ def test_pallas_flat_bands_matches_full(scene):
     )
 
 
+@pytest.mark.slow
 def test_pallas_long_hist_fused_matches_emit(scene):
     """ir_length 8192 (64 coarse rows): the in-kernel accumulate must agree
     with the exact external scatter at larger histogram heights too."""
@@ -129,6 +133,7 @@ def test_pallas_long_hist_fused_matches_emit(scene):
     )
 
 
+@pytest.mark.slow
 def test_pallas_group_fori_matches_unrolled(scene):
     """Large-scene fori-loop group iteration (forced on a small scene) is
     numerically identical to the unrolled loop."""
@@ -146,6 +151,7 @@ def test_pallas_group_fori_matches_unrolled(scene):
     )
 
 
+@pytest.mark.slow
 def test_pallas_group_fori_large_scene_vs_xla():
     """Auto-engaged fori mode on a 768-triangle scene vs the XLA tracer."""
     from audio_raytracing_tpu.models.scene import box_room_subdivided
@@ -162,6 +168,7 @@ def test_pallas_group_fori_large_scene_vs_xla():
     assert np.abs(e - ex).sum() / np.abs(ex).sum() < 2e-3
 
 
+@pytest.mark.slow
 def test_multi_listener_scan(scene):
     from audio_raytracing_tpu.ops.pallas_trace import (
         trace_irs_pallas_multi_listener,
@@ -186,6 +193,7 @@ def test_multi_listener_scan(scene):
         )
 
 
+@pytest.mark.slow
 def test_pallas_mxu_xform_parity(scene):
     """The (off-by-default, measured-slower) MXU transform offload must
     stay numerically equivalent."""
@@ -258,6 +266,7 @@ def _transmissive_scene(tau):
 
 
 @pytest.mark.parametrize("mode", ["emit", "fused", "flat"])
+@pytest.mark.slow
 def test_pallas_transmission_matches_xla(mode):
     """The in-kernel crossing log-amplitude shadow law reproduces
     models/ir.trace_ir's transmission results (flat mode: band-uniform
@@ -286,6 +295,7 @@ def test_pallas_transmission_matches_xla(mode):
 
 
 @pytest.mark.parametrize("mode", ["emit", "fused", "flat"])
+@pytest.mark.slow
 def test_pallas_directivity_matches_xla(mode):
     """Per-ray initial-amplitude inputs (source directivity) on the fused
     kernel reproduce trace_ir — flat mode with a band-uniform pattern."""
@@ -331,6 +341,7 @@ def test_pallas_directivity_matches_xla(mode):
             )
 
 
+@pytest.mark.slow
 def test_multi_source_directional_scan(scene):
     """trace_irs_pallas_multi with a shared pattern and per-source axes
     (dynamic) matches per-source trace_ir — 8 differently aimed speakers
@@ -393,6 +404,7 @@ def test_misuse_guards(scene):
         )
 
 
+@pytest.mark.slow
 def test_pallas_scattering_matches_xla_hash(scene):
     """In-kernel stochastic scattering draws the SAME counter-hash
     uniforms as trace_ir(scattering_rng='hash'): constant-probability
@@ -425,6 +437,7 @@ def test_pallas_scattering_matches_xla_hash(scene):
     np.testing.assert_array_equal(np.asarray(b3.energy), db)
 
 
+@pytest.mark.slow
 def test_pallas_material_scattering_matches_xla_hash():
     """Per-surface probabilities ride the tri table's scattering column;
     marginal u<prob flips from the attr-fetch rounding keep this a
@@ -450,23 +463,47 @@ def test_pallas_material_scattering_matches_xla_hash():
     assert np.abs(da - db).sum() / da.sum() < 1e-3
 
 
-def test_pallas_scattering_fused_hist(scene):
+@pytest.mark.slow
+def test_pallas_scattering_fused_hist():
     """Scattering composes with in-kernel binning (fused path vs external
-    scatter on identical sampling). max_bounces=2 keeps this — the
-    suite's largest interpret compile — inside the CPU compiler's
-    comfort zone (see the cache note above)."""
-    import jax
+    scatter on identical sampling), at FULL 4-bounce depth in a fresh
+    subprocess. Runs the suite's largest interpret compile isolated from
+    ~an hour of accumulated jit caches — the r1 workaround (commit
+    9db95a1) narrowed this to 2 bounces in-process to dodge an XLA CPU
+    compiler segfault under that memory pressure; the subprocess restores
+    full depth without the segfault risk (VERDICT r1 item 7)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
 
-    jax.clear_caches()
-    src = jnp.asarray([1.0, 0.5, 0.5])
-    lst = jnp.asarray([-1.0, -0.5, -1.0])
-    dirs = jnp.asarray(fibonacci_sphere(1024))
-    a = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
-                        max_bounces=2, dirs=dirs, interpret=True,
-                        scattering=0.5, rng_seed=3)
-    b = trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
-                        max_bounces=2, dirs=dirs, interpret=True,
-                        fused_hist=True, scattering=0.5, rng_seed=3)
-    np.testing.assert_allclose(
-        float(b.energy.sum()), float(a.energy.sum()), rtol=2e-3
+    script = """
+import numpy as np, jax.numpy as jnp, dataclasses
+from audio_raytracing_tpu.config import DEFAULT_CONFIG
+from audio_raytracing_tpu.models.ir import fibonacci_sphere
+from audio_raytracing_tpu.models.scene import Scene, box_room
+from audio_raytracing_tpu.ops.pallas_trace import trace_ir_pallas
+
+CFG = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+sc = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), CFG,
+                          absorption=np.full(12, 0.2, np.float32))
+src = jnp.asarray([1.0, 0.5, 0.5])
+lst = jnp.asarray([-1.0, -0.5, -1.0])
+dirs = jnp.asarray(fibonacci_sphere(1024))
+a = trace_ir_pallas(sc.device_arrays(), src, lst, cfg=CFG, max_bounces=4,
+                    dirs=dirs, interpret=True, scattering=0.5, rng_seed=3)
+b = trace_ir_pallas(sc.device_arrays(), src, lst, cfg=CFG, max_bounces=4,
+                    dirs=dirs, interpret=True, fused_hist=True,
+                    scattering=0.5, rng_seed=3)
+np.testing.assert_allclose(float(b.energy.sum()), float(a.energy.sum()),
+                           rtol=2e-3)
+print("FUSED_HIST_FULL_DEPTH_OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, timeout=1500, cwd=Path(__file__).resolve().parent.parent,
+    )
+    assert r.returncode == 0 and "FUSED_HIST_FULL_DEPTH_OK" in r.stdout, (
+        r.stdout[-1000:] + r.stderr[-3000:]
     )

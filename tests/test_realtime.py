@@ -4,6 +4,7 @@ import dataclasses
 import threading
 
 import numpy as np
+import pytest
 
 from audio_raytracing_tpu import native
 from audio_raytracing_tpu.config import DEFAULT_CONFIG
@@ -27,6 +28,7 @@ def test_mailbox_semantics():
     m.close()
 
 
+@pytest.mark.slow
 def test_mailbox_no_torn_reads_under_concurrency():
     """Writer hammers blocks where every element equals the block id; the
     reader must never observe a mixed (torn) block."""
@@ -93,3 +95,57 @@ def test_realtime_engine_decoupled_updates():
     assert eng.updates_done >= 3  # the update thread really ran
     # parameters actually crossed the mailbox: wet/feedback set by tracing
     assert float(np.asarray(eng.system.params.wet)[0]) > 0.0
+
+
+@pytest.mark.slow
+def test_deadline_harness_8_voices_30s():
+    """Hard-real-time accounting (VERDICT r1 item 5): 30+ s of 8-voice
+    audio on the simulated 2.9 ms/block deadline clock, acoustic updates
+    landing asynchronously from the tracing thread — ZERO deadline misses
+    when blocks cost the committed TPU device-time budget
+    (benchmarks/budgets.json engine_16blocks, enforced on hardware by the
+    profile budget gate). The CPU suite renders ~6x slower than real
+    time, so the virtual clock charges the budget while every other part
+    of the loop (scheduling, mailbox handoff, param adoption, voice
+    lifetimes) runs for real."""
+    import json
+    from pathlib import Path
+
+    from audio_raytracing_tpu.engine.realtime import run_deadline_harness
+
+    budgets = json.loads(
+        (Path(__file__).resolve().parent.parent / "benchmarks" /
+         "budgets.json").read_text()
+    )
+    block_cost_s = budgets["engine_16blocks"] / 16.0 * 1e-3
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, ir_length=2048, rays_per_source=256, max_voices=8
+    )
+    assert block_cost_s < cfg.block_size / cfg.sample_rate, (
+        "budgets.json engine_16blocks no longer beats the 2.9 ms block "
+        "deadline — the real-time claim is dead; fix the engine, don't "
+        "raise the budget"
+    )
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 3.0, 6.0)), cfg,
+        absorption=np.full(12, 0.3, np.float32),
+    )
+    eng = RealtimeEngine(scene, cfg, updates_per_second=10.0)
+    rng = np.random.default_rng(1)
+    tone = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+    sid = eng.system.load_sound(tone)
+    for i in range(8):
+        eng.play_sound(sid, pos=rng.uniform(-2.5, 2.5, 3), gain=0.25,
+                       repeat=True)
+    eng.set_listener([0.0, 0.0, 0.0], yaw=0.1)
+    with eng:
+        stats = run_deadline_harness(
+            eng, duration_s=31.0, chunk_blocks=16, lead_blocks=32,
+            block_cost_s=block_cost_s,
+        )
+    assert stats["blocks"] >= 30.0 * 44100 / 128
+    assert stats["deadline_misses"] == 0, stats
+    assert stats["worst_slack_ms"] > 0, stats
+    assert stats["updates_done"] >= 1  # tracing thread landed updates
+    audio = stats["audio"]
+    assert np.isfinite(audio).all() and np.abs(audio).max() > 0

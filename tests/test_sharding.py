@@ -82,6 +82,7 @@ def test_output_sharding_layout(scene):
     assert len(shard_devs) == 8
 
 
+@pytest.mark.slow
 def test_sharded_partitioned_conv_matches_unsharded(rng):
     """Delay-axis sharded streaming convolution == the single-device
     convolver (one ppermute + one psum per block)."""
@@ -212,6 +213,7 @@ def test_dryrun_golden_energy_sum(world_obj_path):
     np.testing.assert_allclose(got, 4.8755493, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_stochastic_shard_seed_decorrelation(scene):
     """Sharded stochastic tracing folds the shard index into the RNG
     seed INSIDE trace_ir_sharded (VERDICT r1 item 6) — with identical

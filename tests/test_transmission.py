@@ -281,6 +281,7 @@ def test_ism_opaque_parity_with_hard_block():
     np.testing.assert_allclose(e_soft, e_hard, rtol=1e-5, atol=1e-20)
 
 
+@pytest.mark.slow
 def test_hybrid_transition_ignores_phantom_arrivals():
     """hybrid_ir's auto transition must not treat the ~1e-30-amplitude
     residue of an opaque-blocked image path as the last ISM arrival: with

@@ -65,8 +65,13 @@ def _grid_call(kernel, grid):
     )
 
 
-def bench_fma(k_iters=2048, chains=8, grids=(512, 2048)):
-    """Peak FMA ops/s: `chains` independent x*c1+c2 chains, unroll 8."""
+def bench_fma(k_iters=2048, chains=32, grids=(512, 2048)):
+    """Peak FMA ops/s: `chains` independent x*c1+c2 chains.
+
+    Measured chain sweep on the v5e (2026-08-17): 8 -> 0.89e12, 16 ->
+    1.24e12, 24 -> 1.56e12, 32 -> 1.58e12 (peak), 40 -> 1.21e12, 64 ->
+    0.89e12 (register spill) — the VPU needs ~32 independent chains in
+    flight to saturate its issue slots."""
 
     def kernel(x_ref, o_ref):
         a = [x_ref[...] * (1.0 + 0.01 * i) for i in range(chains)]
@@ -141,7 +146,10 @@ def bench_isect(n_groups=16, reps=16, grids=(16, 64)):
             # sharing the same 8 vectors across rows lets Mosaic CSE the
             # a_ij * x products between rows (measured 4.6x inflation);
             # deriving them by constant scaling folds the whole transform
-            # (measured: an impossible 193% of FMA peak)
+            # (measured: an impossible 193% of FMA peak). r is the DYNAMIC
+            # loop counter so the loads depend on the iteration — with a
+            # static row index the whole body is loop-invariant and gets
+            # hoisted (measured: an impossible 5.3x FMA peak).
             base = (r % SUBLANES) * 6
             dx = x_ref[pl.ds(base, 1), :]
             dy = x_ref[pl.ds(base + 1, 1), :]
@@ -189,9 +197,11 @@ def bench_isect(n_groups=16, reps=16, grids=(16, 64)):
         def rep_body(i, acc):
             # 8 rows unrolled inside the body: the real kernel fully
             # unrolls its row loop (unroll=8), gaining cross-row ILP a
-            # rolled per-row loop can't express (measured +40% here too)
+            # rolled per-row loop can't express (measured +40% here too).
+            # i + k keeps every load dynamic in i (anti-hoisting) while
+            # the 8 unrolled rows still touch disjoint row blocks
             for k in range(SUBLANES):
-                acc = row_body(i * SUBLANES + k, acc)
+                acc = row_body(i + k, acc)
             return acc
 
         acc = jax.lax.fori_loop(0, reps, rep_body, acc)
@@ -232,6 +242,14 @@ def main():
     out["elapsed_s"] = time.perf_counter() - t0
     out["backend"] = jax.default_backend()
     print(json.dumps(out))
+    if out["backend"] == "tpu":
+        # persist the chip's measured speed of light so bench.py can report
+        # the kernel's roofline fraction without re-running these compiles
+        import pathlib
+
+        p = pathlib.Path(__file__).resolve().parent.parent / "benchmarks" / "vpu_roofline.json"
+        p.write_text(json.dumps(out, indent=2) + "\n")
+        print(f"wrote {p}")
 
 
 if __name__ == "__main__":
