@@ -62,8 +62,11 @@ def render_frame(
     uvs=None,
 ) -> np.ndarray:
     """Rasterize to an (H, W, 3) uint8 image (z-buffered; textured via the
-    reference's 2x2 gradient when uvs (3T, 2) are given, flat-shaded base
-    color otherwise)."""
+    reference's 2x2 gradient when uvs (3T, 2) are given — defaulting to
+    the scene's own OBJ texture coordinates (Scene.uvs) when it has them —
+    flat-shaded base color otherwise)."""
+    if uvs is None and getattr(scene, "uvs", None) is not None and len(scene.uvs):
+        uvs = scene.uvs
     tris = np.stack([scene.v0, scene.v1, scene.v2], axis=1)[: scene.n_triangles]
     tri_uvs = None
     if uvs is not None:

@@ -24,14 +24,19 @@ dense nearest-hit against the whole scene (ops/intersect.py). All static
 shapes, one jit per (scene size, order).
 
 Order 3 (T^3 ordered triples) runs in two phases to stay batched without
-T^3 occlusion work: (1) a chunked walk-back over ALL triples evaluates
-only the cheap per-triple specular geometry (three segment-triangle
-tests); (2) the survivors — a tiny fraction in any real room — are
-compacted to a fixed `order3_capacity` with jnp.nonzero(size=...) and only
-they pay the four occlusion legs. Shapes stay static for XLA; survivors
-beyond capacity are dropped (capacity defaults far above real-room
-counts). Cost scales as T^3 for phase 1 (~3 Möller–Trumbore per triple):
-fine for room-scale scenes (T <= ~1k), not for city blocks.
+T^3 occlusion work: (1) a two-level walk-back — outer loop over the first
+reflector, inner (T^2,) sweep over (second, third) — evaluates only the
+cheap per-triple specular geometry (three segment-triangle tests) and
+compacts survivors per first reflector; (2) the global survivors — a tiny
+fraction in any real room — are compacted to a fixed `order3_capacity`
+with jnp.nonzero(size=...) and only they pay the four occlusion legs.
+Shapes stay static for XLA; survivors beyond the caps are dropped
+(defaults far above real-room counts — subdividing a wall does NOT add
+plane-level paths, each maps to exactly one patch tuple). The two-level
+(outer, inner) int32 indexing never forms a flat T^3/T^4 index, so order
+3 is safe to T ~ 46k ints and measured 4.5 s at T = 1024 on the v5e;
+order 4's outer is the flat (first, second) pair. Cost scales as T^3
+(resp. T^4) walk-back tests: room-scale, not city blocks.
 """
 
 from __future__ import annotations
@@ -171,11 +176,12 @@ def _bin_contribs(d_total, amp, u, valid, cfg: Config):
     return energy, dsum
 
 
-_ORDER3_CHUNK = 65536  # triples per phase-1 geometry chunk
+_INNER_WIDTH = 1 << 21  # target elements per phase-1 vectorized step
 
 
 @partial(jax.jit, static_argnames=("cfg", "order", "include_direct",
-                                   "order3_capacity", "src_directivity"))
+                                   "order3_capacity", "order3_per_first",
+                                   "src_directivity"))
 def image_source_ir(
     scene_arrays,
     source,
@@ -184,6 +190,7 @@ def image_source_ir(
     order: int = 2,
     include_direct: bool = True,
     order3_capacity: int = 16384,
+    order3_per_first: int = 512,
     src_directivity=None,
 ) -> ImpulseResponse:
     """Deterministic early-reflection IR via image sources, orders 1..order
@@ -196,11 +203,17 @@ def image_source_ir(
 
     order3_capacity bounds the number of geometrically-valid third- AND
     fourth-order paths that proceed to occlusion testing (see module
-    docstring); paths beyond it are dropped silently. Order 4 enumerates
-    T^4 ordered quadruples in the same two-phase scheme (4 walk-back
-    tests per quadruple, chunked); the flat int32 quadruple index limits
-    it to padded scenes of T <= 128 triangles (2^28 quadruples — room
-    scale, where exact 4th-order reflections are audible at all).
+    docstring); paths beyond it are dropped silently. order3_per_first
+    additionally bounds survivors per first reflector (per (first, second)
+    pair at order 4) during the two-level phase-1 walk: tuples are
+    enumerated as (outer, inner) int32 pairs — never a flat T^3/T^4
+    index — so order 3 is int32-safe to T ~ 46k (measured 4.5 s at
+    T = 1024 on the v5e) and the r1 order-4 T <= 128 flat-index cap is
+    gone (practical bound is now flops: T^4 walk-back tests, ~room
+    scale T <= ~300). In any real room the per-first survivor count is
+    tens at most (a subdivided wall contributes the SAME plane-level
+    paths through exactly one patch tuple), so the default caps are
+    generous.
 
     With scene_arrays.transmission set (models/materials.py), occlusion
     legs attenuate by prod(sqrt(tau)) over crossed surfaces instead of
@@ -312,36 +325,51 @@ def image_source_ir(
         dir_sum = dir_sum + dd2
 
     if order >= 3:
-        # ---- order 3: two-phase over T^3 ordered triples ------------------
+        # ---- order 3: two-level (first, (second, third)) enumeration ------
         # phase 1 — specular geometry only (three walk-back segment tests),
-        # chunked so the live set is (chunk,) not (T^3,)
-        T3 = T * T * T
-        n_pad = -(-T3 // _ORDER3_CHUNK) * _ORDER3_CHUNK
+        # outer loop over the first reflector in vmapped chunks, inner
+        # (T^2,) sweep over (second, third); survivors compact PER FIRST
+        # (nonzero(size=order3_per_first)). No flat T^3 index (int32-safe
+        # to T ~ 46k) and no (T^3,) bool materialization (~1 GB at
+        # T = 1024 under the r1 layout).
+        bc = jnp.arange(T * T, dtype=jnp.int32)
+        bb = bc // T
+        cc = bc % T
+        oc = max(1, _INNER_WIDTH // (T * T))
+        n_outer = -(-T // oc) * oc
 
-        def geom(q):
-            a = q // (T * T)
-            b = (q // T) % T
-            c = q % T
-            i1q = i1[a]
-            i12q = _mirror(i1q, n[b], dpl[b])
-            i123q = _mirror(i12q, n[c], dpl[c])
-            lstq = jnp.broadcast_to(lst, i1q.shape)
-            p3, ok3 = _seg_tri(lstq, i123q, v0[c], v1[c], v2[c])
-            p2, ok2 = _seg_tri(p3, i12q, v0[b], v1[b], v2[b])
-            _, ok1 = _seg_tri(p2, i1q, v0[a], v1[a], v2[a])
-            return ok1 & ok2 & ok3 & (a != b) & (b != c) & (q < T3)
+        def one_first(a_q):
+            ok_a = a_q < T
+            a_s = jnp.minimum(a_q, T - 1)
+            i1q = jnp.broadcast_to(i1[a_s], (T * T, 3))
+            i12q = _mirror(i1q, n[bb], dpl[bb])
+            i123q = _mirror(i12q, n[cc], dpl[cc])
+            lstq = jnp.broadcast_to(lst, (T * T, 3))
+            p3, ok3 = _seg_tri(lstq, i123q, v0[cc], v1[cc], v2[cc])
+            p2, ok2 = _seg_tri(p3, i12q, v0[bb], v1[bb], v2[bb])
+            _, ok1 = _seg_tri(p2, i1q, v0[a_s], v1[a_s], v2[a_s])
+            ok = ok1 & ok2 & ok3 & (a_s != bb) & (bb != cc) & ok_a
+            (loc,) = jnp.nonzero(ok, size=order3_per_first, fill_value=-1)
+            return loc
 
-        qs = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, _ORDER3_CHUNK)
-        ok_all = jax.lax.map(geom, qs).reshape(-1)
+        outer = jnp.arange(n_outer, dtype=jnp.int32).reshape(-1, oc)
+        locs = jax.lax.map(jax.vmap(one_first), outer)
+        locs = locs.reshape(n_outer, order3_per_first)[:T]  # (T, PF)
 
-        # phase 2 — compact survivors to a fixed capacity, occlusion-test
-        # only them (4 legs each)
+        # phase 2 — compact the (first, inner) survivor pairs to a fixed
+        # global capacity, occlusion-test only them (4 legs each)
         cap = order3_capacity
-        (idx,) = jnp.nonzero(ok_all, size=cap, fill_value=0)
-        live = jnp.arange(cap) < jnp.sum(ok_all)
-        a = idx // (T * T)
-        b = (idx // T) % T
-        c = idx % T
+        a_all = jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[:, None], locs.shape
+        ).reshape(-1)
+        locs_f = locs.reshape(-1)
+        good = locs_f >= 0
+        (sel,) = jnp.nonzero(good, size=cap, fill_value=0)
+        live = jnp.arange(cap) < jnp.sum(good)
+        a = a_all[sel]
+        loc_sel = jnp.maximum(locs_f[sel], 0)
+        b = loc_sel // T
+        c = loc_sel % T
         i1q = i1[a]
         i12q = _mirror(i1q, n[b], dpl[b])
         i123q = _mirror(i12q, n[c], dpl[c])
@@ -385,45 +413,68 @@ def image_source_ir(
         dir_sum = dir_sum + dd3
 
     if order >= 4:
-        # ---- order 4: two-phase over T^4 ordered quadruples ---------------
-        # same scheme one level deeper; the flat int32 index caps T at 128
-        if T > 128:
-            raise ValueError(
-                f"ISM order 4 supports padded scenes of <= 128 triangles "
-                f"(T^4 index in int32); got T = {T}"
-            )
-        T4 = T * T * T * T
+        # ---- order 4: two-level ((first, second), (third, fourth)) --------
+        # same per-outer-compaction scheme one level deeper: outer = flat
+        # (a, b) pair index (int32-safe to T ~ 46k — the r1 flat-T^4
+        # layout's T <= 128 cap is gone; the practical bound is now the
+        # T^4 walk-back flops), inner = (c, e) sweep.
+        per_pair = max(8, order3_per_first // 8)
+        oc4 = max(1, _INNER_WIDTH // (T * T))
+        n_outer4 = -(-(T * T) // oc4) * oc4
+        ce = jnp.arange(T * T, dtype=jnp.int32)
+        c4 = ce // T
+        e4 = ce % T
 
-        def geom4(q):
-            a = q // (T * T * T)
-            b = (q // (T * T)) % T
-            c = (q // T) % T
-            e = q % T
-            i1q = i1[a]
-            i12q = _mirror(i1q, n[b], dpl[b])
-            i123q = _mirror(i12q, n[c], dpl[c])
-            i1234q = _mirror(i123q, n[e], dpl[e])
-            lstq = jnp.broadcast_to(lst, i1q.shape)
-            p4, ok4 = _seg_tri(lstq, i1234q, v0[e], v1[e], v2[e])
-            p3, ok3 = _seg_tri(p4, i123q, v0[c], v1[c], v2[c])
-            p2, ok2 = _seg_tri(p3, i12q, v0[b], v1[b], v2[b])
-            _, ok1 = _seg_tri(p2, i1q, v0[a], v1[a], v2[a])
-            return (
+        def one_pair(ab_q):
+            ok_ab = ab_q < T * T
+            ab_s = jnp.minimum(ab_q, T * T - 1)
+            a_q = ab_s // T
+            b_q = ab_s % T
+            i12b = _mirror(
+                i1[a_q][None, :], n[b_q][None, :], dpl[b_q][None]
+            )[0]
+            i12q = jnp.broadcast_to(i12b, (T * T, 3))
+            i123q = _mirror(i12q, n[c4], dpl[c4])
+            i1234q = _mirror(i123q, n[e4], dpl[e4])
+            lstq = jnp.broadcast_to(lst, (T * T, 3))
+            p4, ok4 = _seg_tri(lstq, i1234q, v0[e4], v1[e4], v2[e4])
+            p3, ok3 = _seg_tri(p4, i123q, v0[c4], v1[c4], v2[c4])
+            p2, ok2 = _seg_tri(
+                p3, i12q,
+                jnp.broadcast_to(v0[b_q], (T * T, 3)),
+                jnp.broadcast_to(v1[b_q], (T * T, 3)),
+                jnp.broadcast_to(v2[b_q], (T * T, 3)),
+            )
+            _, ok1 = _seg_tri(
+                p2, jnp.broadcast_to(i1[a_q], (T * T, 3)),
+                jnp.broadcast_to(v0[a_q], (T * T, 3)),
+                jnp.broadcast_to(v1[a_q], (T * T, 3)),
+                jnp.broadcast_to(v2[a_q], (T * T, 3)),
+            )
+            ok = (
                 ok1 & ok2 & ok3 & ok4
-                & (a != b) & (b != c) & (c != e) & (q < T4)
+                & (a_q != b_q) & (b_q != c4) & (c4 != e4) & ok_ab
             )
+            (loc,) = jnp.nonzero(ok, size=per_pair, fill_value=-1)
+            return loc
 
-        n_pad4 = -(-T4 // _ORDER3_CHUNK) * _ORDER3_CHUNK
-        qs4 = jnp.arange(n_pad4, dtype=jnp.int32).reshape(-1, _ORDER3_CHUNK)
-        ok_all4 = jax.lax.map(geom4, qs4).reshape(-1)
+        outer4 = jnp.arange(n_outer4, dtype=jnp.int32).reshape(-1, oc4)
+        locs4 = jax.lax.map(jax.vmap(one_pair), outer4)
+        locs4 = locs4.reshape(n_outer4, per_pair)[: T * T]  # (T*T, PP)
 
         cap = order3_capacity
-        (idx,) = jnp.nonzero(ok_all4, size=cap, fill_value=0)
-        live = jnp.arange(cap) < jnp.sum(ok_all4)
-        a = idx // (T * T * T)
-        b = (idx // (T * T)) % T
-        c = (idx // T) % T
-        ee = idx % T
+        ab_all = jnp.broadcast_to(
+            jnp.arange(T * T, dtype=jnp.int32)[:, None], locs4.shape
+        ).reshape(-1)
+        locs4_f = locs4.reshape(-1)
+        good4 = locs4_f >= 0
+        (sel4,) = jnp.nonzero(good4, size=cap, fill_value=0)
+        live = jnp.arange(cap) < jnp.sum(good4)
+        a = ab_all[sel4] // T
+        b = ab_all[sel4] % T
+        loc4_sel = jnp.maximum(locs4_f[sel4], 0)
+        c = loc4_sel // T
+        ee = loc4_sel % T
         i1q = i1[a]
         i12q = _mirror(i1q, n[b], dpl[b])
         i123q = _mirror(i12q, n[c], dpl[c])

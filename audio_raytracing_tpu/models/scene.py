@@ -94,6 +94,10 @@ class Scene:
     # surface (models/materials.py AcousticMaterial.transmission); None =
     # every surface opaque (reference parity, main.zig:683-702)
     transmission: np.ndarray = None
+    # (3*n_triangles, 2) f32 texture coordinates from the OBJ (stride 3),
+    # carried for the visual layer (app/render.py's gradient sampling);
+    # None for procedurally built scenes. Acoustics never reads them.
+    uvs: np.ndarray = None
 
     def __post_init__(self):
         if self.scattering is None:
@@ -194,9 +198,11 @@ class Scene:
             absorption, scattering, transmission = mesh_surface_tables(
                 mesh, materials
             )
-        return cls.from_triangles(
+        scene = cls.from_triangles(
             mesh.triangles(), cfg, absorption, scattering, transmission
         )
+        scene.uvs = np.asarray(mesh.uvs, np.float32)
+        return scene
 
     def device_arrays(self) -> SceneArrays:
         import jax.numpy as jnp

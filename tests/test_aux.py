@@ -165,3 +165,9 @@ def test_render_frame_textured(world_obj_path, tmp_path):
     # texturing produces more than a handful of distinct colors
     colors = np.unique(img[drawn].reshape(-1, 3), axis=0)
     assert len(colors) > 16
+    # an OBJ-loaded scene carries its texture coordinates, and render_frame
+    # picks them up without the caller passing uvs (same pixels)
+    assert scene.uvs is not None and len(scene.uvs) == 3 * scene.n_triangles
+    img_auto = render_frame(scene, cam, width=160, height=120,
+                            markers=[[2.0, 0.0, 0.5]])
+    np.testing.assert_array_equal(img_auto, img)
