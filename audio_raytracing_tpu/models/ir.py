@@ -290,7 +290,7 @@ def trace_ir(
     from scene_arrays.scattering (models/materials.py) instead of the
     global `scattering` constant; also requires `key`.
 
-    sh_order (0-3) additionally accumulates energy-weighted spherical-
+    sh_order (0-5) additionally accumulates energy-weighted spherical-
     harmonic moments of the arrival directions per bin (ops/hoa.py,
     ACN/N3D) into ImpulseResponse.sh_moments — the higher-order
     generalization of dir_sum for HOA rendering (ambisonic_ir_hoa).

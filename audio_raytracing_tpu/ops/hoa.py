@@ -1,4 +1,4 @@
-"""Higher-order ambisonics (orders 0-3): encode, rotate, truncate, decode.
+"""Higher-order ambisonics (orders 0-5): encode, rotate, truncate, decode.
 
 The reference is strictly first order — a 4-channel N3D bed
 (sound_system.zig:190-212), rotated as an xyz vector (zig:480-492) and
@@ -42,7 +42,7 @@ from ..utils import quat
 
 _HI = jax.lax.Precision.HIGHEST
 
-MAX_ORDER = 3
+MAX_ORDER = 5
 
 SQRT3 = np.sqrt(3.0)
 SH_NEAR_EPS = 1e-6
@@ -95,7 +95,57 @@ def sh_basis(dirs, order: int):
             s7 * (np.sqrt(15.0) / 2.0) * z * (x * x - y * y),  # ACN14
             s7 * np.sqrt(5.0 / 8.0) * x * (x * x - 3.0 * y * y),  # ACN15
         ]
+    for ell in range(4, order + 1):
+        chans += _degree_channels(x, y, z, ell)
     return jnp.stack(chans, axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _degree_coeffs(ell: int):
+    """Closed-form real-SH building blocks for degree ell (orders 4+;
+    0-3 stay as the hand-written polynomials above for exact bit
+    compatibility): per |m|, the z-polynomial Q_l^m = d^m P_l / dz^m
+    (so P_l^m = sin^m(theta) Q_l^m without Condon-Shortley) and the N3D
+    scale K = sqrt(2l+1) * sqrt((2 - delta_m0) (l-m)!/(l+m)!). The
+    sectoral factors cos/sin(m phi) sin^m(theta) are Re/Im[(x+iy)^m].
+    Verified to reproduce the explicit degree-1..3 channels exactly."""
+    from math import factorial
+
+    out = []
+    p_l = np.polynomial.legendre.Legendre.basis(ell).convert(
+        kind=np.polynomial.Polynomial
+    )
+    for m in range(ell + 1):
+        q = p_l.deriv(m) if m else p_l
+        k = np.sqrt(2.0 * ell + 1.0) * np.sqrt(
+            (2.0 if m else 1.0) * factorial(ell - m) / factorial(ell + m)
+        )
+        out.append((k, tuple(float(c) for c in q.coef)))
+    return out
+
+
+def _degree_channels(x, y, z, ell: int):
+    """ACN channels l^2 .. l^2+2l for degree ell >= 4 (m = -l .. +l)."""
+    kq = _degree_coeffs(ell)
+
+    def horner(coefs, zz):
+        acc = jnp.zeros_like(zz) + coefs[-1]
+        for c in coefs[-2::-1]:
+            acc = acc * zz + c
+        return acc
+
+    # sectoral pair (A_m, B_m) = (Re, Im)[(x + iy)^m] by recurrence
+    a_m, b_m = [jnp.ones_like(x)], [jnp.zeros_like(x)]
+    for m in range(1, ell + 1):
+        a_m.append(a_m[-1] * x - b_m[-1] * y)
+        b_m.append(a_m[-2] * y + b_m[-1] * x)
+    chans = []
+    for m in range(-ell, ell + 1):
+        k, coefs = kq[abs(m)]
+        q = horner(coefs, z)
+        sec = b_m[-m] if m < 0 else a_m[m]
+        chans.append(k * sec * q)
+    return chans
 
 
 def acn_orders(order: int) -> np.ndarray:

@@ -236,18 +236,30 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     if mxu_xform:
         # EXPERIMENT (measured SLOWER, kept off): op/dp for ALL triangles
         # via (T, 3) @ (3, 128) dot_generals per component, hoping to free
-        # the VPU of half the per-group flops. On this hardware the f32
-        # (HIGHEST) matmuls are multi-pass bf16 and serialize against the
-        # VPU pipeline: 140 ms vs 64-70 ms at 1M rays. Don't re-derive;
-        # revisit only with a native-f32 MXU path or bf16-safe geometry.
-        a_rows = [tri_all[:, 3 * k : 3 * k + 3] for k in range(3)]  # (T, 3)
+        # the VPU of half the per-group flops. At f32 HIGHEST (r1) the
+        # matmuls are multi-pass bf16 and serialize against the VPU
+        # pipeline: 140 ms vs 64-70 ms at 1M rays. mxu_xform="bf16" (r2:
+        # the verdict's single-pass variant — bf16 inputs, f32 accumulate,
+        # DEFAULT precision) was measured too: 66.5 ms vs 57.5 ms — still
+        # 16% slower (the tiny K=3 matmuls stay latency-bound against the
+        # row-serial dependency chain) AND 0.4% energy error from bf16
+        # geometry. Don't re-derive; a two-pass bf16-test/f32-refine needs
+        # per-lane gathers Mosaic doesn't have.
+        xf_bf16 = mxu_xform == "bf16"
+        xf_dtype = jnp.bfloat16 if xf_bf16 else jnp.float32
+        a_rows = [
+            tri_all[:, 3 * k : 3 * k + 3].astype(xf_dtype) for k in range(3)
+        ]  # (T, 3)
         b_cols = [tri_all[:, _B + k : _B + k + 1] for k in range(3)]  # (T, 1)
 
         def _xf(mat, vec):
             return jax.lax.dot_general(
-                mat, vec, (((1,), (0,)), ((), ())),
+                mat, vec.astype(xf_dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=(
+                    jax.lax.Precision.DEFAULT if xf_bf16
+                    else jax.lax.Precision.HIGHEST
+                ),
             )  # (T, 128)
 
     gaabb_all = gaabb_ref[...]  # (n_groups, 8): [lo xyz | hi xyz | pad]
@@ -739,8 +751,21 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         return carry
 
     # full unroll on hardware: cross-row ILP the scf.for blocks (+10%
-    # measured); interpret mode keeps the rolled loop (8x trace cost)
-    jax.lax.fori_loop(0, SUBLANES, row_body, 0, unroll=row_unroll)
+    # measured); interpret mode keeps the rolled loop (8x trace cost).
+    # Intermediate levels (Mosaic's fori supports only unroll=1/full) are
+    # expressed as a rolled loop whose body runs `row_unroll` rows — the
+    # register-pressure/ILP tradeoff knob for A/Bs.
+    if row_unroll in (1, SUBLANES):
+        jax.lax.fori_loop(0, SUBLANES, row_body, 0, unroll=row_unroll)
+    else:
+        assert SUBLANES % row_unroll == 0, row_unroll
+
+        def rows_body(i, c):
+            for k in range(row_unroll):
+                c = row_body(i * row_unroll + k, c)
+            return c
+
+        jax.lax.fori_loop(0, SUBLANES // row_unroll, rows_body, 0)
     if fused_hist:
         @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
         def _flush_hist():
@@ -755,6 +780,7 @@ def trace_contributions_pallas(
     group_fori: bool | None = None, src_weights=None,
     scattering: float = 0.0, material_scattering: bool = False,
     rng_seed: int = 0, sg_cull: bool | None = None,
+    row_unroll: int | None = None,
 ):
     """Run the fused kernel.
 
@@ -939,7 +965,8 @@ def trace_contributions_pallas(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
         mxu_xform=mxu_xform, group_fori=group_fori,
-        row_unroll=1 if interpret else 8, transmission=transmission,
+        row_unroll=(1 if interpret else 8) if row_unroll is None else row_unroll,
+        transmission=transmission,
         weighted=weighted, scattering=scattering,
         material_scattering=material_scattering, rng_seed=rng_seed,
         sg_cull=sg_cull,
@@ -997,7 +1024,7 @@ def trace_contributions_pallas(
                      "include_direct", "interpret", "fused_hist", "cull",
                      "flat_bands", "mxu_xform", "group_fori",
                      "src_directivity", "scattering", "material_scattering",
-                     "rng_seed", "sg_cull"),
+                     "rng_seed", "sg_cull", "row_unroll"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -1021,6 +1048,7 @@ def trace_ir_pallas(
     material_scattering: bool = False,
     rng_seed: int = 0,
     sg_cull: bool | None = None,
+    row_unroll: int | None = None,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -1075,7 +1103,7 @@ def trace_ir_pallas(
             flat_bands=flat_bands, mxu_xform=mxu_xform,
             group_fori=group_fori, src_weights=src_weights,
             scattering=scattering, material_scattering=material_scattering,
-            rng_seed=rng_seed, sg_cull=sg_cull,
+            rng_seed=rng_seed, sg_cull=sg_cull, row_unroll=row_unroll,
         )
     else:
         bins, payload = trace_contributions_pallas(
@@ -1084,7 +1112,7 @@ def trace_ir_pallas(
             interpret=interpret, cull=cull, mxu_xform=mxu_xform,
             group_fori=group_fori, src_weights=src_weights,
             scattering=scattering, material_scattering=material_scattering,
-            rng_seed=rng_seed, sg_cull=sg_cull,
+            rng_seed=rng_seed, sg_cull=sg_cull, row_unroll=row_unroll,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     if flat_bands:

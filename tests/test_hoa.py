@@ -30,11 +30,17 @@ def _rand_quats(rng, n):
 
 
 def test_sh_basis_orthonormal():
-    """N3D: (1/N) sum Y_m Y_n over near-uniform dirs ~= identity."""
+    """N3D: (1/N) sum Y_m Y_n over near-uniform dirs ~= identity — at
+    order 5, which also validates the closed-form degree-4/5 channels
+    (r2: generic Legendre-derivative construction) against the
+    hand-written 0-3 prefix."""
     dirs = fibonacci_sphere(50000)
-    y = np.asarray(hoa.sh_basis(dirs, 3))  # (N, 16)
+    y = np.asarray(hoa.sh_basis(dirs, 5))  # (N, 36)
     gram = y.T @ y / y.shape[0]
-    np.testing.assert_allclose(gram, np.eye(16), atol=0.01)
+    np.testing.assert_allclose(gram, np.eye(36), atol=0.015)
+    np.testing.assert_array_equal(
+        y[:, :16], np.asarray(hoa.sh_basis(dirs, 3))
+    )
 
 
 def test_sh_encode_first_order_matches_reference():
@@ -61,7 +67,7 @@ def test_sh_encode_first_order_matches_reference():
     np.testing.assert_allclose(remapped, np.asarray(sh_ref), rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("order", [1, 2, 3])
+@pytest.mark.parametrize("order", [1, 2, 3, 4, 5])
 def test_sh_rotation_matrix_property(order):
     """Y(R u) == R_sh Y(u) for random rotations and directions."""
     rng = np.random.default_rng(1)
@@ -268,7 +274,7 @@ def test_sphere_bank_reconstructs_sphere_hrtf():
     u /= np.linalg.norm(u)
     h_true = np.abs(mk.sphere_hrtf(mu, np.array([u @ e_l]))[0])
 
-    for order, tol_mean in ((1, 1.5), (2, 1.0), (3, 1.0)):
+    for order, tol_mean in ((1, 1.5), (2, 1.0), (3, 1.0), (4, 1.0), (5, 1.0)):
         bl, _ = hoa_binaural_bank(order)
         y = np.asarray(sh_basis(u.astype(np.float32), order))
         ir = (y[:, None] * np.asarray(bl)).sum(axis=0)
@@ -338,3 +344,22 @@ def test_sphere_bank_offline_and_stream_agree():
     r.update(lst, yaw=0.4)
     got = r.render(n)
     np.testing.assert_allclose(got, sphere[:n], rtol=1e-3, atol=1e-5)
+
+
+def test_render_ir_offline_order5_sphere_bank():
+    """End-to-end smoke at the new top order: trace with sh_order=5,
+    decode binaurally through the order-5 rigid-sphere MagLS bank
+    (hoa_hrtf="sphere"), lateralization preserved."""
+    from audio_raytracing_tpu.engine.renderer import render_ir_offline
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=1024)
+    scene = Scene.from_triangles(box_room(size=(8.0, 3.0, 6.0)), cfg)
+    rng = np.random.default_rng(5)
+    snd = (0.2 * rng.standard_normal(512)).astype(np.float32)
+    sources = [{"samples": snd, "pos": (0.0, 0.0, 2.0), "gain": 1.0}]
+    out = render_ir_offline(
+        scene, sources, (0.0, 0.0, 0.0), cfg=cfg, n_rays=256, max_bounces=1,
+        sh_order=5, hoa_hrtf="sphere",
+    )
+    assert np.isfinite(out).all() and np.abs(out).max() > 0
+    assert (out[:, 1] ** 2).sum() > (out[:, 0] ** 2).sum()

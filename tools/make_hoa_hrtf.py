@@ -49,7 +49,7 @@ F_TRANSITION_PER_ORDER = 600.0  # MagLS cutoff = 600 * order Hz: the complex
 # LS fit degrades once interaural phase spans more than order N can carry
 # (measured: order-1 complex fit at 1.4 kHz has 70% residual; with 600 Hz
 # the reconstruction error is < 1 dB across the band)
-MAX_ORDER = 3
+MAX_ORDER = 5
 
 
 def sphere_hrtf(mu, cos_theta, n_terms=80):

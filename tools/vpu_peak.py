@@ -151,12 +151,18 @@ def bench_isect(n_groups=16, reps=16, grids=(16, 64)):
             # static row index the whole body is loop-invariant and gets
             # hoisted (measured: an impossible 5.3x FMA peak).
             base = (r % SUBLANES) * 6
-            dx = x_ref[pl.ds(base, 1), :]
-            dy = x_ref[pl.ds(base + 1, 1), :]
-            dz = x_ref[pl.ds(base + 2, 1), :]
-            ox = x_ref[pl.ds(base + 3, 1), :]
-            oy = x_ref[pl.ds(base + 4, 1), :]
-            oz = x_ref[pl.ds(base + 5, 1), :]
+            # r-dependent additive bump: with iteration-invariant ray data
+            # the whole body hoists out of the rep loop (measured: an
+            # impossible 9.5e11 "tests/s"); an ADD can't be factored back
+            # out of the transform without float reassociation, which
+            # Mosaic correctly refuses
+            bump = r.astype(jnp.float32) * 1e-7
+            dx = x_ref[pl.ds(base, 1), :] + bump
+            dy = x_ref[pl.ds(base + 1, 1), :] + bump
+            dz = x_ref[pl.ds(base + 2, 1), :] + bump
+            ox = x_ref[pl.ds(base + 3, 1), :] + bump
+            oy = x_ref[pl.ds(base + 4, 1), :] + bump
+            oz = x_ref[pl.ds(base + 5, 1), :] + bump
             best_t = jnp.full((8, LANES), inf)
             sel = [jnp.zeros((8, LANES), jnp.float32) for _ in range(3)] + [
                 jnp.ones((8, LANES), jnp.float32)
