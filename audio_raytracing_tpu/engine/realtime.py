@@ -42,6 +42,14 @@ from .system import SoundSystem
 
 
 def _pack_params(p: VoiceParams) -> np.ndarray:
+    from ..ops.reverb import FB_LOWPASS_ALPHA
+
+    v = np.asarray(p.occlusion).shape[0]
+    damping = (
+        np.full(v, FB_LOWPASS_ALPHA, np.float32)
+        if p.damping_alpha is None
+        else np.asarray(p.damping_alpha, np.float32).ravel()
+    )
     return np.concatenate(
         [
             np.asarray(p.occlusion, np.float32).ravel(),
@@ -49,6 +57,7 @@ def _pack_params(p: VoiceParams) -> np.ndarray:
             np.asarray(p.refl_lam, np.float32).ravel(),
             np.asarray(p.feedback_gain, np.float32).ravel(),
             np.asarray(p.wet, np.float32).ravel(),
+            damping,
         ]
     )
 
@@ -70,6 +79,7 @@ def _unpack_params(buf: np.ndarray, v: int) -> VoiceParams:
         refl_lam=take(6 * v, (v, 6)),
         feedback_gain=take(v, (v,)),
         wet=take(v, (v,)),
+        damping_alpha=take(v, (v,)),
     )
 
 
@@ -96,7 +106,7 @@ class RealtimeEngine:
         self.updates_per_second = float(updates_per_second)
         v = cfg.max_voices
         self._v = v
-        self._n_params = v + 6 * v + 6 * v + v + v
+        self._n_params = v + 6 * v + 6 * v + v + v + v
         # update-thread -> audio-thread: traced parameter blocks
         self._params_box = native.Mailbox(self._n_params)
         # game-thread -> update-thread: listener pose + voice snapshot

@@ -196,11 +196,16 @@ class SoundSystem:
         # the reference overwrites with the coupling (main.zig:785).
         # Voices calibrated via calibrate_reverb() keep their traced-IR
         # parameters instead of the atan heuristic.
-        for slot, (g, w) in self._reverb_cal.items():
+        for slot, cal in self._reverb_cal.items():
+            g, w = cal[0], cal[1]
             params = params._replace(
                 feedback_gain=params.feedback_gain.at[slot].set(g),
                 wet=params.wet.at[slot].set(w),
             )
+            if len(cal) > 2:
+                params = params._replace(
+                    damping_alpha=params.damping_alpha.at[slot].set(cal[2])
+                )
         self.params = params
         self.state = self.state._replace(
             voices=vt._replace(refl_dist_prev=jnp.full_like(vt.refl_dist_prev, jnp.nan))
@@ -210,7 +215,8 @@ class SoundSystem:
     def calibrate_reverb(self, handle: int | None = None,
                          n_rays: int | None = None,
                          max_bounces: int | None = None,
-                         clear: bool = False):
+                         clear: bool = False,
+                         per_band_damping: bool = False):
         """Replace the reference's heuristic reverb coupling
         (feedback_gain = wet = 0.5*atan(100*capped_mean_dist),
         main.zig:785-786) with parameters matched to a REAL traced
@@ -254,14 +260,27 @@ class SoundSystem:
                 intersector="mxu",
                 scatter="matmul",
             )
-            g, w = reverb_params_from_ir(ir.energy, cfg=self.cfg)
-            g, w = float(g), float(w)
-            self._reverb_cal[slot] = (g, w)
+            cal = reverb_params_from_ir(
+                ir.energy, cfg=self.cfg, per_band_damping=per_band_damping
+            )
+            cal = tuple(float(v) for v in cal)
+            self._reverb_cal[slot] = cal
+            g, w = cal[0], cal[1]
             p = p._replace(
                 feedback_gain=p.feedback_gain.at[slot].set(g),
                 wet=p.wet.at[slot].set(w),
             )
-            out[h] = (g, w)
+            if per_band_damping:
+                if p.damping_alpha is None:
+                    from ..ops.reverb import FB_LOWPASS_ALPHA
+
+                    p = p._replace(damping_alpha=jnp.full_like(
+                        p.feedback_gain, FB_LOWPASS_ALPHA
+                    ))
+                p = p._replace(
+                    damping_alpha=p.damping_alpha.at[slot].set(cal[2])
+                )
+            out[h] = cal
         self.params = p
         return out
 

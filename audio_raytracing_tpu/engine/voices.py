@@ -168,7 +168,10 @@ def _render_block_impl(
         amb = amb.at[ch].add(jnp.sum(signed[:, REFL_CHANNELS == ch], axis=(0, 1)))
 
     # --- per-voice reverb, wet into W (zig:461-466) ---
-    rv_out, reverb_state = reverb_apply_block(reverb_in, state.reverb, params.feedback_gain)
+    rv_out, reverb_state = reverb_apply_block(
+        reverb_in, state.reverb, params.feedback_gain,
+        getattr(params, "damping_alpha", None),
+    )
     amb = amb.at[0].add(jnp.einsum("v,vn->n", params.wet * actf, rv_out, precision=jax.lax.Precision.HIGHEST))
 
     # --- cursor advance + one-shot finish (zig:347, 453-458) ---

@@ -109,10 +109,17 @@ def _pure_delay_block(buf, cursor, x, delay: int, block: int):
     return out, new_buf, new_cursor
 
 
-def reverb_apply_block(x, state: ReverbState, feedback_gain):
+def reverb_apply_block(x, state: ReverbState, feedback_gain,
+                       damping_alpha=None):
     """Apply the reverb to a block for all voices.
 
     x: (V, N) input; feedback_gain: (V,). Returns (out (V, N), new state).
+
+    damping_alpha: optional per-voice (V,) one-pole coefficient for the
+    in-loop lowpass, replacing the reference's fixed alpha = 0.2
+    (sound_system.zig:715). None keeps exact reference parity. Smaller
+    alpha damps high bands faster per pass; engine/calibrate.py solves it
+    from a traced IR's per-band T60 ratio (fdn_damping_for_band_t60s).
     """
     V, N = x.shape
     chunk = jnp.broadcast_to(x[:, None, :] * 0.25, (V, 4, N))  # split (zig:645-651)
@@ -158,7 +165,10 @@ def reverb_apply_block(x, state: ReverbState, feedback_gain):
     r = jnp.stack(reads, axis=1)  # (V, 4, N) — all FDN delays > N, so safe
 
     # one-pole lowpass recurrence on (V, 4): f = a*(g*r) + (1-a)*f_prev
-    a = FB_LOWPASS_ALPHA
+    a = (
+        FB_LOWPASS_ALPHA if damping_alpha is None
+        else jnp.asarray(damping_alpha)[:, None]
+    )
     gr = r * feedback_gain[:, None, None]
 
     def lp_step(f, x_t):
@@ -200,13 +210,14 @@ class ReverbOracle:
     with the per-voice-independent output semantics documented above
     (result starts at zero; no cross-voice accumulation)."""
 
-    def __init__(self):
+    def __init__(self, damping_alpha: float = FB_LOWPASS_ALPHA):
         self.diff_buf = np.zeros((4, 4, DIFF_BUF_LEN), np.float32)  # [ch][stage]
         self.diff_cur = np.zeros((4, 4), np.int64)  # [ch][stage]
         self.fb_buf = np.zeros((4, FB_BUF_LEN), np.float32)
         self.fb_cur = np.zeros(4, np.int64)
         self.fb_filter = np.zeros(4, np.float32)
         self.feedback_gain = DEFAULT_FEEDBACK_GAIN
+        self.damping_alpha = damping_alpha
 
     def apply(self, samples: np.ndarray) -> np.ndarray:
         n = len(samples)
@@ -231,8 +242,8 @@ class ReverbOracle:
             for i in range(4):
                 chunk[i, jj] = self.fb_buf[i, self.fb_cur[i]]
             future = chunk[:, jj] * np.float32(self.feedback_gain)
-            future = np.float32(FB_LOWPASS_ALPHA) * future + np.float32(
-                1.0 - FB_LOWPASS_ALPHA
+            future = np.float32(self.damping_alpha) * future + np.float32(
+                1.0 - self.damping_alpha
             ) * self.fb_filter
             self.fb_filter = future.copy()
             future = (HOUSEHOLDER @ future).astype(np.float32)

@@ -84,6 +84,11 @@ class VoiceParams(NamedTuple):
     refl_lam: jnp.ndarray  # (V, 6) f32: per-bin mean reflection strength
     feedback_gain: jnp.ndarray  # (V,) f32
     wet: jnp.ndarray  # (V,) f32
+    # (V,) f32 FDN in-loop lowpass coefficient; the reference's fixed 0.2
+    # (sound_system.zig:715) unless calibrated per band
+    # (SoundSystem.calibrate_reverb(per_band_damping=True)); None in
+    # hand-built params means the same parity default
+    damping_alpha: jnp.ndarray = None
 
 
 def _safe_unit(v, eps=1e-20):
@@ -233,10 +238,13 @@ def acoustic_update(scene_arrays, listener, positions, active,
     )
     V = positions.shape[0]
     act = active.astype(jnp.float32)
+    from ..ops.reverb import FB_LOWPASS_ALPHA
+
     return VoiceParams(
         occlusion=occ * act,
         refl_dist=refl_dist * act[:, None],
         refl_lam=refl_lam * act[:, None],
         feedback_gain=jnp.broadcast_to(coupling, (V,)) * act,
         wet=jnp.broadcast_to(coupling, (V,)) * act,
+        damping_alpha=jnp.full((V,), FB_LOWPASS_ALPHA, jnp.float32),
     )

@@ -122,3 +122,123 @@ def test_recycled_slot_drops_calibration():
     h2 = system.play_sound(sid, pos=[0.5, 0.0, 0.0], repeat=True)
     if system._handles[h2] == slot:
         assert slot not in system._reverb_cal
+
+
+def test_lowpass_gain_matches_recurrence():
+    """fdn_lowpass_gain's closed form equals the measured steady-state
+    magnitude of y[n] = a x[n] + (1-a) y[n-1] driven by a sinusoid."""
+    from audio_raytracing_tpu.engine.calibrate import fdn_lowpass_gain
+
+    fs = 44100.0
+    for a, f in ((0.2, 4608.0), (0.6, 128.0), (0.35, 9216.0)):
+        n = np.arange(int(fs))
+        x = np.sin(2 * np.pi * f * n / fs)
+        y = np.zeros_like(x)
+        acc = 0.0
+        for i in range(len(x)):
+            acc = a * x[i] + (1 - a) * acc
+            y[i] = acc
+        meas = np.abs(y[len(y) // 2:]).max()
+        np.testing.assert_allclose(
+            float(fdn_lowpass_gain(a, f, fs)), meas, rtol=2e-3
+        )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("target", [(1.2, 0.6), (0.8, 0.6)])
+def test_per_band_damping_closed_loop(target):
+    """fdn_damping_for_band_t60s against the REAL loop: simulate the FDN
+    at the solved (g, alpha) and measure band-1/band-3 T30 through the
+    actual LR2 filterbank. Low band within 5%, high band within 20% (its
+    measurement carries low-band leakage through the filter skirt — see
+    the _K_BAND derivation note)."""
+    from audio_raytracing_tpu.engine.calibrate import fdn_damping_for_band_t60s
+
+    t_lo, t_hi = target
+    g, a = fdn_damping_for_band_t60s(t_lo, t_hi)
+    g, a = float(g), float(a)
+    assert 0.0 < a < 1.0 and 0.05 <= g <= 0.98
+    m_lo = float(measure_fdn_rt60(g, damping_alpha=a, band=1))
+    m_hi = float(measure_fdn_rt60(g, damping_alpha=a, band=3))
+    assert abs(m_lo - t_lo) / t_lo < 0.05, (m_lo, t_lo)
+    assert abs(m_hi - t_hi) / t_hi < 0.20, (m_hi, t_hi)
+    # equal targets -> no damping (alpha ~ 1); inverted targets clamp there
+    _, a1 = fdn_damping_for_band_t60s(1.0, 1.0)
+    assert float(a1) > 0.98
+    _, a2 = fdn_damping_for_band_t60s(0.5, 1.5)
+    assert float(a2) > 0.98
+
+
+def test_damping_alpha_parity_and_oracle():
+    """damping_alpha=None == full(0.2) bit-for-bit (reference parity), and
+    the block renderer matches the per-sample oracle at a non-default
+    alpha."""
+    from audio_raytracing_tpu.ops import reverb as rvmod
+
+    rng = np.random.default_rng(7)
+    N = 128
+    x = rng.standard_normal((3 * N,)).astype(np.float32) * 0.5
+
+    sA = rvmod.reverb_init(1)
+    sB = rvmod.reverb_init(1)
+    fg = jnp.asarray([0.85], jnp.float32)
+    alpha02 = jnp.asarray([rvmod.FB_LOWPASS_ALPHA], jnp.float32)
+    for b in range(3):
+        blk = jnp.asarray(x[b * N:(b + 1) * N])[None]
+        oA, sA = rvmod.reverb_apply_block(blk, sA, fg, None)
+        oB, sB = rvmod.reverb_apply_block(blk, sB, fg, alpha02)
+        np.testing.assert_array_equal(np.asarray(oA), np.asarray(oB))
+
+    oracle = rvmod.ReverbOracle(damping_alpha=0.55)
+    oracle.feedback_gain = 0.85
+    want = np.concatenate(
+        [oracle.apply(x[b * N:(b + 1) * N]) for b in range(3)]
+    )
+    s = rvmod.reverb_init(1)
+    outs = []
+    for b in range(3):
+        blk = jnp.asarray(x[b * N:(b + 1) * N])[None]
+        o, s = rvmod.reverb_apply_block(
+            blk, s, fg, jnp.asarray([0.55], jnp.float32)
+        )
+        outs.append(np.asarray(o)[0])
+    np.testing.assert_allclose(np.concatenate(outs), want, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sound_system_per_band_calibration():
+    """calibrate_reverb(per_band_damping=True) lands a per-voice alpha
+    that survives update_acoustics and renders finite audio."""
+    from audio_raytracing_tpu.engine.system import SoundSystem
+    from audio_raytracing_tpu.models.scene import Scene, box_room
+    from audio_raytracing_tpu.ops.reverb import FB_LOWPASS_ALPHA
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=8192, max_voices=4)
+    system = SoundSystem(
+        scene=Scene.from_triangles(
+            box_room(), cfg, absorption=np.tile(
+                np.float32([0.05, 0.1, 0.3, 0.6]), (12, 1)
+            ),
+        ),
+        cfg=cfg,
+    )
+    sid = system.load_sound(np.ones(2048, np.float32) * 0.1)
+    h = system.play_sound(sid, pos=[2.0, 0.5, 1.0], repeat=True)
+    system.set_listener([-2.0, 0.0, -1.0])
+    cal = system.calibrate_reverb(
+        n_rays=4096, max_bounces=6, per_band_damping=True
+    )
+    g, w, a = cal[h]
+    slot = system._handles[h]
+    # strongly band-dependent absorption -> the solve damps the highs
+    assert a < 0.9
+    assert float(system.params.damping_alpha[slot]) == pytest.approx(a)
+    system.update_acoustics()
+    assert float(system.params.damping_alpha[slot]) == pytest.approx(a)
+    out = system.render(256)
+    assert np.isfinite(out).all()
+    system.calibrate_reverb(clear=True)
+    system.update_acoustics()
+    assert float(system.params.damping_alpha[slot]) == pytest.approx(
+        FB_LOWPASS_ALPHA
+    )
