@@ -337,18 +337,27 @@ def image_source_ir(
         cc = bc % T
         oc = max(1, _INNER_WIDTH // (T * T))
         n_outer = -(-T // oc) * oc
+        # the (b, c) gathers are identical for every first reflector:
+        # hoist them out of the outer map (XLA does not move gathers out
+        # of loop bodies itself — measured 31.7 s -> with hoisting the
+        # phase-1 walk is pure elementwise inside the loop)
+        n_b, d_b = n[bb], dpl[bb]
+        n_c, d_c = n[cc], dpl[cc]
+        v0b, v1b, v2b = v0[bb], v1[bb], v2[bb]
+        v0c, v1c, v2c = v0[cc], v1[cc], v2[cc]
+        neq_bc = bb != cc
 
         def one_first(a_q):
             ok_a = a_q < T
             a_s = jnp.minimum(a_q, T - 1)
             i1q = jnp.broadcast_to(i1[a_s], (T * T, 3))
-            i12q = _mirror(i1q, n[bb], dpl[bb])
-            i123q = _mirror(i12q, n[cc], dpl[cc])
+            i12q = _mirror(i1q, n_b, d_b)
+            i123q = _mirror(i12q, n_c, d_c)
             lstq = jnp.broadcast_to(lst, (T * T, 3))
-            p3, ok3 = _seg_tri(lstq, i123q, v0[cc], v1[cc], v2[cc])
-            p2, ok2 = _seg_tri(p3, i12q, v0[bb], v1[bb], v2[bb])
+            p3, ok3 = _seg_tri(lstq, i123q, v0c, v1c, v2c)
+            p2, ok2 = _seg_tri(p3, i12q, v0b, v1b, v2b)
             _, ok1 = _seg_tri(p2, i1q, v0[a_s], v1[a_s], v2[a_s])
-            ok = ok1 & ok2 & ok3 & (a_s != bb) & (bb != cc) & ok_a
+            ok = ok1 & ok2 & ok3 & (a_s != bb) & neq_bc & ok_a
             (loc,) = jnp.nonzero(ok, size=order3_per_first, fill_value=-1)
             return loc
 
@@ -424,6 +433,12 @@ def image_source_ir(
         ce = jnp.arange(T * T, dtype=jnp.int32)
         c4 = ce // T
         e4 = ce % T
+        # hoist the loop-invariant (c, e) gathers (same reasoning as
+        # order 3 above)
+        n_c4, d_c4 = n[c4], dpl[c4]
+        n_e4, d_e4 = n[e4], dpl[e4]
+        v0c4, v1c4, v2c4 = v0[c4], v1[c4], v2[c4]
+        v0e4, v1e4, v2e4 = v0[e4], v1[e4], v2[e4]
 
         def one_pair(ab_q):
             ok_ab = ab_q < T * T
@@ -434,11 +449,11 @@ def image_source_ir(
                 i1[a_q][None, :], n[b_q][None, :], dpl[b_q][None]
             )[0]
             i12q = jnp.broadcast_to(i12b, (T * T, 3))
-            i123q = _mirror(i12q, n[c4], dpl[c4])
-            i1234q = _mirror(i123q, n[e4], dpl[e4])
+            i123q = _mirror(i12q, n_c4, d_c4)
+            i1234q = _mirror(i123q, n_e4, d_e4)
             lstq = jnp.broadcast_to(lst, (T * T, 3))
-            p4, ok4 = _seg_tri(lstq, i1234q, v0[e4], v1[e4], v2[e4])
-            p3, ok3 = _seg_tri(p4, i123q, v0[c4], v1[c4], v2[c4])
+            p4, ok4 = _seg_tri(lstq, i1234q, v0e4, v1e4, v2e4)
+            p3, ok3 = _seg_tri(p4, i123q, v0c4, v1c4, v2c4)
             p2, ok2 = _seg_tri(
                 p3, i12q,
                 jnp.broadcast_to(v0[b_q], (T * T, 3)),

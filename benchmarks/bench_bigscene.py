@@ -58,13 +58,25 @@ def main():
         T = int(arrays.v0.shape[0])
         row = {"triangles": int(scene.n_triangles), "padded": T}
 
+        # the MXU path materializes a (rays, 3T) f32 Woop matrix; at
+        # k=64 (T=49152) the full 32768-ray batch is 19.3 GB and OOMs
+        # 16 GB HBM (measured) — chunk rays via the sharded-path hooks
+        # (total_rays normalization + direct term on chunk 0 only)
+        n_chunks = max(1, (rays * T * 3 * 4) // (6 << 30))
+        ray_chunks = jnp.reshape(dirs, (n_chunks, rays // n_chunks, 3))
+
         def xla_step(i):
-            ir = trace_ir(arrays, srcs[i % 8], lst, cfg=cfg,
-                          max_bounces=bounces, dirs=dirs,
-                          intersector="mxu", scatter="matmul")
-            float(jnp.sum(ir.energy))
+            e = 0.0
+            for c in range(n_chunks):
+                ir = trace_ir(arrays, srcs[i % 8], lst, cfg=cfg,
+                              max_bounces=bounces, dirs=ray_chunks[c],
+                              total_rays=rays, include_direct=(c == 0),
+                              intersector="mxu", scatter="matmul")
+                e += float(jnp.sum(ir.energy))
 
         row["xla_ms"] = _med(xla_step) * 1e3
+        if n_chunks > 1:
+            row["xla_ray_chunks"] = n_chunks
 
         for sg in (False, True):
             def pallas_step(i, sg=sg):
