@@ -39,6 +39,8 @@ def __getattr__(name):
         "ambisonic_ir": ("models.ir", "ambisonic_ir"),
         "ambisonic_ir_hoa": ("models.ir", "ambisonic_ir_hoa"),
         "image_source_ir": ("models.ism", "image_source_ir"),
+        "plane_groups": ("models.ism", "plane_groups"),
+        "PlaneGroups": ("models.ism", "PlaneGroups"),
         "trace_ir_multi_listener": ("models.ir", "trace_ir_multi_listener"),
         "AcousticMaterial": ("models.materials", "AcousticMaterial"),
         "MATERIAL_PRESETS": ("models.materials", "MATERIAL_PRESETS"),
@@ -74,6 +76,7 @@ __all__ = [
     "Config", "DEFAULT_CONFIG", "Scene", "SceneArrays", "box_room", "Space",
     "SpaceBuilder", "SoundSystem", "trace_ir", "trace_ir_pallas",
     "ambisonic_ir", "ambisonic_ir_hoa", "image_source_ir",
+    "plane_groups", "PlaneGroups",
     "trace_ir_multi_listener", "AcousticMaterial",
     "MATERIAL_PRESETS", "ImpulseResponse", "acoustic_update",
     "render_ir_offline", "render_ir_moving_offline", "render_engine_offline",

@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--rays", type=int, default=None)
     ap.add_argument("--bounces", type=int, default=None)
     ap.add_argument("--ism-order", type=int, default=2)
+    ap.add_argument("--ism-planes", action="store_true",
+                    help="ISM/hybrid/full: enumerate image sources over the "
+                         "scene's unique PLANES instead of triangle tuples "
+                         "(exact; orders of magnitude faster on subdivided "
+                         "architectural scenes, and required for "
+                         "--ism-order 5/6)")
     ap.add_argument("--diffraction-order", type=int, choices=(1, 2),
                     default=1,
                     help="--model full: 2 adds edge-to-edge (double) UTD "
@@ -162,16 +168,21 @@ def main(argv=None) -> str:
     if args.model != "trace":
         # deterministic ISM / hybrid model families, sharing the renderer's
         # decode chain through its ir_fn hook
-        from ..models.ism import hybrid_ir, image_source_ir
+        from ..models.ism import hybrid_ir, image_source_ir, plane_groups
 
         if args.speakers is not None or args.sh_order is not None:
             raise SystemExit(
                 "--speakers/--sh-order currently require --model trace"
             )
+        pg = (
+            plane_groups(scene.device_arrays()) if args.ism_planes else None
+        )
+        if args.ism_order > 4 and pg is None:
+            raise SystemExit("--ism-order 5/6 requires --ism-planes")
         if args.model == "ism":
             ir_fn = lambda arrays, pos, lst: image_source_ir(  # noqa: E731
                 arrays, pos, lst, cfg=cfg, order=args.ism_order,
-                src_directivity=directivity,
+                src_directivity=directivity, planes=pg,
             )
         elif args.model == "hybrid":
             # pallas tail uses the counter-hash RNG seeded by rng_seed; a
@@ -183,7 +194,7 @@ def main(argv=None) -> str:
                 else jax.random.PRNGKey(args.seed),
                 src_directivity=directivity,
                 tail_backend=args.tail, rng_seed=args.seed,
-                tail_interpret=args.tail_interpret,
+                tail_interpret=args.tail_interpret, planes=pg,
             )
         else:  # full: ISM early + MC tail + UTD edge diffraction
             from ..models.diffraction import (
@@ -205,7 +216,7 @@ def main(argv=None) -> str:
                     else jax.random.PRNGKey(args.seed),
                     src_directivity=directivity,
                     tail_backend=args.tail, rng_seed=args.seed,
-                    tail_interpret=args.tail_interpret,
+                    tail_interpret=args.tail_interpret, planes=pg,
                 )
                 di = diffraction_ir_utd(arrays, wedges, pos, lst, cfg=cfg,
                                         src_directivity=directivity)

@@ -62,7 +62,9 @@ def main():
         # k=64 (T=49152) the full 32768-ray batch is 19.3 GB and OOMs
         # 16 GB HBM (measured) — chunk rays via the sharded-path hooks
         # (total_rays normalization + direct term on chunk 0 only)
-        n_chunks = max(1, (rays * T * 3 * 4) // (6 << 30))
+        n_chunks = 1
+        while rays * T * 3 * 4 // n_chunks > (6 << 30):
+            n_chunks *= 2  # power of two: divides the ray count evenly
         ray_chunks = jnp.reshape(dirs, (n_chunks, rays // n_chunks, 3))
 
         def xla_step(i):
@@ -98,10 +100,12 @@ def main():
             # the BIH traversal path (never benchmarked in r1): sub-linear
             # per-ray work, divergent while_loop control flow — measured
             # here so the large-scene story rests on numbers, not vibes
+            arena = scene.device_bih()
+
             def bih_step(i):
                 ir = trace_ir(arrays, srcs[i % 8], lst, cfg=cfg,
                               max_bounces=bounces, dirs=dirs,
-                              intersector="bih")
+                              intersector="bih", bih_arena=arena)
                 float(jnp.sum(ir.energy))
 
             try:

@@ -145,6 +145,7 @@ def test_offline_cli_models(tmp_path):
         ("trace", ["--sh-order", "2"]),
         ("trace", ["--speakers", "8"]),
         ("ism", ["--ism-order", "1"]),
+        ("ism", ["--ism-order", "2", "--ism-planes"]),
         ("hybrid", ["--ism-order", "1"]),
         ("full", ["--ism-order", "1", "--diffraction-order", "2"]),
         ("trace", ["--directivity", "cardioid@1,0,0"]),

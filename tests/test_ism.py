@@ -10,7 +10,10 @@ import jax.numpy as jnp
 
 from audio_raytracing_tpu.config import DEFAULT_CONFIG
 from audio_raytracing_tpu.models.ir import fibonacci_sphere, trace_ir
-from audio_raytracing_tpu.models.ism import image_source_ir
+from audio_raytracing_tpu.models.ism import (
+    image_source_ir,
+    plane_groups,
+)
 from audio_raytracing_tpu.models.scene import Scene, box_room
 from audio_raytracing_tpu.ops.eq import EQ_FREQS
 
@@ -310,6 +313,216 @@ def test_order4_padding_invariance():
             sc.device_arrays(), src, lst, cfg=cfg, order=4,
             include_direct=False).energy))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-12)
+
+
+def test_plane_groups_structure():
+    """A subdivided box has exactly 6 unique planes; every real triangle
+    lands in exactly one group; padding rows are excluded."""
+    from audio_raytracing_tpu.models.scene import box_room_subdivided
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    scene = Scene.from_triangles(
+        box_room_subdivided(size=(10.0, 4.0, 8.0), k=3), cfg
+    )
+    arrays = scene.device_arrays()
+    pg = plane_groups(arrays)
+    assert pg.pn.shape[0] == 6
+    mem = np.asarray(pg.members)
+    real = mem[mem >= 0]
+    assert len(real) == scene.n_triangles
+    assert len(set(real.tolist())) == scene.n_triangles
+    # plane equations actually hold for every member's vertices
+    pn, pd = np.asarray(pg.pn), np.asarray(pg.pd)
+    v0 = np.asarray(arrays.v0)
+    for p in range(6):
+        for t in mem[p][mem[p] >= 0]:
+            np.testing.assert_allclose(pn[p] @ v0[t], pd[p], atol=1e-4)
+
+
+def test_plane_mode_matches_exhaustive_box():
+    """Plane enumeration = exhaustive triangle enumeration, orders 2-4,
+    box room (every wall is 2 coplanar triangles -> P=6, M=2)."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=4096,
+                              triangle_pad=16)
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 4.0, 6.0)), cfg,
+        absorption=np.linspace(0.05, 0.4, 12).astype(np.float32),
+    )
+    arrays = scene.device_arrays()
+    pg = plane_groups(arrays)
+    src = jnp.asarray([1.0, 0.2, 0.3])
+    lst = jnp.asarray([-1.0, -0.2, 0.1])
+    for order in (2, 3, 4):
+        a = image_source_ir(arrays, src, lst, cfg=cfg, order=order,
+                            include_direct=False)
+        b = image_source_ir(arrays, src, lst, cfg=cfg, order=order,
+                            include_direct=False, planes=pg)
+        np.testing.assert_allclose(
+            np.asarray(b.energy), np.asarray(a.energy), rtol=1e-5,
+            atol=1e-12, err_msg=f"order {order}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.dir_sum), np.asarray(a.dir_sum), rtol=1e-4,
+            atol=1e-10, err_msg=f"order {order}",
+        )
+
+
+def test_plane_mode_matches_exhaustive_world_obj():
+    """Same on real OBJ geometry (world.obj: 114 tris, 80 planes — the
+    unstructured case where grouping buys little but must stay exact)."""
+    from pathlib import Path
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=4096)
+    obj = Path(__file__).resolve().parent.parent / "data" / "world.obj"
+    scene = Scene.from_obj(str(obj), cfg)
+    arrays = scene.device_arrays()
+    pg = plane_groups(arrays)
+    src = jnp.asarray([1.0, 0.3, 0.5])
+    lst = jnp.asarray([-1.0, 0.0, -0.5])
+    a = image_source_ir(arrays, src, lst, cfg=cfg, order=2,
+                        include_direct=False)
+    b = image_source_ir(arrays, src, lst, cfg=cfg, order=2,
+                        include_direct=False, planes=pg)
+    np.testing.assert_allclose(np.asarray(b.energy), np.asarray(a.energy),
+                               rtol=1e-5, atol=1e-12)
+
+
+def test_plane_mode_two_sided_sheet_exact():
+    """Coincident duplicated triangles (a two-sided sheet): the membership
+    weight sum-of-keep^2 makes the plane path reproduce the exhaustive
+    walk's duplicate contributions exactly."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=4096,
+                              triangle_pad=32)
+    base = box_room(size=(8.0, 4.0, 6.0))
+    # vertical sheet at x=2, BOTH windings (reversed normal), distinct
+    # absorptions so the duplicate product matters
+    sheet = np.float32([
+        [[2, -2, -3], [2, 2, -3], [2, 2, 3]],
+        [[2, -2, -3], [2, 2, 3], [2, -2, 3]],
+        [[2, -2, -3], [2, 2, 3], [2, 2, -3]],
+        [[2, -2, -3], [2, -2, 3], [2, 2, 3]],
+    ])
+    tris = np.concatenate([base, sheet])
+    ab = np.full(len(tris), 0.1, np.float32)
+    ab[12:] = [0.2, 0.2, 0.35, 0.35]
+    scene = Scene.from_triangles(tris, cfg, absorption=ab)
+    arrays = scene.device_arrays()
+    pg = plane_groups(arrays)
+    # the sheet's 4 triangles share one plane
+    assert pg.pn.shape[0] == 7
+    src = jnp.asarray([3.0, 0.2, 0.3])
+    lst = jnp.asarray([-1.0, -0.2, 0.1])
+    for order in (1, 2):
+        a = image_source_ir(arrays, src, lst, cfg=cfg, order=order,
+                            include_direct=False)
+        b = image_source_ir(arrays, src, lst, cfg=cfg, order=order,
+                            include_direct=False, planes=pg)
+        np.testing.assert_allclose(
+            np.asarray(b.energy), np.asarray(a.energy), rtol=1e-5,
+            atol=1e-12, err_msg=f"order {order}",
+        )
+
+
+def test_plane_mode_order5_corridor_analytic():
+    """Orders 5-6 (plane mode only): corridor flutter ABABA/BABAB images
+    have closed-form positions; each order adds exactly those two
+    arrivals with amplitude keep^k / (d+1) * air."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=8192,
+                              triangle_pad=16)
+    L = 4.0
+
+    def wall(x):
+        return np.float32([
+            [[x, -8, -8], [x, 8, -8], [x, 8, 8]],
+            [[x, -8, -8], [x, 8, 8], [x, -8, 8]],
+        ])
+
+    scene = Scene.from_triangles(np.concatenate([wall(0.0), wall(L)]), cfg)
+    arrays = scene.device_arrays()
+    pg = plane_groups(arrays)
+    assert pg.pn.shape[0] == 2
+    src = np.float32([1.0, 0.0, 0.0])
+    lst = np.float32([3.0, 0.2, 0.1])
+    kw = dict(cfg=cfg, include_direct=False, planes=pg)
+
+    def img_x(seq, x):
+        for w in seq:
+            x = -x if w == "A" else 2 * L - x
+        return x
+
+    spm = cfg.samples_per_meter
+    keep = np.sqrt(1.0 - 0.1)
+    prev = np.asarray(image_source_ir(
+        arrays, jnp.asarray(src), jnp.asarray(lst), order=4, **kw).energy)
+    for k, seqs in ((5, ("ABABA", "BABAB")), (6, ("ABABAB", "BABABA"))):
+        cur = np.asarray(image_source_ir(
+            arrays, jnp.asarray(src), jnp.asarray(lst), order=k, **kw
+        ).energy)
+        extra = cur - prev
+        assert extra.min() > -1e-10
+        expect = {}
+        for seq in seqs:
+            d = np.linalg.norm(np.float32([img_x(seq, src[0]), 0, 0]) - lst)
+            air = np.clip(
+                1.0 - cfg.air_absorption * d * np.asarray(EQ_FREQS), 0.0, 1.0
+            )
+            amp = keep ** k / (d + 1.0) * air
+            b = int(d * spm + 0.5)
+            # at odd orders the two flutter images sit at the SAME
+            # distance (|x_src| and |2L - x_src| unfold symmetrically):
+            # their energies sum in one bin
+            expect[b] = expect.get(b, 0.0) + amp * amp
+        got = set(np.nonzero(extra.sum(axis=0) > 1e-12)[0].tolist())
+        assert got == set(expect), f"order {k}"
+        for b, e in expect.items():
+            np.testing.assert_allclose(extra[:, b], e, rtol=1e-4,
+                                       err_msg=f"order {k} bin {b}")
+        prev = cur
+
+
+def test_plane_mode_transmission_and_directivity_parity():
+    """Plane mode honors transmissive occluders and source directivity
+    identically to the exhaustive path."""
+    from audio_raytracing_tpu.models.directivity import Directivity
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=4096,
+                              triangle_pad=32)
+    base = box_room(size=(8.0, 4.0, 6.0))
+    screen = np.float32([
+        [[0, -2, -2], [0, 2, -2], [0, 2, 2]],
+        [[0, -2, -2], [0, 2, 2], [0, -2, 2]],
+    ])
+    tris = np.concatenate([base, screen])
+    trans = np.zeros((len(tris), cfg.n_bands), np.float32)
+    trans[12:] = 0.6  # the screen passes energy
+    scene = Scene.from_triangles(tris, cfg, transmission=trans)
+    arrays = scene.device_arrays()
+    pg = plane_groups(arrays)
+    src = jnp.asarray([2.0, 0.2, 0.3])
+    lst = jnp.asarray([-2.0, -0.2, 0.1])
+    card = Directivity(axis=(1.0, 0.0, 0.0), alpha=(0.5,) * cfg.n_bands)
+    for kwargs in ({}, {"src_directivity": card}):
+        a = image_source_ir(arrays, src, lst, cfg=cfg, order=2,
+                            include_direct=False, **kwargs)
+        b = image_source_ir(arrays, src, lst, cfg=cfg, order=2,
+                            include_direct=False, planes=pg, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(b.energy), np.asarray(a.energy), rtol=1e-5,
+            atol=1e-12,
+        )
+
+
+def test_plane_mode_order_validation():
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    scene = Scene.from_triangles(box_room(), cfg)
+    arrays = scene.device_arrays()
+    pg = plane_groups(arrays)
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    with pytest.raises(ValueError, match="plane_groups"):
+        image_source_ir(arrays, src, lst, cfg=cfg, order=5)
+    with pytest.raises(ValueError, match="1..6"):
+        image_source_ir(arrays, src, lst, cfg=cfg, order=7, planes=pg)
 
 
 @pytest.mark.slow
