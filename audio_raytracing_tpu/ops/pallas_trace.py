@@ -146,7 +146,8 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   group_fori: bool = False, row_unroll: int = 8,
                   transmission: bool = False, weighted: bool = False,
                   scattering: float = 0.0, material_scattering: bool = False,
-                  rng_seed: int = 0, sg_cull: bool = False):
+                  rng_seed: int = 0, sg_cull: bool = False,
+                  shadow_divfree: bool = False):
     # large-scene mode: iterate triangle groups with lax.fori_loop +
     # 8-aligned dynamic VMEM loads instead of a fully unrolled Python loop
     # (which explodes trace/compile time past ~32 groups). Incompatible
@@ -468,17 +469,39 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             opx = ocol(0) + 0.0 * wx
             opy = ocol(1) + 0.0 * wx
             opz = ocol(2) + 0.0 * wx
-            t = -opz / dpz
-            u = opx + t * dpx
-            v = opy + t * dpy
-            ok = (
-                (jnp.abs(dpz) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t >= eps)
-                & (t <= 1.0)
-            )
+            if shadow_divfree:
+                # division-free segment test (r2 VERDICT experiment 2a):
+                # unlike the path pass, the shadow test never needs t
+                # itself (no winner selection — only the accept mask), so
+                # every condition is multiplied through by dpz^2 > 0. One
+                # variable/variable divide (~6 FMA slots, tools/
+                # vpu_peak.py) trades for two muls + two FMAs; exact for
+                # non-degenerate dpz (boundary cases can flip only where
+                # u, v, or t sit within one ulp of an edge).
+                d2 = dpz * dpz
+                ad = -(opz * dpz)  # = t * dpz^2
+                uu = opx * d2 + ad * dpx  # = u * dpz^2
+                vv = opy * d2 + ad * dpy  # = v * dpz^2
+                ok = (
+                    (d2 > 1e-24)
+                    & (uu >= 0.0)
+                    & (vv >= 0.0)
+                    & (uu + vv <= d2)
+                    & (ad >= eps * d2)
+                    & (ad <= d2)
+                )
+            else:
+                t = -opz / dpz
+                u = opx + t * dpx
+                v = opy + t * dpy
+                ok = (
+                    (jnp.abs(dpz) > 1e-12)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= eps)
+                    & (t <= 1.0)
+                )
             okf = ok.astype(jnp.float32)
             if transmission:
                 return tuple(
@@ -772,6 +795,551 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             hist_out_ref[...] = hist_ref[...]
 
 
+def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
+                           opl_ref, gaabb_ref, *refs, n_tris: int,
+                           chunk_tris: int, max_bounces: int, cfg: Config,
+                           flat_bands: bool = False,
+                           transmission: bool = False,
+                           weighted: bool = False, scattering: float = 0.0,
+                           material_scattering: bool = False,
+                           rng_seed: int = 0, sg_cull: bool = False,
+                           shadow_divfree: bool = False,
+                           row_unroll: int = 8):
+    """HBM-streamed variant of _trace_kernel for scenes whose triangle
+    table exceeds VMEM (~100k+ triangles at 24 f32 columns).
+
+    The resident kernel holds the whole (T, 24) table in VMEM; here the
+    grid is (ray_tiles, bounces, 2 passes, triangle chunks) and the
+    Pallas pipeline streams (chunk_tris, 24) blocks from HBM, double-
+    buffered against compute — the loop interchange (chunk outermost,
+    ray row innermost) that makes each triangle byte travel once per
+    tile-bounce-pass instead of once per ray row. Per-tile ray state
+    (origins, directions, per-band amplitudes, path lengths) and the
+    running nearest-hit / shadow carries live in VMEM scratch across
+    grid steps; pass 0 sweeps chunks for the nearest hit, finalizing
+    winner selection at the last chunk, pass 1 sweeps the same chunks
+    for the listener-shadow segment test, then bins the bounce's
+    contribution (same MXU one-hot scheme) and reflects.
+
+    Supports the production feature set (fused_hist required:
+    flat_bands / transmission / directivity weights / stochastic
+    scattering / sg_cull / shadow_divfree); the register-resident
+    experiments (cull, mxu_xform) and the bounce-0 precomputed source
+    origins are not carried over (the generic origin transform costs
+    ~12 extra ops on bounce 0 only). Reference behavior being
+    reproduced: raytracer.zig:98-149 intersection + main.zig:1034-1108
+    bounce walk, identical to _trace_kernel."""
+    inf = jnp.float32(np.inf)
+    scatter_on = scattering > 0.0 or material_scattering
+    if scatter_on:
+        from .hashrng import hash_u32_py, uniform01
+
+        seed_base = hash_u32_py(rng_seed)
+    # all program ids read at kernel top level (interpret-mode
+    # interception doesn't reach inside pl.when bodies / fori loops)
+    i_id = pl.program_id(0)
+    tile_base = i_id * TILE
+    b_id = pl.program_id(1)
+    p_id = pl.program_id(2)
+    c_id = pl.program_id(3)
+    n_tiles = pl.num_programs(0)
+    n_chunks = pl.num_programs(3)
+    sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
+    lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
+    inv_n = scalar_ref[6]
+    spm_bps = scalar_ref[7]
+    n_bins = scalar_ref[8]
+    air = cfg.air_absorption
+    eps = 1e-6
+    freqs = [float(f) for f in EQ_FREQS]
+    if cfg.air_model == "iso9613":
+        from ..models.air import amplitude_decay_per_meter
+        from ..models.ir import AIR_BAND_HZ
+
+        k_air = amplitude_decay_per_meter(
+            AIR_BAND_HZ, cfg.air_temperature_c, cfg.air_humidity_pct,
+            cfg.air_pressure_kpa,
+        )
+        aab_of = lambda d, c: jnp.exp(float(k_air[c]) * d)  # noqa: E731
+    else:
+        aab_of = lambda d, c: jnp.clip(  # noqa: E731
+            1.0 - air * d * freqs[c], 0.0, 1.0
+        )
+    n_keep = 1 if flat_bands else N_BANDS
+    chunk_groups = chunk_tris // TRI_GROUP
+    fori_unroll = 1
+    for cand in (32, 16, 8):
+        if chunk_groups % cand == 0 and chunk_groups >= cand:
+            fori_unroll = cand
+            break
+    if sg_cull:
+        sgaabb_ref, refs = refs[0], refs[1:]
+        sg_per_chunk = chunk_groups // fori_unroll
+    if weighted:
+        w_refs, refs = refs[:n_keep], refs[n_keep:]
+    hist_out_ref = refs[0]
+    scratch = list(refs[1:])
+    hist_ref = scratch.pop(0)
+    n_coarse = hist_ref.shape[0]
+    # per-tile ray state, persisted across (bounce, pass, chunk) steps
+    st_o = [scratch.pop(0) for _ in range(3)]   # current origins
+    st_d = [scratch.pop(0) for _ in range(3)]   # current directions
+    st_path = scratch.pop(0)
+    st_alive = scratch.pop(0)
+    st_amp = [scratch.pop(0) for _ in range(n_keep)]
+    st_w = [scratch.pop(0) for _ in range(3)]   # vertex - listener
+    st_n = [scratch.pop(0) for _ in range(3)]   # winner normal
+    st_scat = scratch.pop(0) if material_scattering else None
+    n_sel = 3 + n_keep + (1 if material_scattering else 0)
+    pb_best = scratch.pop(0)                    # (64, 128) running best t
+    pb_sel = [scratch.pop(0) for _ in range(n_sel)]
+    n_shc = n_keep if transmission else 1
+    sh_c = [scratch.pop(0) for _ in range(n_shc)]
+    assert not scratch, len(scratch)
+
+    def spec_pow(x):
+        e = int(cfg.specular_exponent)
+        while e > 1:
+            x = x * x
+            e //= 2
+        return x
+
+    def _cols(base, k):
+        g8 = pl.multiple_of(
+            base * (fori_unroll * TRI_GROUP), TRI_GROUP
+        ) + k * TRI_GROUP
+        col = lambda j: tri_ref[pl.ds(g8, TRI_GROUP), pl.ds(j, 1)]  # noqa: E731
+        ocol = lambda j: opl_ref[pl.ds(g8, TRI_GROUP), pl.ds(j, 1)]  # noqa: E731
+        return col, ocol
+
+    def _sg_pred(base, o_lo, o_hi, reach_lo, reach_hi):
+        sg = c_id * sg_per_chunk + base  # global supergroup index
+        p = None
+        for k in range(3):
+            ok = (sgaabb_ref[sg, 3 + k] >= o_lo[k] + reach_lo[k]) & (
+                sgaabb_ref[sg, k] <= o_hi[k] + reach_hi[k]
+            )
+            p = ok if p is None else (p & ok)
+        return p
+
+    @pl.when((b_id == 0) & (p_id == 0) & (c_id == 0))
+    def _init_tile():
+        @pl.when(i_id == 0)
+        def _zero_hist():
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+
+        # zeros_like(ref) never reads the (uninitialized) scratch values
+        st_o[0][...] = jnp.zeros_like(st_o[0]) + sx
+        st_o[1][...] = jnp.zeros_like(st_o[1]) + sy
+        st_o[2][...] = jnp.zeros_like(st_o[2]) + sz
+        st_d[0][...] = dx_ref[...]
+        st_d[1][...] = dy_ref[...]
+        st_d[2][...] = dz_ref[...]
+        st_path[...] = jnp.zeros_like(st_path)
+        st_alive[...] = jnp.ones_like(st_alive)
+        for c in range(n_keep):
+            st_amp[c][...] = (
+                w_refs[c][...] if weighted else jnp.ones_like(st_amp[c])
+            )
+
+    @pl.when((p_id == 0) & (c_id == 0))
+    def _init_path_carry():
+        pb_best[...] = jnp.full_like(pb_best, inf)
+        for c in range(3):
+            pb_sel[c][...] = jnp.zeros_like(pb_sel[c])
+        for c in range(n_keep):
+            pb_sel[3 + c][...] = jnp.ones_like(pb_sel[3 + c])
+        if material_scattering:
+            pb_sel[3 + n_keep][...] = jnp.zeros_like(pb_sel[3 + n_keep])
+
+    @pl.when((p_id == 1) & (c_id == 0))
+    def _init_shadow_carry():
+        for c in range(n_shc):
+            sh_c[c][...] = jnp.zeros_like(sh_c[c])
+
+    def path_row(r):
+        rr = pl.multiple_of(r * TRI_GROUP, TRI_GROUP)
+        ox = st_o[0][pl.ds(r, 1), :]
+        oy = st_o[1][pl.ds(r, 1), :]
+        oz = st_o[2][pl.ds(r, 1), :]
+        dx = st_d[0][pl.ds(r, 1), :]
+        dy = st_d[1][pl.ds(r, 1), :]
+        dz = st_d[2][pl.ds(r, 1), :]
+        if sg_cull:
+            o_lo = (jnp.min(ox), jnp.min(oy), jnp.min(oz))
+            o_hi = (jnp.max(ox), jnp.max(oy), jnp.max(oz))
+            d_lo = (jnp.min(dx), jnp.min(dy), jnp.min(dz))
+            d_hi = (jnp.max(dx), jnp.max(dy), jnp.max(dz))
+            r_lo = tuple(jnp.where(d_lo[k] < 0, -inf, 0.0) for k in range(3))
+            r_hi = tuple(jnp.where(d_hi[k] > 0, inf, 0.0) for k in range(3))
+
+        def group_body(col, ocol, carry):
+            best_t, sel = carry[0], list(carry[1:])
+            a00, a01, a02 = col(0), col(1), col(2)
+            a10, a11, a12 = col(3), col(4), col(5)
+            a20, a21, a22 = col(6), col(7), col(8)
+            opx = a00 * ox + a01 * oy + a02 * oz + col(_B)
+            opy = a10 * ox + a11 * oy + a12 * oz + col(_B + 1)
+            opz = a20 * ox + a21 * oy + a22 * oz + col(_B + 2)
+            dpx = a00 * dx + a01 * dy + a02 * dz
+            dpy = a10 * dx + a11 * dy + a12 * dz
+            dpz = a20 * dx + a21 * dy + a22 * dz
+            t = -opz / dpz
+            u = opx + t * dpx
+            v = opy + t * dpy
+            ok = (
+                (jnp.abs(dpz) > 1e-12)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t >= eps)
+            )
+            tc = jnp.where(ok, t, inf)
+            improved = tc < best_t
+            best_t = jnp.where(improved, tc, best_t)
+            for c in range(3):
+                sel[c] = jnp.where(improved, col(_N + c), sel[c])
+            for c in range(n_keep):
+                sel[3 + c] = jnp.where(improved, col(_K + c), sel[3 + c])
+            if material_scattering:
+                sel[3 + n_keep] = jnp.where(improved, col(_SCAT),
+                                            sel[3 + n_keep])
+            return (best_t, *sel)
+
+        def fori_body(base, carry):
+            def run(carry):
+                for k in range(fori_unroll):
+                    col, ocol = _cols(base, k)
+                    carry = group_body(col, ocol, carry)
+                return carry
+
+            if not sg_cull:
+                return run(carry)
+            return jax.lax.cond(
+                _sg_pred(base, o_lo, o_hi, r_lo, r_hi), run, lambda c: c,
+                carry,
+            )
+
+        carry = (
+            pb_best[pl.ds(rr, TRI_GROUP), :],
+            *[s[pl.ds(rr, TRI_GROUP), :] for s in pb_sel],
+        )
+        carry = jax.lax.fori_loop(
+            0, chunk_groups // fori_unroll, fori_body, carry
+        )
+        pb_best[pl.ds(rr, TRI_GROUP), :] = carry[0]
+        for c in range(n_sel):
+            pb_sel[c][pl.ds(rr, TRI_GROUP), :] = carry[1 + c]
+
+    def path_finalize_row(r):
+        """Winner selection at the last chunk: fold the bounce's hit into
+        the persistent ray state (same math as _trace_kernel row_body)."""
+        rr = pl.multiple_of(r * TRI_GROUP, TRI_GROUP)
+        best_t8 = pb_best[pl.ds(rr, TRI_GROUP), :]
+        sel = [s[pl.ds(rr, TRI_GROUP), :] for s in pb_sel]
+        ox = st_o[0][pl.ds(r, 1), :]
+        oy = st_o[1][pl.ds(r, 1), :]
+        oz = st_o[2][pl.ds(r, 1), :]
+        dx = st_d[0][pl.ds(r, 1), :]
+        dy = st_d[1][pl.ds(r, 1), :]
+        dz = st_d[2][pl.ds(r, 1), :]
+        alive = st_alive[pl.ds(r, 1), :]
+        path = st_path[pl.ds(r, 1), :]
+        min_t = jnp.min(best_t8, axis=0, keepdims=True)
+        taken = 0.0 * min_t
+        acc = [0.0 * min_t for _ in range(n_sel)]
+        for s in range(TRI_GROUP):
+            row_min = (
+                jax.lax.slice(best_t8, (s, 0), (s + 1, LANES)) == min_t
+            ).astype(jnp.float32)
+            use = row_min * (1.0 - taken)
+            for c in range(n_sel):
+                acc[c] = acc[c] + use * jax.lax.slice(
+                    sel[c], (s, 0), (s + 1, LANES)
+                )
+            taken = jnp.maximum(taken, row_min)
+        nx, ny, nz = acc[0], acc[1], acc[2]
+        keep = acc[3:3 + n_keep]
+
+        hitf = (min_t < inf).astype(jnp.float32)
+        alive = alive * hitf
+        t_safe = jnp.where(min_t < inf, min_t, 0.0) * alive
+        tb = t_safe * cfg.backoff
+        vx = ox + dx * tb
+        vy = oy + dy * tb
+        vz = oz + dz * tb
+        ndd = nx * dx + ny * dy + nz * dz
+        s = jnp.sign(1e-30 - ndd)
+        nx, ny, nz = nx * s, ny * s, nz * s
+        st_path[pl.ds(r, 1), :] = path + t_safe * alive
+        st_alive[pl.ds(r, 1), :] = alive
+        for c in range(n_keep):
+            kc = jnp.where(min_t < inf, keep[c], 1.0)
+            amp = st_amp[c][pl.ds(r, 1), :]
+            st_amp[c][pl.ds(r, 1), :] = amp * jnp.where(alive > 0, kc, 1.0)
+        st_w[0][pl.ds(r, 1), :] = vx - lx
+        st_w[1][pl.ds(r, 1), :] = vy - ly
+        st_w[2][pl.ds(r, 1), :] = vz - lz
+        st_n[0][pl.ds(r, 1), :] = nx
+        st_n[1][pl.ds(r, 1), :] = ny
+        st_n[2][pl.ds(r, 1), :] = nz
+        if material_scattering:
+            st_scat[pl.ds(r, 1), :] = acc[3 + n_keep]
+
+    def shadow_row(r):
+        rr = pl.multiple_of(r * TRI_GROUP, TRI_GROUP)
+        wx = st_w[0][pl.ds(r, 1), :]
+        wy = st_w[1][pl.ds(r, 1), :]
+        wz = st_w[2][pl.ds(r, 1), :]
+        if sg_cull:
+            l_pt = (lx, ly, lz)
+            wb = ((jnp.min(wx), jnp.max(wx)), (jnp.min(wy), jnp.max(wy)),
+                  (jnp.min(wz), jnp.max(wz)))
+            r_lo = tuple(jnp.minimum(wb[k][0], 0.0) for k in range(3))
+            r_hi = tuple(jnp.maximum(wb[k][1], 0.0) for k in range(3))
+
+        def group_body(col, ocol, carry):
+            a00, a01, a02 = col(0), col(1), col(2)
+            a10, a11, a12 = col(3), col(4), col(5)
+            a20, a21, a22 = col(6), col(7), col(8)
+            dpx = a00 * wx + a01 * wy + a02 * wz
+            dpy = a10 * wx + a11 * wy + a12 * wz
+            dpz = a20 * wx + a21 * wy + a22 * wz
+            opx = ocol(0) + 0.0 * wx
+            opy = ocol(1) + 0.0 * wx
+            opz = ocol(2) + 0.0 * wx
+            if shadow_divfree:
+                # see _trace_kernel's shadow_pass for the derivation
+                d2 = dpz * dpz
+                ad = -(opz * dpz)
+                uu = opx * d2 + ad * dpx
+                vv = opy * d2 + ad * dpy
+                ok = (
+                    (d2 > 1e-24)
+                    & (uu >= 0.0)
+                    & (vv >= 0.0)
+                    & (uu + vv <= d2)
+                    & (ad >= eps * d2)
+                    & (ad <= d2)
+                )
+            else:
+                t = -opz / dpz
+                u = opx + t * dpx
+                v = opy + t * dpy
+                ok = (
+                    (jnp.abs(dpz) > 1e-12)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= eps)
+                    & (t <= 1.0)
+                )
+            okf = ok.astype(jnp.float32)
+            if transmission:
+                return tuple(
+                    carry[c] + okf * col(_TAU + c) for c in range(n_keep)
+                )
+            return (jnp.maximum(carry[0], okf),)
+
+        def fori_body(base, carry):
+            def run(carry):
+                for k in range(fori_unroll):
+                    col, ocol = _cols(base, k)
+                    carry = group_body(col, ocol, carry)
+                return carry
+
+            if not sg_cull:
+                return run(carry)
+            return jax.lax.cond(
+                _sg_pred(base, l_pt, l_pt, r_lo, r_hi), run, lambda c: c,
+                carry,
+            )
+
+        carry = tuple(s[pl.ds(rr, TRI_GROUP), :] for s in sh_c)
+        carry = jax.lax.fori_loop(
+            0, chunk_groups // fori_unroll, fori_body, carry
+        )
+        for c in range(n_shc):
+            sh_c[c][pl.ds(rr, TRI_GROUP), :] = carry[c]
+
+    def emit_reflect_row(r):
+        """Last shadow chunk: reduce the shadow carry, bin the bounce's
+        contribution (MXU one-hot scheme, identical to _trace_kernel) and
+        reflect the ray state for the next bounce."""
+        rr = pl.multiple_of(r * TRI_GROUP, TRI_GROUP)
+        wx = st_w[0][pl.ds(r, 1), :]
+        wy = st_w[1][pl.ds(r, 1), :]
+        wz = st_w[2][pl.ds(r, 1), :]
+        nx = st_n[0][pl.ds(r, 1), :]
+        ny = st_n[1][pl.ds(r, 1), :]
+        nz = st_n[2][pl.ds(r, 1), :]
+        dx = st_d[0][pl.ds(r, 1), :]
+        dy = st_d[1][pl.ds(r, 1), :]
+        dz = st_d[2][pl.ds(r, 1), :]
+        alive = st_alive[pl.ds(r, 1), :]
+        path = st_path[pl.ds(r, 1), :]
+        amp = [st_amp[c][pl.ds(r, 1), :] for c in range(n_keep)]
+        if transmission:
+            sh = [
+                jnp.sum(sh_c[c][pl.ds(rr, TRI_GROUP), :], axis=0,
+                        keepdims=True)
+                for c in range(n_keep)
+            ]
+            t_amp = [jnp.exp(t) for t in sh]
+            visible = alive > 0
+        else:
+            sh = jnp.max(sh_c[0][pl.ds(rr, TRI_GROUP), :], axis=0,
+                         keepdims=True)
+            visible = (alive > 0) & (sh < 0.5)
+
+        dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+        inv_dl = 1.0 / jnp.maximum(dl, 1e-20)
+        wox, woy, woz = -wx * inv_dl, -wy * inv_dl, -wz * inv_dl
+        hx, hy, hz = wox - dx, woy - dy, woz - dz
+        ih = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
+        ndw = nx * wox + ny * woy + nz * woz
+        ndh = (nx * hx + ny * hy + nz * hz) * ih
+        lam = jnp.abs(ndw) + spec_pow(jnp.maximum(ndh, 0.0))
+        d_total = path + dl
+        scale = lam / (d_total + 1.0)
+        visf = visible.astype(jnp.float32)
+        if flat_bands:
+            a0 = amp[0] * scale
+            if transmission:
+                a0 = a0 * t_amp[0]
+            e_base = a0 * a0 * inv_n * visf
+            es = [e_base]
+            e_dir = e_base
+        else:
+            es = []
+            for c in range(N_BANDS):
+                aab = aab_of(d_total, c)
+                ac = amp[c] * scale * aab
+                if transmission:
+                    ac = ac * t_amp[c]
+                es.append(ac * ac * inv_n * visf)
+            e_dir = (es[0] + es[1] + es[2] + es[3]) * (1.0 / N_BANDS)
+        bins = jnp.clip(d_total * spm_bps + 0.5, 0.0, n_bins - 1.0)
+        bins = jnp.where(visible, bins, n_bins).astype(jnp.int32)
+        chans = es + [
+            wx * inv_dl * e_dir,
+            wy * inv_dl * e_dir,
+            wz * inv_dl * e_dir,
+        ]
+        chans = [jnp.where(visible, c, 0.0) for c in chans]
+        pc = len(chans)
+        coarse = bins // LANES
+        fine = bins - coarse * LANES
+        f_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0) == fine
+        ).astype(jnp.bfloat16)
+        b_all = jnp.concatenate(
+            [f_oh * chans[c].astype(jnp.bfloat16) for c in range(pc)],
+            axis=0,
+        )
+        a_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_coarse, LANES), 0)
+            == coarse
+        ).astype(jnp.bfloat16)
+        h = jax.lax.dot_general(
+            a_oh, b_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hist_ref[...] += h
+
+        # reflect for the next bounce (b_id is dynamic: predicated)
+        @pl.when(b_id < max_bounces - 1)
+        def _reflect():
+            two_ndd = 2.0 * (nx * dx + ny * dy + nz * dz)
+            live = alive > 0
+            sdx = dx - two_ndd * nx
+            sdy = dy - two_ndd * ny
+            sdz = dz - two_ndd * nz
+            if scatter_on:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                gidx = tile_base + r * LANES + lane
+                cnt = seed_base + (gidx * max_bounces + b_id) * 3
+                u_sel = uniform01(cnt)
+                u1 = uniform01(cnt + 1)
+                u2 = uniform01(cnt + 2)
+                r_s = jnp.sqrt(u1)
+                phi = 2.0 * jnp.float32(np.pi) * u2
+                z_s = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+                hxv = (jnp.abs(nz) >= 0.9).astype(jnp.float32)
+                hzv = 1.0 - hxv
+                txx = -hzv * ny
+                txy = hzv * nx - hxv * nz
+                txz = hxv * ny
+                tl = jnp.sqrt(txx * txx + txy * txy + txz * txz)
+                ti = 1.0 / jnp.maximum(tl, 1e-20)
+                txx, txy, txz = txx * ti, txy * ti, txz * ti
+                tyx = ny * txz - nz * txy
+                tyy = nz * txx - nx * txz
+                tyz = nx * txy - ny * txx
+                rc = r_s * jnp.cos(phi)
+                rs = r_s * jnp.sin(phi)
+                ddx = txx * rc + tyx * rs + nx * z_s
+                ddy = txy * rc + tyy * rs + ny * z_s
+                ddz = txz * rc + tyz * rs + nz * z_s
+                prob = (
+                    st_scat[pl.ds(r, 1), :] if material_scattering
+                    else scattering
+                )
+                use = u_sel < prob
+                sdx = jnp.where(use, ddx, sdx)
+                sdy = jnp.where(use, ddy, sdy)
+                sdz = jnp.where(use, ddz, sdz)
+            st_d[0][pl.ds(r, 1), :] = jnp.where(live, sdx, dx)
+            st_d[1][pl.ds(r, 1), :] = jnp.where(live, sdy, dy)
+            st_d[2][pl.ds(r, 1), :] = jnp.where(live, sdz, dz)
+            st_o[0][pl.ds(r, 1), :] = wx + lx
+            st_o[1][pl.ds(r, 1), :] = wy + ly
+            st_o[2][pl.ds(r, 1), :] = wz + lz
+
+    def rows(fn):
+        """Run a per-row stage for all SUBLANES rows (rolled in interpret
+        mode via row_unroll=1, unrolled on hardware like _trace_kernel)."""
+        if row_unroll in (1, SUBLANES):
+            jax.lax.fori_loop(
+                0, SUBLANES, lambda r, c: (fn(r), 0)[1], 0,
+                unroll=row_unroll,
+            )
+        else:
+            assert SUBLANES % row_unroll == 0, row_unroll
+
+            def body(i, c):
+                for k in range(row_unroll):
+                    fn(i * row_unroll + k)
+                return c
+
+            jax.lax.fori_loop(0, SUBLANES // row_unroll, body, 0)
+
+    @pl.when(p_id == 0)
+    def _path_step():
+        rows(path_row)
+
+        @pl.when(c_id == n_chunks - 1)
+        def _finalize():
+            rows(path_finalize_row)
+
+    @pl.when(p_id == 1)
+    def _shadow_step():
+        rows(shadow_row)
+
+        @pl.when(c_id == n_chunks - 1)
+        def _emit():
+            rows(emit_reflect_row)
+
+    @pl.when(
+        (i_id == n_tiles - 1)
+        & (b_id == max_bounces - 1)
+        & (p_id == 1)
+        & (c_id == n_chunks - 1)
+    )
+    def _flush_hist():
+        hist_out_ref[...] = hist_ref[...]
+
+
 def trace_contributions_pallas(
     scene_arrays, source, listener, dirs, cfg: Config = DEFAULT_CONFIG,
     max_bounces: int | None = None, total_rays: int | None = None,
@@ -780,7 +1348,8 @@ def trace_contributions_pallas(
     group_fori: bool | None = None, src_weights=None,
     scattering: float = 0.0, material_scattering: bool = False,
     rng_seed: int = 0, sg_cull: bool | None = None,
-    row_unroll: int | None = None,
+    row_unroll: int | None = None, shadow_divfree: bool = False,
+    stream_tris: int | None = None,
 ):
     """Run the fused kernel.
 
@@ -961,6 +1530,112 @@ def trace_contributions_pallas(
                          memory_space=pltpu.VMEM)
             for _ in range(n_keep)
         ]
+    if stream_tris is not None:
+        # HBM-streamed large-scene mode: grid (tiles, bounces, 2 passes,
+        # chunks); the Pallas pipeline double-buffers (chunk, 24) tri-table
+        # blocks from HBM while per-tile ray state persists in VMEM
+        # scratch — scene size is bounded by HBM, not VMEM (~49k tris is
+        # the resident kernel's ceiling at 16 MB VMEM with its carries).
+        if not fused_hist:
+            raise ValueError("stream_tris requires fused_hist=True")
+        if cull or mxu_xform:
+            raise ValueError(
+                "stream_tris excludes the cull/mxu_xform experiments"
+            )
+        chunk = min(int(stream_tris), T)
+        while T % chunk or chunk % TRI_GROUP:
+            chunk -= TRI_GROUP
+            if chunk <= 0:
+                raise ValueError(
+                    f"no chunk size <= {stream_tris} divides T={T} in "
+                    f"multiples of {TRI_GROUP}; adjust stream_tris"
+                )
+        n_chunks = T // chunk
+        chunk_groups = chunk // TRI_GROUP
+        fori_unroll = 1
+        for cand in (32, 16, 8):  # MUST match _trace_kernel_streamed
+            if chunk_groups % cand == 0 and chunk_groups >= cand:
+                fori_unroll = cand
+                break
+        stream_sg = sg_cull if sg_cull is not None else True
+        stream_row_unroll = (
+            (1 if interpret else 8) if row_unroll is None else row_unroll
+        )
+        in_specs_s = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda i, b, p, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda i, b, p, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda i, b, p, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, TRI_COLS), lambda i, b, p, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 8), lambda i, b, p, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_groups, 8), lambda i, b, p, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args_s = [scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb]
+        if stream_sg:
+            n_groups = T // TRI_GROUP
+            g3 = gaabb.reshape(n_groups // fori_unroll, fori_unroll, 8)
+            sgaabb = jnp.concatenate(
+                [
+                    g3[:, :, :3].min(axis=1),
+                    g3[:, :, 3:6].max(axis=1),
+                    jnp.zeros((g3.shape[0], 2), jnp.float32),
+                ],
+                axis=1,
+            )
+            in_specs_s.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            args_s.append(sgaabb)
+        if weighted:
+            in_specs_s += [
+                pl.BlockSpec((SUBLANES, LANES), lambda i, b, p, c: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_keep)
+            ]
+            args_s += list(w_args)
+        pc = PAYLOAD_C_FLAT if flat_bands else PAYLOAD_C
+        n_bins = cfg.ir_n_bins
+        assert n_bins % LANES == 0, n_bins
+        n_coarse = n_bins // LANES
+        n_sel = 3 + n_keep + (1 if material_scattering else 0)
+        n_shc = n_keep if transmission else 1
+        row_state = 8 + n_keep + 6 + (1 if material_scattering else 0)
+        scratch = (
+            [pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)]
+            + [pltpu.VMEM((SUBLANES, LANES), jnp.float32)] * row_state
+            + [pltpu.VMEM((SUBLANES * TRI_GROUP, LANES), jnp.float32)]
+            * (1 + n_sel + n_shc)
+        )
+        kernel_s = partial(
+            _trace_kernel_streamed, n_tris=T, chunk_tris=chunk,
+            max_bounces=max_bounces, cfg=cfg, flat_bands=flat_bands,
+            transmission=transmission, weighted=weighted,
+            scattering=scattering,
+            material_scattering=material_scattering, rng_seed=rng_seed,
+            sg_cull=stream_sg, shadow_divfree=shadow_divfree,
+            row_unroll=stream_row_unroll,
+        )
+        hist = pl.pallas_call(
+            kernel_s,
+            grid=(rows // SUBLANES, max_bounces, 2, n_chunks),
+            in_specs=in_specs_s,
+            out_specs=pl.BlockSpec(
+                (n_coarse, pc * LANES), lambda i, b, p, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_coarse, pc * LANES),
+                                           jnp.float32),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*args_s)
+        return hist.reshape(n_coarse, pc, LANES).transpose(0, 2, 1).reshape(
+            n_bins, pc
+        )
+
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
@@ -969,7 +1644,7 @@ def trace_contributions_pallas(
         transmission=transmission,
         weighted=weighted, scattering=scattering,
         material_scattering=material_scattering, rng_seed=rng_seed,
-        sg_cull=sg_cull,
+        sg_cull=sg_cull, shadow_divfree=shadow_divfree,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + sg_args + w_args
     if fused_hist:
@@ -1024,7 +1699,8 @@ def trace_contributions_pallas(
                      "include_direct", "interpret", "fused_hist", "cull",
                      "flat_bands", "mxu_xform", "group_fori",
                      "src_directivity", "scattering", "material_scattering",
-                     "rng_seed", "sg_cull", "row_unroll"),
+                     "rng_seed", "sg_cull", "row_unroll", "shadow_divfree",
+                     "stream_tris"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -1049,6 +1725,8 @@ def trace_ir_pallas(
     rng_seed: int = 0,
     sg_cull: bool | None = None,
     row_unroll: int | None = None,
+    shadow_divfree: bool = False,
+    stream_tris: int | None = None,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -1104,6 +1782,7 @@ def trace_ir_pallas(
             group_fori=group_fori, src_weights=src_weights,
             scattering=scattering, material_scattering=material_scattering,
             rng_seed=rng_seed, sg_cull=sg_cull, row_unroll=row_unroll,
+            shadow_divfree=shadow_divfree, stream_tris=stream_tris,
         )
     else:
         bins, payload = trace_contributions_pallas(
@@ -1113,6 +1792,7 @@ def trace_ir_pallas(
             group_fori=group_fori, src_weights=src_weights,
             scattering=scattering, material_scattering=material_scattering,
             rng_seed=rng_seed, sg_cull=sg_cull, row_unroll=row_unroll,
+            shadow_divfree=shadow_divfree,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     if flat_bands:

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Big-scene scaling benchmark (separate from the driver-tracked bench.py
-to keep its compile budget small): subdivided rooms at 3k and 49k
+to keep its compile budget small): subdivided rooms at 3k, 49k, and 196k
 triangles, traced by the fused Pallas kernel (group_fori large-scene mode,
-supergroup culling on AND off), the XLA MXU path, and — at the large size
-— the BIH traversal path (ops/traverse.py, sub-linear broad phase).
+supergroup culling on AND off), the HBM-streamed kernel (stream_tris —
+the 196k scene's tri table exceeds VMEM, the resident kernel cannot load
+it), the XLA MXU path, and — at the large sizes — the BIH traversal path
+(ops/traverse.py, sub-linear broad phase).
 Prints one JSON line; headline = the fastest path on the largest scene.
 """
 
@@ -50,7 +52,7 @@ def main():
     srcs = [jnp.asarray([1.0 + 0.001 * i, 0.3, 0.5]) for i in range(8)]
 
     sizes = {}
-    for k in (16, 64):
+    for k in (16, 64, 128):
         scene = Scene.from_triangles(
             box_room_subdivided(size=(10.0, 4.0, 8.0), k=k), cfg
         )
@@ -80,23 +82,43 @@ def main():
         if n_chunks > 1:
             row["xla_ray_chunks"] = n_chunks
 
-        for sg in (False, True):
-            def pallas_step(i, sg=sg):
+        if k < 128:  # resident kernel: T=196608 x 24 f32 cols > 16 MB VMEM
+            for sg in (False, True):
+                def pallas_step(i, sg=sg):
+                    ir = trace_ir_pallas(
+                        arrays, srcs[i % 8], lst, cfg=cfg,
+                        max_bounces=bounces, dirs=dirs_sorted,
+                        fused_hist=True, flat_bands=True, sg_cull=sg,
+                    )
+                    float(jnp.sum(ir.energy))
+
+                try:
+                    row["pallas_sgcull_ms" if sg else "pallas_ms"] = (
+                        _med(pallas_step) * 1e3
+                    )
+                except Exception as e:  # keep the other paths' numbers
+                    row["pallas_sgcull_err" if sg else "pallas_err"] = (
+                        repr(e)[:200]
+                    )
+
+        if k >= 64:
+            # HBM-streamed kernel: tri-table chunks pipelined from HBM,
+            # per-tile ray state in VMEM scratch — scene size bounded by
+            # HBM, not VMEM
+            def stream_step(i):
                 ir = trace_ir_pallas(
                     arrays, srcs[i % 8], lst, cfg=cfg, max_bounces=bounces,
                     dirs=dirs_sorted, fused_hist=True, flat_bands=True,
-                    sg_cull=sg,
+                    stream_tris=16384,
                 )
                 float(jnp.sum(ir.energy))
 
             try:
-                row["pallas_sgcull_ms" if sg else "pallas_ms"] = (
-                    _med(pallas_step) * 1e3
-                )
-            except Exception as e:  # keep the other paths' numbers
-                row["pallas_sgcull_err" if sg else "pallas_err"] = repr(e)[:200]
+                row["pallas_stream_ms"] = _med(stream_step) * 1e3
+            except Exception as e:
+                row["pallas_stream_err"] = repr(e)[:200]
 
-        if k == 64:
+        if k >= 64:
             # the BIH traversal path (never benchmarked in r1): sub-linear
             # per-ray work, divergent while_loop control flow — measured
             # here so the large-scene story rests on numbers, not vibes
@@ -120,7 +142,7 @@ def main():
         row["tests_per_sec"] = rays * bounces * T * 2 / (best / 1e3)
         sizes[f"k{k}"] = row
 
-    big = sizes["k64"]
+    big = sizes["k128"]
     print(json.dumps({
         "metric": "bigscene_ray_triangle_tests_per_sec",
         "value": big["tests_per_sec"],
