@@ -873,8 +873,9 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             fori_unroll = cand
             break
     if sg_cull:
+        # blocked SMEM window: only the current chunk's supergroup rows
+        # (the full table at ~1M tris exceeds the 1 MB SMEM — measured)
         sgaabb_ref, refs = refs[0], refs[1:]
-        sg_per_chunk = chunk_groups // fori_unroll
     if weighted:
         w_refs, refs = refs[:n_keep], refs[n_keep:]
     hist_out_ref = refs[0]
@@ -913,11 +914,11 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         return col, ocol
 
     def _sg_pred(base, o_lo, o_hi, reach_lo, reach_hi):
-        sg = c_id * sg_per_chunk + base  # global supergroup index
+        # base indexes the CHUNK-LOCAL supergroup window (blocked SMEM)
         p = None
         for k in range(3):
-            ok = (sgaabb_ref[sg, 3 + k] >= o_lo[k] + reach_lo[k]) & (
-                sgaabb_ref[sg, k] <= o_hi[k] + reach_hi[k]
+            ok = (sgaabb_ref[base, 3 + k] >= o_lo[k] + reach_lo[k]) & (
+                sgaabb_ref[base, k] <= o_hi[k] + reach_hi[k]
             )
             p = ok if p is None else (p & ok)
         return p
@@ -1445,6 +1446,13 @@ def trace_contributions_pallas(
     tri, gaabb = build_tri_tables(scene_arrays)
     T = tri.shape[0]
     assert T % TRI_GROUP == 0, T
+    if (stream_tris is None and fused_hist and not (cull or mxu_xform)
+            and T > 98304):
+        # auto-engage HBM streaming past the resident kernel's VMEM
+        # ceiling (196608 tris measured OOM at 16 MB scoped VMEM; 49152
+        # fits). Chunk sizes are the measured-fitting ones: 8192 to 256k
+        # tris, 4096 beyond (786k driven at 2.69 s / 7.7e10 tests/s).
+        stream_tris = 8192 if T <= (1 << 18) else 4096
     # constant-origin transformed origins per triangle: A @ p + b for the
     # listener (shadow pass, cols 0:3) and the source (bounce 0, cols 3:6)
     a_mat = tri[:, _A : _A + 9].reshape(T, 3, 3)
@@ -1536,6 +1544,9 @@ def trace_contributions_pallas(
         # blocks from HBM while per-tile ray state persists in VMEM
         # scratch — scene size is bounded by HBM, not VMEM (~49k tris is
         # the resident kernel's ceiling at 16 MB VMEM with its carries).
+        # stream_tris=8192 fits the 16 MB scoped-VMEM budget at
+        # ir_n_bins=32768; 16384 was measured 764 KB over (Mosaic
+        # stack OOM at 196k tris).
         if not fused_hist:
             raise ValueError("stream_tris requires fused_hist=True")
         if cull or mxu_xform:
@@ -1588,7 +1599,11 @@ def trace_contributions_pallas(
                 ],
                 axis=1,
             )
-            in_specs_s.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            sg_per_chunk = chunk_groups // fori_unroll
+            in_specs_s.append(
+                pl.BlockSpec((sg_per_chunk, 8), lambda i, b, p, c: (c, 0),
+                             memory_space=pltpu.SMEM)
+            )
             args_s.append(sgaabb)
         if weighted:
             in_specs_s += [

@@ -109,7 +109,7 @@ def main():
                 ir = trace_ir_pallas(
                     arrays, srcs[i % 8], lst, cfg=cfg, max_bounces=bounces,
                     dirs=dirs_sorted, fused_hist=True, flat_bands=True,
-                    stream_tris=16384,
+                    stream_tris=8192,
                 )
                 float(jnp.sum(ir.energy))
 
