@@ -9,9 +9,21 @@ masked, compiler-friendly control flow with no data-dependent shapes.
 Unlike the reference's traversal (origin-only child pruning,
 raytracer.zig:219-315 — which can miss hits), pruning here is conservative:
 a child is visited if the ray origin lies inside its interval OR the ray
-points toward it, so results match brute-force nearest-hit exactly
-(differentially tested). Leaves hold at most `max_leaf_size` prims; each
-leaf performs that many masked Möller–Trumbore tests.
+points toward its plane and reaches it within the current best_t, so
+results match brute-force nearest-hit exactly (differentially tested).
+Leaves hold at most `max_leaf_size` prims; each leaf performs that many
+masked Möller–Trumbore tests.
+
+MEASURED ROLE (v5e, benchmarks/RESULTS.md "BIH traversal on TPU"): this
+path is the *parity/portability* backend (reference Space.raycast
+semantics, CPU meshes, host fallback), NOT the TPU large-scene perf
+path. The per-iteration triangle gathers serialize on TPU (no MXU, no
+contiguous loads): 49k tris x 4096 rays x 4 bounces = ~48 s warm, ~4000x
+slower per ray than the fused Pallas kernel, and full-batch runs trip
+the device watchdog. On TPU, large scenes are served by supergroup
+culling + the HBM-streamed kernel (ops/pallas_trace.py sg_cull /
+stream_tris: 786k tris at 7.65e10 tests/s), which is the
+hardware-shaped answer to the problem this tree solves on CPUs.
 """
 
 from __future__ import annotations
@@ -97,12 +109,33 @@ def _nearest_one(arena: BIHDeviceArena, origin, direction, leaf_cap: int):
         best_t = jnp.where(better, leaf_best, best_t)
         best_i = jnp.where(better, arena.tri_index[pidx[leaf_arg]], best_i)
 
-        # --- internal: conservative near-first push ---
+        # --- internal: distance-pruned near-first push ---
+        # A child is visited iff the ray SEGMENT [0, best_t] reaches its
+        # half-space: trivially when the origin is inside it, else when
+        # the ray points at the plane and reaches it before the current
+        # nearest hit. Exact (never skips a hittable child) and — unlike
+        # the origin-only heuristic it replaces — it shrinks with best_t,
+        # which keeps the vmapped while_loop's trip count O(depth + k).
+        # (The old `| (d_ax < 0)` form visited entire subtrees: at 49k
+        # triangles the walk degenerated toward O(N) nodes/ray and the
+        # minutes-long device program got the TPU worker killed —
+        # bigscene bih_err in r2 logs. Reference analogue: the
+        # raytracer.zig:219-315 walk prunes by child interval too, but
+        # with an origin-only test that can miss hits; ours stays
+        # conservative-exact, cf. the module docstring.)
         axc = jnp.maximum(ax, 0)
         o_ax = origin[axc]
         d_ax = d[axc]
-        hit_left = (o_ax <= arena.left_max[node]) | (d_ax < 0)
-        hit_right = (o_ax >= arena.right_min[node]) | (d_ax > 0)
+        safe_inv = 1.0 / jnp.where(jnp.abs(d_ax) < 1e-20,
+                                   jnp.float32(1e-20), d_ax)
+        t_left = (arena.left_max[node] - o_ax) * safe_inv
+        t_right = (arena.right_min[node] - o_ax) * safe_inv
+        hit_left = (o_ax <= arena.left_max[node]) | (
+            (d_ax < 0) & (t_left <= best_t)
+        )
+        hit_right = (o_ax >= arena.right_min[node]) | (
+            (d_ax > 0) & (t_right <= best_t)
+        )
         near_left = d_ax >= 0
         first = jnp.where(near_left, arena.left[node], arena.right[node])
         second = jnp.where(near_left, arena.right[node], arena.left[node])

@@ -78,6 +78,7 @@ def main():
                               intersector="mxu", scatter="matmul")
                 e += float(jnp.sum(ir.energy))
 
+        print(f"[k={k}] xla...", file=sys.stderr, flush=True)
         row["xla_ms"] = _med(xla_step) * 1e3
         if n_chunks > 1:
             row["xla_ray_chunks"] = n_chunks
@@ -93,6 +94,8 @@ def main():
                     float(jnp.sum(ir.energy))
 
                 try:
+                    print(f"[k={k}] pallas sg={sg}...", file=sys.stderr,
+                          flush=True)
                     row["pallas_sgcull_ms" if sg else "pallas_ms"] = (
                         _med(pallas_step) * 1e3
                     )
@@ -114,24 +117,33 @@ def main():
                 float(jnp.sum(ir.energy))
 
             try:
+                print(f"[k={k}] pallas stream...", file=sys.stderr, flush=True)
                 row["pallas_stream_ms"] = _med(stream_step) * 1e3
             except Exception as e:
                 row["pallas_stream_err"] = repr(e)[:200]
 
-        if k >= 64:
-            # the BIH traversal path (never benchmarked in r1): sub-linear
-            # per-ray work, divergent while_loop control flow — measured
-            # here so the large-scene story rests on numbers, not vibes
+        if k == 64:
+            # the BIH traversal path (never benchmarked in r1), measured
+            # at a REDUCED 4096-ray batch: the vmapped while_loop walk is
+            # gather-bound on TPU (~12 ms/ray-bounce-visit serialization,
+            # no MXU) — at the full 32768-ray batch the minutes-long
+            # device program trips the TPU watchdog and kills the worker
+            # (measured; benchmarks/RESULTS.md "BIH traversal on TPU").
+            # The field is ray-count-normalized out of the `best` min.
             arena = scene.device_bih()
+            bih_rays = 1 << 12
+            bih_dirs = jnp.asarray(fibonacci_sphere(bih_rays))
 
             def bih_step(i):
                 ir = trace_ir(arrays, srcs[i % 8], lst, cfg=cfg,
-                              max_bounces=bounces, dirs=dirs,
+                              max_bounces=bounces, dirs=bih_dirs,
                               intersector="bih", bih_arena=arena)
                 float(jnp.sum(ir.energy))
 
             try:
-                row["bih_ms"] = _med(bih_step, n=3) * 1e3
+                print(f"[k={k}] bih (4096 rays)...", file=sys.stderr,
+                      flush=True)
+                row["bih_ms_at_4096_rays"] = _med(bih_step, n=1) * 1e3
             except Exception as e:
                 row["bih_err"] = repr(e)[:200]
 
