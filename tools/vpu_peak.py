@@ -121,12 +121,19 @@ def bench_div(k_iters=512, chains=8, grids=(128, 512)):
     return ops_per_step * (grids[1] - grids[0]) / dt
 
 
-def bench_isect(n_groups=16, reps=16, grids=(16, 64)):
+def bench_isect(n_groups=16, reps=128, grids=(64, 256)):
     """The path_pass group_body op sequence, nothing else: per grid step,
     `reps` sweeps over `n_groups` register-resident triangle groups
     against one (1, 128) ray row per sublane-row — i.e. reps * n_groups *
     8 tris * 8 rows * 128 rays tri-ray tests. Matches
-    ops/pallas_trace.py path_pass (b > 0: full origin transform)."""
+    ops/pallas_trace.py path_pass (b > 0: full origin transform).
+
+    SIZE THE DIFFERENCE GENEROUSLY: the rate comes from t[grids[1]] -
+    t[grids[0]], and this environment's relay adds ~10s of ms of jitter
+    per dispatch. The original reps=16, grids=(16, 64) left dt ~ 1 ms and
+    produced two garbage rates in a row (9.46e11, 1.31e12 — both at or
+    above FMA peak, i.e. < 1 op/test); reps=128, grids=(64, 256) spans
+    ~3.2e9 tests, dt ~ 40 ms, and reproduces the stable 8.0e10 figure."""
     rng = np.random.default_rng(2)
     tri = jnp.asarray(
         rng.standard_normal((n_groups * 8, 16)), jnp.float32
