@@ -147,7 +147,22 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   transmission: bool = False, weighted: bool = False,
                   scattering: float = 0.0, material_scattering: bool = False,
                   rng_seed: int = 0, sg_cull: bool = False,
-                  shadow_divfree: bool = False):
+                  shadow_divfree: bool = False, ablate: str = ""):
+    # ablate (MEASUREMENT ONLY — results are numerically wrong): "+"-joined
+    # component skips for on-hardware cost attribution of the fused kernel
+    # (benchmarks/ablate_kernel.py). "no_sweep" replaces the winner-sublane
+    # sweep with a row-0 slice, "no_shadow" drops the listener shadow pass,
+    # "no_emit" drops the emission math (lam/dl/air), "no_hist" replaces
+    # the one-hot MXU binning with a (1, 128) accumulate. Each variant
+    # still CONSUMES its upstream values so the compiler cannot dead-code
+    # the stage being measured around.
+    ab = frozenset(ablate.split("+")) if ablate else frozenset()
+    if ab:
+        assert ab <= {"no_sweep", "no_shadow", "no_emit", "no_hist"}, ab
+        assert fused_hist and not transmission and not weighted, (
+            "ablation supports the plain fused_hist kernel only")
+        assert not (scattering > 0.0 or material_scattering) and not cull, (
+            "ablation supports the plain fused_hist kernel only")
     # large-scene mode: iterate triangle groups with lax.fori_loop +
     # 8-aligned dynamic VMEM loads instead of a fully unrolled Python loop
     # (which explodes trace/compile time past ~32 groups). Incompatible
@@ -592,20 +607,28 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 o_cols=(3 if b == 0 else None),
             )
             min_t = jnp.min(best_t8, axis=0, keepdims=True)  # (1, 128)
-            # first-winning-sublane select (no cumsum in Mosaic: static sweep)
-            taken = 0.0 * min_t
             n_sel = 3 + n_keep + (1 if material_scattering else 0)
-            acc = [0.0 * min_t for _ in range(n_sel)]
-            for s in range(TRI_GROUP):
-                row_min = (
-                    jax.lax.slice(best_t8, (s, 0), (s + 1, LANES)) == min_t
-                ).astype(jnp.float32)
-                use = row_min * (1.0 - taken)
-                for c in range(n_sel):
-                    acc[c] = acc[c] + use * jax.lax.slice(
-                        sel[c], (s, 0), (s + 1, LANES)
-                    )
-                taken = jnp.maximum(taken, row_min)
+            if "no_sweep" in ab:
+                # ablation: winner attrs from sublane 0 (wrong, cheap)
+                acc = [
+                    jax.lax.slice(sel[c], (0, 0), (1, LANES))
+                    for c in range(n_sel)
+                ]
+            else:
+                # first-winning-sublane select (no cumsum in Mosaic: static
+                # sweep)
+                taken = 0.0 * min_t
+                acc = [0.0 * min_t for _ in range(n_sel)]
+                for s in range(TRI_GROUP):
+                    row_min = (
+                        jax.lax.slice(best_t8, (s, 0), (s + 1, LANES)) == min_t
+                    ).astype(jnp.float32)
+                    use = row_min * (1.0 - taken)
+                    for c in range(n_sel):
+                        acc[c] = acc[c] + use * jax.lax.slice(
+                            sel[c], (s, 0), (s + 1, LANES)
+                        )
+                    taken = jnp.maximum(taken, row_min)
             nx, ny, nz = acc[0], acc[1], acc[2]
             keep = acc[3:3 + n_keep]
             scat_sel = acc[3 + n_keep] if material_scattering else None
@@ -644,7 +667,10 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 sh_preds = bundle_preds(o_b, r_lo, r_hi)
             else:
                 sh_preds = None
-            sh_out = shadow_pass(wx, wy, wz, sh_preds)
+            if "no_shadow" in ab:
+                sh_out = 0.0 * min_t  # ablation: every hit point visible
+            else:
+                sh_out = shadow_pass(wx, wy, wz, sh_preds)
             if transmission:
                 # all alive rays emit; opaque crossings carry exp(-34.5)
                 # ~ 1e-15 amplitude (energy ~1e-30: nothing audible)
@@ -653,36 +679,52 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             else:
                 visible = (alive > 0) & (sh_out < 0.5)
 
-            dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
-            inv_dl = 1.0 / jnp.maximum(dl, 1e-20)
-            wox, woy, woz = -wx * inv_dl, -wy * inv_dl, -wz * inv_dl
-            hx, hy, hz = wox - dx, woy - dy, woz - dz
-            ih = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
-            ndw = nx * wox + ny * woy + nz * woz
-            ndh = (nx * hx + ny * hy + nz * hz) * ih
-            lam = jnp.abs(ndw) + spec_pow(jnp.maximum(ndh, 0.0))
-            d_total = path + dl
-            scale = lam / (d_total + 1.0)
-            visf = visible.astype(jnp.float32)
-            if fused_hist and flat_bands:
-                # one amplitude, air absorption reconstructed from the bin
-                # index outside the kernel (trace_ir_pallas); direction
-                # weighted by the flat energy (rescaled outside to match)
-                a0 = amp[0] * scale
-                if transmission:  # band-uniform tau required (caller)
-                    a0 = a0 * t_amp[0]
-                e_base = a0 * a0 * inv_n * visf
-                es = [e_base]
+            if "no_emit" in ab:
+                # ablation: skip the listener-leg emission math; a bare
+                # amplitude still feeds the binning so downstream stages
+                # stay live
+                visf = visible.astype(jnp.float32)
+                e_base = amp[0] * amp[0] * inv_n * visf
+                es = [e_base] * n_keep if (fused_hist and flat_bands) else [
+                    e_base
+                ] * N_BANDS
                 e_dir = e_base
+                d_total = path
+                inv_dl = 1.0 + 0.0 * wx
             else:
-                es = []
-                for c in range(N_BANDS):
-                    aab = aab_of(d_total, c)
-                    ac = amp[c] * scale * aab
-                    if transmission:
-                        ac = ac * t_amp[c]
-                    es.append(ac * ac * inv_n * visf)
-                e_dir = (es[0] + es[1] + es[2] + es[3]) * (1.0 / N_BANDS)
+                dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+                inv_dl = 1.0 / jnp.maximum(dl, 1e-20)
+                wox, woy, woz = -wx * inv_dl, -wy * inv_dl, -wz * inv_dl
+                hx, hy, hz = wox - dx, woy - dy, woz - dz
+                ih = jax.lax.rsqrt(
+                    jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20)
+                )
+                ndw = nx * wox + ny * woy + nz * woz
+                ndh = (nx * hx + ny * hy + nz * hz) * ih
+                lam = jnp.abs(ndw) + spec_pow(jnp.maximum(ndh, 0.0))
+                d_total = path + dl
+                scale = lam / (d_total + 1.0)
+                visf = visible.astype(jnp.float32)
+                if fused_hist and flat_bands:
+                    # one amplitude, air absorption reconstructed from the
+                    # bin index outside the kernel (trace_ir_pallas);
+                    # direction weighted by the flat energy (rescaled
+                    # outside to match)
+                    a0 = amp[0] * scale
+                    if transmission:  # band-uniform tau required (caller)
+                        a0 = a0 * t_amp[0]
+                    e_base = a0 * a0 * inv_n * visf
+                    es = [e_base]
+                    e_dir = e_base
+                else:
+                    es = []
+                    for c in range(N_BANDS):
+                        aab = aab_of(d_total, c)
+                        ac = amp[c] * scale * aab
+                        if transmission:
+                            ac = ac * t_amp[c]
+                        es.append(ac * ac * inv_n * visf)
+                    e_dir = (es[0] + es[1] + es[2] + es[3]) * (1.0 / N_BANDS)
             bins = jnp.clip(d_total * spm_bps + 0.5, 0.0, n_bins - 1.0)
             bins = jnp.where(visible, bins, n_bins).astype(jnp.int32)
 
@@ -694,7 +736,14 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             # dead/occluded rays can carry inf through the masked math
             # (inf * 0 = NaN); a select passes clean zeros regardless
             chans = [jnp.where(visible, c, 0.0) for c in chans]
-            if fused_hist:
+            if "no_hist" in ab:
+                # ablation: consume bins + every channel with one cheap
+                # (1, 128) accumulate instead of the one-hot MXU binning
+                acc1 = bins.astype(jnp.float32) * 1e-9
+                for c in chans:
+                    acc1 = acc1 + c
+                hist_ref[pl.ds(0, 1), pl.ds(0, LANES)] += acc1
+            elif fused_hist:
                 # in-kernel two-level one-hot binning on the MXU:
                 # H[coarse, c*128 + fine] += payload_c, all channels stacked
                 # into ONE dot_general. Occluded/dead lanes carry zeroed
@@ -793,6 +842,334 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
         def _flush_hist():
             hist_out_ref[...] = hist_ref[...]
+
+
+def _trace_kernel_raymajor(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
+                           opl_ref, hist_out_ref, hist_ref, *, n_tris: int,
+                           max_bounces: int, cfg: Config,
+                           flat_bands: bool = False, tri_unroll: int = 8,
+                           ray_blocks: int = 1, scattering: float = 0.0,
+                           material_scattering: bool = False,
+                           rng_seed: int = 0):
+    """Ray-major layout of the fused trace (fused_hist only): the (8, 128)
+    vreg holds 1024 RAYS (instead of 8 triangles x 128 rays) and triangle
+    constants are SCALARS read from SMEM — measured motivation in
+    benchmarks/ablate_kernel.json: the tri-major kernel spends 71% of its
+    time in the path pass, which runs at only ~32% of the bare-loop rate
+    because every group iteration re-broadcasts (8, 1) triangle columns
+    across lanes and keeps the whole (T, 24) table register-resident
+    (spilling against 8 bounces of live row state). Here a triangle test
+    is ~40 full-vreg ops with zero broadcasts, the cross-sublane winner
+    sweep disappears (best_t is per-ray by construction, ties resolve to
+    the lowest triangle index exactly like the tri-major kernel's
+    group-then-sublane order), and the per-bounce emission math runs once
+    per 1024 rays instead of once per 128.
+
+    Scope: the resident small-scene fast path (SMEM holds (T, 24) f32 —
+    T <= ~2048). No transmission/directivity/culling; stochastic
+    scattering IS supported (same counter-hash streams as _trace_kernel:
+    global ray index = tile*1024 + sublane*128 + lane). Large scenes
+    belong to the tri-major group_fori/sg_cull/streamed kernels.
+
+    MEASURED VERDICT (v5e, world.obj 1M rays x 8 bounces, flat_bands;
+    do not re-derive): SLOWER than the tri-major kernel — 69-71 ms at
+    ray_blocks=1 (the per-triangle scalar SMEM reads serialize on the
+    scalar unit: ~1.9k scalar loads/bounce/tile against ~1.3k VPU
+    cycles), recovering to 63.3 ms at ray_blocks=2-8 (scalar traffic
+    amortized over more rays) but never beating the tri-major 61.8 ms.
+    Conclusion: Mosaic hoists/CSEs the tri-major layout's (8, 1)->lane
+    broadcasts well enough that eliminating them does not pay for the
+    per-triangle (vs per-8-triangle) select chain. Kept as a measured
+    experiment (interpret parity 2e-4 vs the XLA tracer, the bf16
+    binning noise floor); benchmarks/ablate_kernel.json carries the
+    component split that motivated it.
+    """
+    RS = ray_blocks * SUBLANES  # ray sublanes per program
+    inf = jnp.float32(np.inf)
+    sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
+    lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
+    inv_n = scalar_ref[6]
+    spm_bps = scalar_ref[7]
+    n_bins = scalar_ref[8]
+    air = cfg.air_absorption
+    eps = 1e-6
+    freqs = [float(f) for f in EQ_FREQS]
+    if cfg.air_model == "iso9613":
+        from ..models.air import amplitude_decay_per_meter
+        from ..models.ir import AIR_BAND_HZ
+
+        k_air = amplitude_decay_per_meter(
+            AIR_BAND_HZ, cfg.air_temperature_c, cfg.air_humidity_pct,
+            cfg.air_pressure_kpa,
+        )
+        aab_of = lambda d, c: jnp.exp(float(k_air[c]) * d)  # noqa: E731
+    else:
+        aab_of = lambda d, c: jnp.clip(  # noqa: E731
+            1.0 - air * d * freqs[c], 0.0, 1.0
+        )
+    n_keep = 1 if flat_bands else N_BANDS
+    n_coarse = hist_ref.shape[0]
+    scatter_on = scattering > 0.0 or material_scattering
+    if scatter_on:
+        from .hashrng import hash_u32_py, uniform01
+
+        seed_base = hash_u32_py(rng_seed)
+        tile_base = pl.program_id(0) * (ray_blocks * TILE)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_hist():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+
+    def spec_pow(x):
+        e = int(cfg.specular_exponent)
+        while e > 1:
+            x = x * x
+            e //= 2
+        return x
+
+    dx = dx_ref[...]  # (8, 128) = 1024 rays
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    ox = sx + 0.0 * dx
+    oy = sy + 0.0 * dx
+    oz = sz + 0.0 * dx
+    amp = [1.0 + 0.0 * dx for _ in range(n_keep)]
+    path = 0.0 * dx
+    alive = 1.0 + 0.0 * dx
+
+    assert n_tris % tri_unroll == 0, (n_tris, tri_unroll)
+
+    for b in range(max_bounces):
+        # --- path pass: nearest hit over all triangles, attrs selected
+        # incrementally (scalar sources -> no winner sweep) ---
+        n_sel = 3 + n_keep + (1 if material_scattering else 0)
+        best_t = jnp.full((RS, LANES), inf)
+        sel = [jnp.zeros((RS, LANES), jnp.float32) for _ in range(3)]
+        sel += [jnp.ones((RS, LANES), jnp.float32)
+                for _ in range(n_sel - 3)]
+
+        def tri_body(t0, carry, b=b):
+            best_t, sel = carry[0], list(carry[1:])
+            for k in range(tri_unroll):
+                ti = t0 * tri_unroll + k
+                a00, a01, a02 = tri_ref[ti, 0], tri_ref[ti, 1], tri_ref[ti, 2]
+                a10, a11, a12 = tri_ref[ti, 3], tri_ref[ti, 4], tri_ref[ti, 5]
+                a20, a21, a22 = tri_ref[ti, 6], tri_ref[ti, 7], tri_ref[ti, 8]
+                dpx = a00 * dx + a01 * dy + a02 * dz
+                dpy = a10 * dx + a11 * dy + a12 * dz
+                dpz = a20 * dx + a21 * dy + a22 * dz
+                if b == 0:
+                    # bounce 0: the whole tile shares the source origin —
+                    # its transformed origin is a precomputed SCALAR
+                    opx = opl_ref[ti, 3]
+                    opy = opl_ref[ti, 4]
+                    opz = opl_ref[ti, 5]
+                else:
+                    opx = (a00 * ox + a01 * oy + a02 * oz) + tri_ref[ti, _B]
+                    opy = (a10 * ox + a11 * oy + a12 * oz) + tri_ref[ti, _B + 1]
+                    opz = (a20 * ox + a21 * oy + a22 * oz) + tri_ref[ti, _B + 2]
+                t = -opz / dpz
+                u = opx + t * dpx
+                v = opy + t * dpy
+                ok = (
+                    (jnp.abs(dpz) > 1e-12)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= eps)
+                )
+                tc = jnp.where(ok, t, inf)
+                improved = tc < best_t
+                best_t = jnp.where(improved, tc, best_t)
+                for c in range(3):
+                    sel[c] = jnp.where(improved, tri_ref[ti, _N + c], sel[c])
+                for c in range(n_keep):
+                    sel[3 + c] = jnp.where(
+                        improved, tri_ref[ti, _K + c], sel[3 + c]
+                    )
+                if material_scattering:
+                    sel[3 + n_keep] = jnp.where(
+                        improved, tri_ref[ti, _SCAT], sel[3 + n_keep]
+                    )
+            return (best_t, *sel)
+
+        carry = jax.lax.fori_loop(
+            0, n_tris // tri_unroll, tri_body, (best_t, *sel)
+        )
+        min_t, acc = carry[0], list(carry[1:])
+        nx, ny, nz = acc[0], acc[1], acc[2]
+        keep = acc[3:3 + n_keep]
+        scat_sel = acc[3 + n_keep] if material_scattering else None
+
+        hitf = (min_t < inf).astype(jnp.float32)
+        alive = alive * hitf
+        t_safe = jnp.where(min_t < inf, min_t, 0.0) * alive
+        tb = t_safe * cfg.backoff
+        vx = ox + dx * tb
+        vy = oy + dy * tb
+        vz = oz + dz * tb
+        ndd = nx * dx + ny * dy + nz * dz
+        s = jnp.sign(1e-30 - ndd)
+        nx, ny, nz = nx * s, ny * s, nz * s
+        path = path + t_safe * alive
+        for c in range(n_keep):
+            kc = jnp.where(min_t < inf, keep[c], 1.0)
+            amp[c] = amp[c] * jnp.where(alive > 0, kc, 1.0)
+
+        # --- listener shadow pass: segment test, precomputed scalar
+        # origins (opl cols 0:3) ---
+        wx = vx - lx
+        wy = vy - ly
+        wz = vz - lz
+
+        def sh_body(t0, blocked):
+            for k in range(tri_unroll):
+                ti = t0 * tri_unroll + k
+                a00, a01, a02 = tri_ref[ti, 0], tri_ref[ti, 1], tri_ref[ti, 2]
+                a10, a11, a12 = tri_ref[ti, 3], tri_ref[ti, 4], tri_ref[ti, 5]
+                a20, a21, a22 = tri_ref[ti, 6], tri_ref[ti, 7], tri_ref[ti, 8]
+                dpx = a00 * wx + a01 * wy + a02 * wz
+                dpy = a10 * wx + a11 * wy + a12 * wz
+                dpz = a20 * wx + a21 * wy + a22 * wz
+                opx = opl_ref[ti, 0]
+                opy = opl_ref[ti, 1]
+                opz = opl_ref[ti, 2]
+                t = -opz / dpz
+                u = opx + t * dpx
+                v = opy + t * dpy
+                ok = (
+                    (jnp.abs(dpz) > 1e-12)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= eps)
+                    & (t <= 1.0)
+                )
+                blocked = jnp.maximum(blocked, ok.astype(jnp.float32))
+            return blocked
+
+        sh_out = jax.lax.fori_loop(
+            0, n_tris // tri_unroll, sh_body, 0.0 * dx
+        )
+        visible = (alive > 0) & (sh_out < 0.5)
+
+        # --- emission (full-vreg: once per 1024 rays) ---
+        dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+        inv_dl = 1.0 / jnp.maximum(dl, 1e-20)
+        wox, woy, woz = -wx * inv_dl, -wy * inv_dl, -wz * inv_dl
+        hx, hy, hz = wox - dx, woy - dy, woz - dz
+        ih = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
+        ndw = nx * wox + ny * woy + nz * woz
+        ndh = (nx * hx + ny * hy + nz * hz) * ih
+        lam = jnp.abs(ndw) + spec_pow(jnp.maximum(ndh, 0.0))
+        d_total = path + dl
+        scale = lam / (d_total + 1.0)
+        visf = visible.astype(jnp.float32)
+        if flat_bands:
+            a0 = amp[0] * scale
+            e_base = a0 * a0 * inv_n * visf
+            es = [e_base]
+            e_dir = e_base
+        else:
+            es = []
+            for c in range(N_BANDS):
+                aab = aab_of(d_total, c)
+                ac = amp[c] * scale * aab
+                es.append(ac * ac * inv_n * visf)
+            e_dir = (es[0] + es[1] + es[2] + es[3]) * (1.0 / N_BANDS)
+        bins = jnp.clip(d_total * spm_bps + 0.5, 0.0, n_bins - 1.0)
+        bins = jnp.where(visible, bins, n_bins).astype(jnp.int32)
+        chans = es + [
+            wx * inv_dl * e_dir,
+            wy * inv_dl * e_dir,
+            wz * inv_dl * e_dir,
+        ]
+        chans = [jnp.where(visible, c, 0.0) for c in chans]
+
+        # --- two-level one-hot MXU binning, per 128-ray sublane row (the
+        # one-hot needs rays on the lane axis) ---
+        pc = len(chans)
+        for r in range(RS):
+            bins_r = jax.lax.slice(bins, (r, 0), (r + 1, LANES))
+            coarse = bins_r // LANES
+            fine = bins_r - coarse * LANES
+            f_oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                == fine
+            ).astype(jnp.bfloat16)
+            b_all = jnp.concatenate(
+                [
+                    f_oh
+                    * jax.lax.slice(chans[c], (r, 0), (r + 1, LANES)).astype(
+                        jnp.bfloat16
+                    )
+                    for c in range(pc)
+                ],
+                axis=0,
+            )
+            a_oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (n_coarse, LANES), 0)
+                == coarse
+            ).astype(jnp.bfloat16)
+            h = jax.lax.dot_general(
+                a_oh, b_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            hist_ref[...] += h
+
+        # --- reflect ---
+        if b + 1 < max_bounces:
+            two_ndd = 2.0 * (nx * dx + ny * dy + nz * dz)
+            live = alive > 0
+            sdx = dx - two_ndd * nx
+            sdy = dy - two_ndd * ny
+            sdz = dz - two_ndd * nz
+            if scatter_on:
+                # same counter layout as _trace_kernel: global ray index
+                # = tile*1024 + sublane*128 + lane
+                sub = jax.lax.broadcasted_iota(
+                    jnp.int32, (RS, LANES), 0
+                )
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (RS, LANES), 1
+                )
+                gidx = tile_base + sub * LANES + lane
+                cnt = seed_base + (gidx * max_bounces + b) * 3
+                u_sel = uniform01(cnt)
+                u1 = uniform01(cnt + 1)
+                u2 = uniform01(cnt + 2)
+                r_s = jnp.sqrt(u1)
+                phi = 2.0 * jnp.float32(np.pi) * u2
+                z_s = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+                hxv = (jnp.abs(nz) >= 0.9).astype(jnp.float32)
+                hzv = 1.0 - hxv
+                txx = -hzv * ny
+                txy = hzv * nx - hxv * nz
+                txz = hxv * ny
+                tl = jnp.sqrt(txx * txx + txy * txy + txz * txz)
+                ti_ = 1.0 / jnp.maximum(tl, 1e-20)
+                txx, txy, txz = txx * ti_, txy * ti_, txz * ti_
+                tyx = ny * txz - nz * txy
+                tyy = nz * txx - nx * txz
+                tyz = nx * txy - ny * txx
+                rc = r_s * jnp.cos(phi)
+                rs = r_s * jnp.sin(phi)
+                ddx = txx * rc + tyx * rs + nx * z_s
+                ddy = txy * rc + tyy * rs + ny * z_s
+                ddz = txz * rc + tyz * rs + nz * z_s
+                prob = scat_sel if material_scattering else scattering
+                use = u_sel < prob
+                sdx = jnp.where(use, ddx, sdx)
+                sdy = jnp.where(use, ddy, sdy)
+                sdz = jnp.where(use, ddz, sdz)
+            dx = jnp.where(live, sdx, dx)
+            dy = jnp.where(live, sdy, dy)
+            dz = jnp.where(live, sdz, dz)
+            ox, oy, oz = vx, vy, vz
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _flush_hist():
+        hist_out_ref[...] = hist_ref[...]
 
 
 def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
@@ -1350,9 +1727,24 @@ def trace_contributions_pallas(
     scattering: float = 0.0, material_scattering: bool = False,
     rng_seed: int = 0, sg_cull: bool | None = None,
     row_unroll: int | None = None, shadow_divfree: bool = False,
-    stream_tris: int | None = None,
+    stream_tris: int | None = None, ablate: str = "",
+    ray_major: bool | None = None, tri_unroll: int = 8,
+    ray_blocks: int = 1,
 ):
     """Run the fused kernel.
+
+    ray_major: the (8, 128) vreg holds 1024 rays and triangle constants
+    are SMEM scalars (see _trace_kernel_raymajor) — the measured fast
+    layout for small scenes (the ablation split showed the tri-major
+    path pass dominated by column broadcasts). Default (None): auto —
+    engaged for fused_hist scenes that fit SMEM (T <= 2048) without
+    transmission/directivity/experiment flags. Pass False to force the
+    tri-major kernel.
+
+    ablate (MEASUREMENT ONLY, resident fused_hist kernel): "+"-joined
+    component skips for on-hardware cost attribution — see _trace_kernel.
+    Results are numerically wrong; never set outside
+    benchmarks/ablate_kernel.py.
 
     src_weights: optional (R, n_keep) per-ray initial amplitudes (source
     directivity, models/directivity.py) — n_keep = 1 in flat_bands mode
@@ -1410,6 +1802,8 @@ def trace_contributions_pallas(
     """
     if flat_bands and not fused_hist:
         raise ValueError("flat_bands requires fused_hist=True")
+    if ablate and not fused_hist:
+        raise ValueError("ablate requires the fused_hist kernel")
     transmission = scene_arrays.transmission is not None
     if transmission and (cull or mxu_xform):
         raise ValueError(
@@ -1484,6 +1878,67 @@ def trace_contributions_pallas(
     d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     dxyz = [d[:, k].reshape(rows, LANES) for k in range(3)]
 
+    rm_possible = (
+        fused_hist and not cull and not mxu_xform and not transmission
+        and src_weights is None and stream_tris is None and not ablate
+        and not shadow_divfree and group_fori is not True
+        and sg_cull is not True and T <= 2048
+    )
+    if ray_major is None:
+        # opt-in for now: the tri-major kernel stays the default so
+        # bit-identity A/Bs (shadow_divfree, sg_cull) keep their baseline;
+        # bench/AOT and the parity tests opt in explicitly
+        ray_major = False
+    elif ray_major and not rm_possible:
+        raise ValueError(
+            "ray_major requires the plain fused_hist kernel (no cull/"
+            "mxu_xform/transmission/directivity/group_fori/sg_cull/"
+            "stream_tris/shadow_divfree/ablate) and T <= 2048 SMEM-resident "
+            f"triangles (got T={T})"
+        )
+    if ray_major:
+        pc = PAYLOAD_C_FLAT if flat_bands else PAYLOAD_C
+        n_bins = cfg.ir_n_bins
+        assert n_bins % LANES == 0, n_bins
+        n_coarse = n_bins // LANES
+        tu = max(1, tri_unroll)
+        while T % tu:
+            tu //= 2
+        rs = ray_blocks * SUBLANES
+        assert rows % rs == 0, (rows, ray_blocks)
+        kernel_rm = partial(
+            _trace_kernel_raymajor, n_tris=T, max_bounces=max_bounces,
+            cfg=cfg, flat_bands=flat_bands, tri_unroll=tu,
+            ray_blocks=ray_blocks, scattering=scattering,
+            material_scattering=material_scattering, rng_seed=rng_seed,
+        )
+        hist = pl.pallas_call(
+            kernel_rm,
+            grid=(rows // rs,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((rs, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rs, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rs, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # tri table scalars
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # opl scalars
+            ],
+            out_specs=pl.BlockSpec(
+                (n_coarse, pc * LANES), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_coarse, pc * LANES),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)],
+            interpret=interpret,
+        )(scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl)
+        return hist.reshape(n_coarse, pc, LANES).transpose(0, 2, 1).reshape(
+            n_bins, pc
+        )
+
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1549,6 +2004,8 @@ def trace_contributions_pallas(
         # stack OOM at 196k tris).
         if not fused_hist:
             raise ValueError("stream_tris requires fused_hist=True")
+        if ablate:
+            raise ValueError("ablate supports the resident kernel only")
         if cull or mxu_xform:
             raise ValueError(
                 "stream_tris excludes the cull/mxu_xform experiments"
@@ -1659,7 +2116,7 @@ def trace_contributions_pallas(
         transmission=transmission,
         weighted=weighted, scattering=scattering,
         material_scattering=material_scattering, rng_seed=rng_seed,
-        sg_cull=sg_cull, shadow_divfree=shadow_divfree,
+        sg_cull=sg_cull, shadow_divfree=shadow_divfree, ablate=ablate,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + sg_args + w_args
     if fused_hist:
@@ -1715,7 +2172,7 @@ def trace_contributions_pallas(
                      "flat_bands", "mxu_xform", "group_fori",
                      "src_directivity", "scattering", "material_scattering",
                      "rng_seed", "sg_cull", "row_unroll", "shadow_divfree",
-                     "stream_tris"),
+                     "stream_tris", "ray_major", "tri_unroll", "ray_blocks"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -1742,6 +2199,9 @@ def trace_ir_pallas(
     row_unroll: int | None = None,
     shadow_divfree: bool = False,
     stream_tris: int | None = None,
+    ray_major: bool | None = None,
+    tri_unroll: int = 8,
+    ray_blocks: int = 1,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -1798,6 +2258,8 @@ def trace_ir_pallas(
             scattering=scattering, material_scattering=material_scattering,
             rng_seed=rng_seed, sg_cull=sg_cull, row_unroll=row_unroll,
             shadow_divfree=shadow_divfree, stream_tris=stream_tris,
+            ray_major=ray_major, tri_unroll=tri_unroll,
+            ray_blocks=ray_blocks,
         )
     else:
         bins, payload = trace_contributions_pallas(

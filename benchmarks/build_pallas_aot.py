@@ -25,6 +25,7 @@ sys.path.insert(0, str(ROOT))
 
 BENCH_RAYS = 1 << 20
 BENCH_BOUNCES = 8
+BENCH_SOURCES = 8  # the amortized-throughput variant (one dispatch, S IRs)
 ARTIFACT = ROOT / "benchmarks" / "pallas_trace_exec.pkl"
 
 
@@ -65,6 +66,8 @@ def main():
 
     from audio_raytracing_tpu.ops.pallas_trace import trace_ir_pallas
 
+    from audio_raytracing_tpu.ops.pallas_trace import trace_irs_pallas_multi
+
     cfg, arrays, dirs = bench_inputs()
     src = jnp.asarray([1.0, 0.3, 0.5])
     lst = jnp.asarray([-1.0, 0.0, -0.5])
@@ -75,14 +78,32 @@ def main():
         arrays, src, lst, cfg=cfg, max_bounces=BENCH_BOUNCES, dirs=dirs,
         fused_hist=True, flat_bands=True,
     ).compile()
-    print(f"compiled in {time.perf_counter() - t0:.1f} s")
+    print(f"compiled single in {time.perf_counter() - t0:.1f} s")
     payload, in_tree, out_tree = se.serialize(compiled)
+    # the amortized-throughput variant: lax.scan over BENCH_SOURCES sources
+    # around the same kernel — ONE dispatch returns S impulse responses, so
+    # the ~20-25 ms per-dispatch relay round-trip of this environment (not
+    # chip cost) amortizes away and the measured rate is the chip's
+    # sustained trace throughput
+    srcs = jnp.stack([src + jnp.asarray([0.001 * i, 0.0, 0.0])
+                      for i in range(BENCH_SOURCES)])
+    t0 = time.perf_counter()
+    compiled_m = trace_irs_pallas_multi.lower(
+        arrays, srcs, lst, cfg=cfg, max_bounces=BENCH_BOUNCES, dirs=dirs,
+        fused_hist=True, flat_bands=True,
+    ).compile()
+    print(f"compiled multi in {time.perf_counter() - t0:.1f} s")
+    payload_m, in_tree_m, out_tree_m = se.serialize(compiled_m)
     with open(ARTIFACT, "wb") as f:
         pickle.dump(
             {
                 "payload": payload,
                 "in_tree": in_tree,
                 "out_tree": out_tree,
+                "payload_multi": payload_m,
+                "in_tree_multi": in_tree_m,
+                "out_tree_multi": out_tree_m,
+                "n_src": BENCH_SOURCES,
                 "source_sha": kernel_source_hash(),
                 "rays": BENCH_RAYS,
                 "bounces": BENCH_BOUNCES,
@@ -105,6 +126,28 @@ def load():
             return None
         fn = se.deserialize_and_load(blob["payload"], blob["in_tree"], blob["out_tree"])
         return fn, blob["rays"], blob["bounces"]
+    except Exception:
+        return None
+
+
+def load_multi():
+    """The 8-source amortized-throughput executable: (fn, rays, bounces,
+    n_src) or None when absent/stale/pre-multi."""
+    if not ARTIFACT.exists():
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+
+        with open(ARTIFACT, "rb") as f:
+            blob = pickle.load(f)
+        if blob["source_sha"] != kernel_source_hash():
+            return None
+        if "payload_multi" not in blob:
+            return None
+        fn = se.deserialize_and_load(
+            blob["payload_multi"], blob["in_tree_multi"], blob["out_tree_multi"]
+        )
+        return fn, blob["rays"], blob["bounces"], blob["n_src"]
     except Exception:
         return None
 

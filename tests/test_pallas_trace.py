@@ -607,3 +607,35 @@ print("FUSED_HIST_FULL_DEPTH_OK")
     assert r.returncode == 0 and "FUSED_HIST_FULL_DEPTH_OK" in r.stdout, (
         r.stdout[-1000:] + r.stderr[-3000:]
     )
+
+
+@pytest.mark.slow
+def test_ablate_variants_run_and_guard(scene):
+    """The measurement-only `ablate` knobs (benchmarks/ablate_kernel.py)
+    must keep compiling in every variant (they guard the on-hardware cost
+    attribution of the fused kernel) and must refuse unsupported modes."""
+    from audio_raytracing_tpu.ops.pallas_trace import (
+        trace_contributions_pallas,
+    )
+
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    arrays = scene.device_arrays()
+    base = trace_contributions_pallas(
+        arrays, src, lst, dirs, cfg=CFG, max_bounces=2, interpret=True,
+        fused_hist=True, flat_bands=True,
+    )
+    assert float(jnp.sum(base[:, 0])) > 0
+    for ab in ("no_sweep", "no_shadow", "no_emit", "no_hist",
+               "no_shadow+no_sweep+no_emit+no_hist"):
+        h = trace_contributions_pallas(
+            arrays, src, lst, dirs, cfg=CFG, max_bounces=2, interpret=True,
+            fused_hist=True, flat_bands=True, ablate=ab,
+        )
+        assert np.all(np.isfinite(np.asarray(h))), ab
+    with pytest.raises(ValueError):
+        trace_contributions_pallas(
+            arrays, src, lst, dirs, cfg=CFG, max_bounces=2, interpret=True,
+            ablate="no_hist",  # fused_hist=False unsupported
+        )
