@@ -65,6 +65,8 @@ def __getattr__(name):
         "extract_edges": ("models.diffraction", "extract_edges"),
         "extract_wedges": ("models.diffraction", "extract_wedges"),
         "rigid_transform_arrays": ("models.scene", "rigid_transform_arrays"),
+        "AudioSink": ("native", "AudioSink"),
+        "run_live": ("engine.live", "run_live"),
     }
     if name in table:
         mod, attr = table[name]
@@ -86,5 +88,5 @@ __all__ = [
     "diffraction_ir_utd2", "extract_edges", "extract_wedges",
     "Directivity", "DIRECTIVITY_PRESETS", "directivity_gain",
     "reverb_params_from_ir", "fdn_gain_for_t60", "fdn_t60_of_gain",
-    "rigid_transform_arrays", "__version__",
+    "rigid_transform_arrays", "AudioSink", "run_live", "__version__",
 ]

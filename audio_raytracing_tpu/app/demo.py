@@ -150,6 +150,73 @@ class Demo:
                 rendered += out[-1].shape[0]
         return np.concatenate(out, axis=0) if out else np.zeros((0, 2), np.float32)
 
+    def run_live(self, seconds: float, script=None, fd=None,
+                 acoustics_every: int = 8, chunk_blocks: int = 64,
+                 ring_blocks: int = 192, warmup: bool = True,
+                 **sink_kw) -> dict:
+        """The reference's actual runtime shape: audio plays through a live
+        sink (native pull thread on the wall clock, one 128-frame block per
+        ~2.9 ms tick — sound_system.zig:44-92, 123-172) while the game loop
+        produces. The audio clock is the master: game ticks advance exactly
+        as far as the samples being rendered require (the fixed-timestep
+        accumulator of main.zig:452-512 with the DAC as the time source).
+
+        acoustics_every: game ticks between acoustic probe updates
+        (default 8 ≈ 10 Hz at the 83 Hz tick) — the decoupled update rate
+        the RealtimeEngine runs its tracing thread at; the reference
+        re-probes per frame only because its tracer shares the frame
+        budget (main.zig:522-788). Input/camera/voice logic still runs
+        every tick. Through this container's TPU relay each device
+        dispatch pays a ~25 ms round trip regardless of size, hence the
+        large default chunk (64 blocks = 186 ms of audio per dispatch;
+        measured 0 underruns / 1.27x real time over a 10 s scripted run)
+        and ring (the jitter budget); on local hardware both can shrink
+        to SDL-like values.
+
+        warmup: compile every device op the script can trigger BEFORE the
+        clock starts (voice start/stop/move, the floor raycast, the probe
+        update, each render chunk shape) — the live-audio equivalent of a
+        game precompiling shaders. Without it the first footstep/blip of
+        the run JIT-compiles mid-playback (seconds through this
+        container's remote TPU relay) and starves the ring. Warm renders
+        advance playback by ~2 chunks of pre-roll.
+
+        fd: raw interleaved-f32 PCM destination (None discards). Returns
+        the sink stats (underruns = missed audio deadlines)."""
+        from ..engine.live import run_live as _run_live
+
+        cfg = self.cfg
+        samples_per_tick = cfg.sample_rate / cfg.ticks_per_second
+        n_blocks_total = int(np.ceil(seconds * cfg.sample_rate / cfg.block_size))
+        if warmup:
+            h = self.system.play_sound(self.blip_sid, pos=self.camera.pos,
+                                       gain=0.0)
+            self.system.set_pos(h, self.camera.pos)
+            self.system.stop(h)
+            self._floor_raycast(self.camera.pos)
+            self.update_audio_state()
+            self.system.render(chunk_blocks * cfg.block_size)
+            rem = n_blocks_total % chunk_blocks
+            if rem:  # the run's tail chunk is a second compiled shape
+                self.system.render(rem * cfg.block_size)
+        state = {"tick": 0, "rendered": 0}
+
+        def render(n: int) -> np.ndarray:
+            target = state["rendered"] + n
+            while state["tick"] * samples_per_tick < target:
+                i = state["tick"]
+                self.tick(script(i) if script else ())
+                if i % acoustics_every == 0:
+                    self.update_audio_state()
+                state["tick"] += 1
+            state["rendered"] += n
+            return self.system.render(n)
+
+        return _run_live(render, seconds, cfg.sample_rate,
+                         block_frames=cfg.block_size, fd=fd,
+                         chunk_blocks=chunk_blocks, ring_blocks=ring_blocks,
+                         **sink_kw)
+
 
 def default_script(i: int):
     """A small scripted walk: move forward, look around, grab the music."""
@@ -170,9 +237,23 @@ def default_script(i: int):
 
 
 def main():
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "demo_out.wav"
+    args = [a for a in sys.argv[1:] if a != "--live"]
+    live = "--live" in sys.argv[1:]
+    seconds = float(args[0]) if args else 3.0
+    out_path = args[1] if len(args) > 1 else ("demo_out.pcm" if live else "demo_out.wav")
     demo = Demo()
+    if live:
+        # real-time playback: raw interleaved f32 PCM lands in out_path
+        # (aplay -f FLOAT_LE -r 44100 -c 2 on a machine with a DAC);
+        # underruns are missed ~2.9 ms audio deadlines
+        with open(out_path, "wb") as f:
+            stats = demo.run_live(seconds, script=default_script, fd=f.fileno())
+        print(f"live: {stats['blocks_played']} blocks, "
+              f"{stats['underruns']} underruns, "
+              f"{stats['late_wakeups']} late wakeups, "
+              f"realtime_factor {stats['realtime_factor']:.2f}; "
+              f"pcm -> {out_path}")
+        return
     audio = demo.run(seconds, script=default_script)
     write_wav(out_path, audio, demo.cfg.sample_rate)
     peak = float(np.abs(audio).max()) if audio.size else 0.0

@@ -25,6 +25,7 @@ from pathlib import Path
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..config import Config, DEFAULT_CONFIG
@@ -41,6 +42,64 @@ DATA_DIR = Path(__file__).resolve().parent.parent.parent / "data"
 def default_hrtf():
     with np.load(DATA_DIR / "hrtf_magls.npz") as z:
         return z["irs_l"].astype(np.float32), z["irs_r"].astype(np.float32)
+
+
+@jax.jit
+def _start_voice(state, params, slot, offset, length, pos, gain, repeat):
+    """Start a voice in `slot` — ONE compiled dispatch for ANY slot.
+
+    The slot index is a traced operand (not a Python constant baked into
+    eager `.at[slot].set` ops), so live use — footsteps/blips starting
+    voices mid-playback, slots cycling through the table — never JIT-
+    compiles again after the first call. Matters through this container's
+    remote TPU relay, where each fresh eager-op compile costs ~0.3-1 s and
+    a cold play_sound once starved the live audio sink for seconds."""
+    vt = state.voices
+    sel = lambda a, v: a.at[slot].set(jnp.asarray(v, a.dtype))  # noqa: E731
+    vt = vt._replace(
+        active=sel(vt.active, True),
+        finished=sel(vt.finished, False),
+        sound_offset=sel(vt.sound_offset, offset),
+        sound_length=sel(vt.sound_length, length),
+        pos=vt.pos.at[slot].set(pos),
+        gain=sel(vt.gain, gain),
+        cursor=sel(vt.cursor, 0),
+        repeat=sel(vt.repeat, repeat),
+        prev_dist=sel(vt.prev_dist, jnp.nan),
+        refl_dist_prev=vt.refl_dist_prev.at[slot].set(jnp.nan),
+        eq_z=vt.eq_z.at[slot].set(0.0),
+    )
+    # fresh per-voice reverb (reference constructs Reverb per Playing)
+    rv = state.reverb
+    rv = rv._replace(
+        diff_buf=rv.diff_buf.at[slot].set(0.0),
+        diff_cursor=rv.diff_cursor.at[slot].set(0),
+        fb_buf=rv.fb_buf.at[slot].set(0.0),
+        fb_cursor=rv.fb_cursor.at[slot].set(0),
+        fb_filter=rv.fb_filter.at[slot].set(0.0),
+    )
+    params = params._replace(
+        occlusion=params.occlusion.at[slot].set(0.0),
+        refl_dist=params.refl_dist.at[slot].set(0.0),
+        refl_lam=params.refl_lam.at[slot].set(0.0),
+        feedback_gain=params.feedback_gain.at[slot].set(DEFAULT_FEEDBACK_GAIN),
+        wet=params.wet.at[slot].set(0.0),
+    )
+    return state._replace(voices=vt, reverb=rv), params
+
+
+@jax.jit
+def _set_slot_pos(state, slot, pos):
+    vt = state.voices
+    return state._replace(voices=vt._replace(pos=vt.pos.at[slot].set(pos)))
+
+
+@jax.jit
+def _stop_slot(state, slot):
+    vt = state.voices
+    return state._replace(
+        voices=vt._replace(active=vt.active.at[slot].set(False))
+    )
 
 
 class SoundSystem:
@@ -67,6 +126,10 @@ class SoundSystem:
         self.orientation = np.asarray([0.0, 0.0, 0.0, 1.0], np.float32)
         self._handles: dict[int, int] = {}  # handle -> slot
         self._next_handle = 0
+        # host mirror of per-slot liveness (active & ~finished), updated
+        # by play/stop and render's finished sweep — lets slot allocation
+        # and is_playing avoid device->host syncs (see _free_slot)
+        self._live = np.zeros(cfg.max_voices, bool)
         # slot -> (feedback_gain, wet) traced-IR calibration overrides
         # (engine/calibrate.py); sticky across update_acoustics
         self._reverb_cal: dict[int, tuple[float, float]] = {}
@@ -89,43 +152,19 @@ class SoundSystem:
     # --- voices ----------------------------------------------------------
 
     def play_sound(self, sound: int, pos, gain: float = 1.0, repeat: bool = False) -> int:
-        """Start a voice; returns a handle (cf. playSound, zig:113-121)."""
+        """Start a voice; returns a handle (cf. playSound, zig:113-121).
+
+        One compiled device dispatch for any slot (_start_voice) and no
+        device sync: slot choice reads the host liveness mirror."""
         slot = self._free_slot()
-        st = self.state
-        vt = st.voices
-        sel = lambda a, val: a.at[slot].set(val)  # noqa: E731
-        vt = vt._replace(
-            active=sel(vt.active, True),
-            finished=sel(vt.finished, False),
-            sound_offset=sel(vt.sound_offset, self._offsets[sound]),
-            sound_length=sel(vt.sound_length, len(self._sounds[sound])),
-            pos=vt.pos.at[slot].set(jnp.asarray(pos, jnp.float32)),
-            gain=sel(vt.gain, float(gain)),
-            cursor=sel(vt.cursor, 0),
-            repeat=sel(vt.repeat, bool(repeat)),
-            prev_dist=sel(vt.prev_dist, jnp.nan),
-            refl_dist_prev=vt.refl_dist_prev.at[slot].set(jnp.nan),
-            eq_z=vt.eq_z.at[slot].set(0.0),
+        self.state, self.params = _start_voice(
+            self.state, self.params, jnp.int32(slot),
+            jnp.int32(self._offsets[sound]),
+            jnp.int32(len(self._sounds[sound])),
+            jnp.asarray(pos, jnp.float32), jnp.float32(gain),
+            jnp.bool_(repeat),
         )
-        # fresh per-voice reverb (reference constructs Reverb per Playing)
-        rv = st.reverb
-        rv = rv._replace(
-            diff_buf=rv.diff_buf.at[slot].set(0.0),
-            diff_cursor=rv.diff_cursor.at[slot].set(0),
-            fb_buf=rv.fb_buf.at[slot].set(0.0),
-            fb_cursor=rv.fb_cursor.at[slot].set(0),
-            fb_filter=rv.fb_filter.at[slot].set(0.0),
-        )
-        self.state = st._replace(voices=vt, reverb=rv)
-        # reset host-side params for the slot
-        p = self.params
-        self.params = p._replace(
-            occlusion=p.occlusion.at[slot].set(0.0),
-            refl_dist=p.refl_dist.at[slot].set(0.0),
-            refl_lam=p.refl_lam.at[slot].set(0.0),
-            feedback_gain=p.feedback_gain.at[slot].set(DEFAULT_FEEDBACK_GAIN),
-            wet=p.wet.at[slot].set(0.0),
-        )
+        self._live[slot] = True
         self._reverb_cal.pop(slot, None)  # recycled slot: stale calibration
         h = self._next_handle
         self._next_handle += 1
@@ -133,9 +172,12 @@ class SoundSystem:
         return h
 
     def _free_slot(self) -> int:
-        active = np.asarray(self.state.voices.active)
-        finished = np.asarray(self.state.voices.finished)
-        free = np.nonzero(~active | finished)[0]
+        """First free slot per the host liveness mirror (`self._live`) —
+        exact as of the last rendered block (render's finished sweep is
+        the only place voices end on their own), so starting a voice never
+        blocks on a device->host transfer. The reference's game thread
+        reads callback-owned liveness with the same one-block staleness."""
+        free = np.nonzero(~self._live)[0]
         if len(free) == 0:
             raise RuntimeError(
                 f"voice table full ({self.cfg.max_voices}); raise Config.max_voices"
@@ -149,24 +191,20 @@ class SoundSystem:
         slot = self._handles.pop(handle, None)
         if slot is None:
             return
-        vt = self.state.voices
-        self.state = self.state._replace(
-            voices=vt._replace(active=vt.active.at[slot].set(False))
-        )
+        self.state = _stop_slot(self.state, jnp.int32(slot))
+        self._live[slot] = False
 
     def set_pos(self, handle: int, pos) -> None:
         slot = self._handles[handle]
-        vt = self.state.voices
-        self.state = self.state._replace(
-            voices=vt._replace(pos=vt.pos.at[slot].set(jnp.asarray(pos, jnp.float32)))
+        self.state = _set_slot_pos(
+            self.state, jnp.int32(slot), jnp.asarray(pos, jnp.float32)
         )
 
     def is_playing(self, handle: int) -> bool:
+        """Liveness as of the last rendered block (host mirror — no
+        device sync; see _free_slot)."""
         slot = self._handles.get(handle)
-        if slot is None:
-            return False
-        vt = self.state.voices
-        return bool(vt.active[slot]) and not bool(vt.finished[slot])
+        return slot is not None and bool(self._live[slot])
 
     # --- listener / acoustics ---------------------------------------------
 
@@ -321,6 +359,7 @@ class SoundSystem:
             self._handles = {
                 h: s for h, s in self._handles.items() if not fin[s]
             }
+            self._live &= ~fin
         return out
 
     # --- checkpoint / resume ------------------------------------------------
@@ -361,3 +400,6 @@ class SoundSystem:
             self.orientation = z["orientation"]
             self._handles = {int(h): int(s) for h, s in z["handles"]}
             self._next_handle = int(z["next_handle"])
+        # rebuild the host liveness mirror from the restored device state
+        vt = self.state.voices
+        self._live = np.asarray(vt.active) & ~np.asarray(vt.finished)

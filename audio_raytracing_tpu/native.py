@@ -69,6 +69,29 @@ def _load():
         lib.arbih_mailbox_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.arbih_mailbox_seq.restype = ctypes.c_uint64
         lib.arbih_mailbox_seq.argtypes = [ctypes.c_void_p]
+        lib.arbih_sink_create.restype = ctypes.c_void_p
+        lib.arbih_sink_create.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.arbih_sink_start.restype = ctypes.c_int
+        lib.arbih_sink_start.argtypes = [ctypes.c_void_p]
+        lib.arbih_sink_stop.restype = None
+        lib.arbih_sink_stop.argtypes = [ctypes.c_void_p]
+        lib.arbih_sink_write.restype = ctypes.c_int64
+        lib.arbih_sink_write.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.arbih_sink_space.restype = ctypes.c_int64
+        lib.arbih_sink_space.argtypes = [ctypes.c_void_p]
+        lib.arbih_sink_level.restype = ctypes.c_int64
+        lib.arbih_sink_level.argtypes = [ctypes.c_void_p]
+        lib.arbih_sink_stats.restype = None
+        lib.arbih_sink_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.arbih_sink_destroy.restype = None
+        lib.arbih_sink_destroy.argtypes = [ctypes.c_void_p]
     except AttributeError:
         try:
             subprocess.run(
@@ -83,6 +106,10 @@ def _load():
 
 def _has_mailbox(lib) -> bool:
     return lib is not None and hasattr(lib, "arbih_mailbox_create")
+
+
+def _has_sink(lib) -> bool:
+    return lib is not None and hasattr(lib, "arbih_sink_create")
 
 
 def available() -> bool:
@@ -232,6 +259,186 @@ class Mailbox:
         if self._h:
             self._lib.arbih_mailbox_destroy(self._h)
             self._h = None
+
+    def __del__(self):  # best effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AudioSink:
+    """Live audio output loop (native/audiosink.cpp) — the reference's L0
+    runtime behavior (SDL device pulling 128-sample stereo f32 blocks
+    under a hard ~2.9 ms cadence, sound_system.zig:44-92, 123-172) as a
+    real OS thread: clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME) on an
+    absolute t0 + k*period schedule consumes one block per tick from a
+    lock-free SPSC ring; a short ring is an UNDERRUN (silence plays, the
+    count increments — the pull-callback contract). Optional raw
+    interleaved-f32 PCM to a file descriptor (pipe it to aplay/pacat on a
+    machine with a DAC); fd=None discards samples (pure timing harness).
+    The fd must either be drained in real time (a player) or be
+    non-blocking (short writes are dropped, the clock keeps ticking) — a
+    blocking fd nobody reads stalls the pull thread once the pipe fills.
+
+    Producer API (any single thread): write(frames) -> frames accepted
+    (non-blocking), space/level in frames, stats dict.
+
+    Falls back to a Python thread paced on time.monotonic_ns when the
+    native library is unavailable (same semantics and stats; GIL-level
+    jitter instead of lock-free handoff).
+    """
+
+    def __init__(self, sample_rate: int, block_frames: int = 128,
+                 channels: int = 2, ring_blocks: int = 32, fd=None):
+        self.sample_rate = int(sample_rate)
+        self.block_frames = int(block_frames)
+        self.channels = int(channels)
+        self._fd = -1 if fd is None else int(fd)
+        ring_frames = int(ring_blocks) * self.block_frames
+        lib = _load()
+        self._lib = lib
+        self._h = None
+        if _has_sink(lib):
+            self._h = lib.arbih_sink_create(
+                self.sample_rate, self.block_frames, self.channels,
+                ring_frames, self._fd,
+            )
+            if not self._h:
+                raise MemoryError("sink allocation failed")
+        else:  # pure-Python fallback
+            import threading
+
+            n = 1
+            while n < max(ring_frames, 4 * self.block_frames):
+                n *= 2
+            self._ring = np.zeros((n, self.channels), np.float32)
+            self._ring_frames = n
+            self._head = 0  # frames ever written
+            self._tail = 0  # frames ever consumed
+            self._lock = threading.Lock()
+            self._stop_evt = threading.Event()
+            self._thread = None
+            self._stats = [0, 0, 0, 0]
+
+    # -- producer side ---------------------------------------------------
+
+    def write(self, frames) -> int:
+        """Offer (n, channels) float32 frames; returns frames accepted."""
+        a = np.ascontiguousarray(frames, np.float32).reshape(-1, self.channels)
+        if self._h:
+            return int(self._lib.arbih_sink_write(self._h, _fp(a), len(a)))
+        with self._lock:
+            space = self._ring_frames - (self._head - self._tail)
+            n = min(len(a), space)
+            for f in range(n):
+                self._ring[(self._head + f) % self._ring_frames] = a[f]
+            self._head += n
+            self._stats[3] += n
+            return n
+
+    @property
+    def space(self) -> int:
+        if self._h:
+            return int(self._lib.arbih_sink_space(self._h))
+        with self._lock:
+            return self._ring_frames - (self._head - self._tail)
+
+    @property
+    def level(self) -> int:
+        if self._h:
+            return int(self._lib.arbih_sink_level(self._h))
+        with self._lock:
+            return self._head - self._tail
+
+    def stats(self) -> dict:
+        """{"blocks_played", "underruns", "late_wakeups", "frames_written"}."""
+        if self._h:
+            out = (ctypes.c_uint64 * 4)()
+            self._lib.arbih_sink_stats(self._h, out)
+            vals = [int(v) for v in out]
+        else:
+            with self._lock:
+                vals = list(self._stats)
+        return dict(zip(
+            ("blocks_played", "underruns", "late_wakeups", "frames_written"),
+            vals,
+        ))
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        if self._h:
+            if self._lib.arbih_sink_start(self._h) != 0:
+                raise RuntimeError("sink thread failed to start")
+            return
+        import threading
+
+        if self._thread is not None and self._thread.is_alive():
+            return
+        self._stop_evt = threading.Event()
+        self._thread = threading.Thread(
+            target=self._py_loop, args=(self._stop_evt,),
+            name="audio-sink", daemon=True,
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._h:
+            self._lib.arbih_sink_stop(self._h)
+            return
+        if self._thread is None:
+            return
+        self._stop_evt.set()
+        self._thread.join(timeout=5.0)
+        self._thread = None
+
+    def _py_loop(self, stop_evt) -> None:
+        import os
+        import time
+
+        period_ns = int(1e9 * self.block_frames / self.sample_rate)
+        nxt = time.monotonic_ns()
+        blk = self.block_frames
+        while not stop_evt.is_set():
+            nxt += period_ns
+            dt = nxt - time.monotonic_ns()
+            if dt > 0:
+                time.sleep(dt / 1e9)
+            # a stop that landed during the sleep is not a tick to service
+            if stop_evt.is_set():
+                break
+            late = time.monotonic_ns() - nxt > period_ns // 2
+            with self._lock:
+                if late:
+                    self._stats[2] += 1
+                if self._head - self._tail >= blk:
+                    idx = (self._tail + np.arange(blk)) % self._ring_frames
+                    out = self._ring[idx].copy()
+                    self._tail += blk
+                else:
+                    out = np.zeros((blk, self.channels), np.float32)
+                    self._stats[1] += 1
+                self._stats[0] += 1
+            if self._fd >= 0:
+                try:
+                    os.write(self._fd, out.tobytes())
+                except OSError:
+                    pass
+
+    def close(self) -> None:
+        self.stop()
+        if self._h:
+            self._lib.arbih_sink_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+        return False
 
     def __del__(self):  # best effort
         try:
