@@ -147,7 +147,8 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   transmission: bool = False, weighted: bool = False,
                   scattering: float = 0.0, material_scattering: bool = False,
                   rng_seed: int = 0, sg_cull: bool = False,
-                  shadow_divfree: bool = False, ablate: str = ""):
+                  shadow_divfree: bool = False, winner_acc: int = 1,
+                  ablate: str = ""):
     # ablate (MEASUREMENT ONLY — results are numerically wrong): "+"-joined
     # component skips for on-hardware cost attribution of the fused kernel
     # (benchmarks/ablate_kernel.py). "no_sweep" replaces the winner-sublane
@@ -446,6 +447,30 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
 
             carry = jax.lax.fori_loop(0, n_groups // fori_unroll, fori_body, carry)
             return carry[0], list(carry[1:])
+        if winner_acc > 1 and preds is None:
+            # ILP experiment: C independent accumulator chains over
+            # CONTIGUOUS group chunks (chunking, not round-robin, so the
+            # left-fold merge preserves the serial fold's first-group-wins
+            # tie order), merged strictly-less at the end — cuts the
+            # loop-carried compare/select dependency depth from n_groups
+            # to ~n_groups/C + (C-1) at the cost of (C-1) extra live
+            # (best_t + attrs) vreg sets.
+            init = carry
+            chains = []
+            for c in range(winner_acc):
+                lo = (c * n_groups) // winner_acc
+                hi = ((c + 1) * n_groups) // winner_acc
+                ch = init if c == 0 else tuple(v + 0.0 for v in init)
+                for g in range(lo, hi):
+                    ch = group_body(partial(cg, g), partial(og, g), ch, g)
+                chains.append(ch)
+            merged = chains[0]
+            for ch in chains[1:]:
+                imp = ch[0] < merged[0]
+                merged = tuple(
+                    jnp.where(imp, b, a) for a, b in zip(merged, ch)
+                )
+            return merged[0], list(merged[1:])
         for g in range(n_groups):
             col = partial(cg, g)
             ocol = partial(og, g)
@@ -1729,17 +1754,25 @@ def trace_contributions_pallas(
     row_unroll: int | None = None, shadow_divfree: bool = False,
     stream_tris: int | None = None, ablate: str = "",
     ray_major: bool | None = None, tri_unroll: int = 8,
-    ray_blocks: int = 1,
+    ray_blocks: int = 1, winner_acc: int = 1,
 ):
     """Run the fused kernel.
 
+    winner_acc (tri-major unrolled path only): number of independent
+    winner-accumulator chains in the path pass — contiguous group chunks,
+    merged at the end — breaking the n_groups-deep loop-carried
+    compare/select dependency for more ILP. 1 = the serial fold.
+    MEASURED NEUTRAL on the v5e (benchmarks/winner_acc_ab.json: 59.7 /
+    60.2 / 59.1 ms at C=1/2/4, 1M rays x 8 bounces) — the winner chain's
+    latency already hides under the group's independent intersection
+    math; the in-situ path-pass gap is broadcasts + live bounce state,
+    not the fold. Kept at 1; bit-identical in interpret mode either way.
+
     ray_major: the (8, 128) vreg holds 1024 rays and triangle constants
-    are SMEM scalars (see _trace_kernel_raymajor) — the measured fast
-    layout for small scenes (the ablation split showed the tri-major
-    path pass dominated by column broadcasts). Default (None): auto —
-    engaged for fused_hist scenes that fit SMEM (T <= 2048) without
-    transmission/directivity/experiment flags. Pass False to force the
-    tri-major kernel.
+    are SMEM scalars (see _trace_kernel_raymajor). MEASURED DEAD END on
+    the v5e (benchmarks/RESULTS.md: 63.3 ms best vs tri-major's 61.8 —
+    scalar-unit-bound at ray_blocks=1, never recovers past it); the
+    tri-major kernel stays the default (None -> False). Kept for A/Bs.
 
     ablate (MEASUREMENT ONLY, resident fused_hist kernel): "+"-joined
     component skips for on-hardware cost attribution — see _trace_kernel.
@@ -1960,6 +1993,14 @@ def trace_contributions_pallas(
         sg_cull = group_fori
     if sg_cull and not group_fori:
         raise ValueError("sg_cull requires group_fori")
+    if winner_acc != 1:
+        if winner_acc < 1:
+            raise ValueError(f"winner_acc must be >= 1, got {winner_acc}")
+        if group_fori:
+            raise ValueError(
+                "winner_acc applies to the fully unrolled tri-major path "
+                "pass only (group_fori carries one fori accumulator)"
+            )
     sg_args = ()
     if sg_cull:
         n_groups = T // TRI_GROUP
@@ -2116,7 +2157,8 @@ def trace_contributions_pallas(
         transmission=transmission,
         weighted=weighted, scattering=scattering,
         material_scattering=material_scattering, rng_seed=rng_seed,
-        sg_cull=sg_cull, shadow_divfree=shadow_divfree, ablate=ablate,
+        sg_cull=sg_cull, shadow_divfree=shadow_divfree,
+        winner_acc=winner_acc, ablate=ablate,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + sg_args + w_args
     if fused_hist:

@@ -198,6 +198,51 @@ def test_stop_is_prompt_and_restartable(make_sink):
         s.close()
 
 
+def test_live_realtime_engine_three_threads():
+    """The FULL reference architecture, all three threads real: the
+    acoustic update thread re-traces and publishes through the lock-free
+    mailbox, the producer renders blocks adopting the freshest params,
+    and the sink's pull thread plays them on the wall clock
+    (main.zig:518-521's triple-buffer design + sound_system.zig:123-172's
+    callback). Stream sized to the priming lead (CPU renders slower than
+    real time; see test_live_sound_system_end_to_end)."""
+    import dataclasses
+
+    from audio_raytracing_tpu.config import DEFAULT_CONFIG
+    from audio_raytracing_tpu.engine.realtime import RealtimeEngine
+    from audio_raytracing_tpu.models.scene import Scene, box_room
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, ir_length=2048, rays_per_source=256, max_voices=4
+    )
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 3.0, 6.0)), cfg,
+        absorption=np.full(12, 0.3, np.float32),
+    )
+    eng = RealtimeEngine(scene, cfg, updates_per_second=40.0)
+    rng = np.random.default_rng(1)
+    tone = (0.4 * rng.standard_normal(cfg.sample_rate)).astype(np.float32)
+    sid = eng.system.load_sound(tone)
+    eng.play_sound(sid, pos=[2.0, 0.5, 1.0], gain=0.5, repeat=True)
+    eng.set_listener([0.0, 0.0, 0.0], yaw=0.2)
+
+    n_blocks = 16
+    dur = n_blocks * cfg.block_size / cfg.sample_rate
+    sink = _py_sink(cfg.sample_rate, block_frames=cfg.block_size,
+                    channels=2, ring_blocks=2 * n_blocks)
+    try:
+        with eng:  # tracing thread runs while we produce + play
+            stats = run_live(eng.render, dur, cfg.sample_rate,
+                             block_frames=cfg.block_size, chunk_blocks=4,
+                             sink=sink)
+    finally:
+        sink.close()
+    assert stats["underruns"] <= _noise_budget(stats)
+    assert stats["frames_written"] == n_blocks * cfg.block_size
+    assert eng.updates_done >= 1  # acoustics really landed mid-playback
+    assert float(np.asarray(eng.system.params.wet)[0]) > 0.0
+
+
 def test_live_sound_system_end_to_end():
     """The full L0 loop: a SoundSystem voice playing through the live sink.
 
