@@ -1,0 +1,150 @@
+"""Live acoustic walkthrough: a moving listener streamed in real time.
+
+This is the production "serving" shape of the framework, end to end: the
+listener glides through a scene while IRStreamRenderer re-traces each
+source's ambisonic impulse response at the acoustic update rate
+(pose-aware cache: rotation-only poses skip the re-trace), partitioned
+convolution renders 128-sample blocks with one-block crossfades at every
+spectra swap, and the native AudioSink's pull thread plays them on the
+wall clock with underrun accounting. The reference's interactive loop
+(src/main.zig:452-512 driving sound_system.zig's 13 scalar params per
+voice) is the same architecture with a parametric renderer in place of
+the IR pipeline.
+
+Run: python -m audio_raytracing_tpu.app.walkthrough [seconds] [out.pcm]
+     [--scene data/hall.obj] — prints the sink stats; the PCM is raw
+     interleaved stereo f32 (aplay -f FLOAT_LE -r 44100 -c 2 on a DAC).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..config import Config, DEFAULT_CONFIG
+from ..engine.ir_stream import IRStreamRenderer
+from ..engine.live import run_live
+from ..models.scene import Scene, box_room
+
+ROOT = Path(__file__).resolve().parent.parent.parent
+DATA = ROOT / "data"
+
+
+def circle_path(t: float, radius: float = 1.5, period: float = 8.0,
+                height: float = 0.0):
+    """Listener orbit: position on a circle, yaw facing along the motion."""
+    a = 2 * math.pi * t / period
+    pos = np.float32([radius * math.cos(a), height, radius * math.sin(a)])
+    yaw = -a  # tangential gaze
+    return pos, yaw
+
+
+def synth_pad(rate: int, seconds: float = 3.0) -> np.ndarray:
+    """Loopable band-limited pad so doppler-free IR swaps are audible as
+    room changes, not source changes."""
+    n = int(seconds * rate)
+    t = np.arange(n) / rate
+    out = np.zeros(n, np.float32)
+    for f, a in ((220.0, 0.35), (330.0, 0.25), (440.0, 0.2)):
+        out += a * np.sin(2 * np.pi * f * t).astype(np.float32)
+    w = np.ones(n, np.float32)  # loop-seamless: integer cycles per loop
+    return (out * w).astype(np.float32)
+
+
+def run_walkthrough(
+    seconds: float,
+    scene: Scene | None = None,
+    cfg: Config = DEFAULT_CONFIG,
+    fd=None,
+    updates_per_second: float = 10.0,
+    n_rays: int = 1 << 15,
+    max_bounces: int = 6,
+    chunk_blocks: int = 64,
+    ring_blocks: int = 192,
+    path=circle_path,
+    source_pos=(0.0, 0.0, 0.0),
+    warmup: bool = True,
+    sink=None,
+    renderer: IRStreamRenderer | None = None,
+) -> dict:
+    """Stream `seconds` of a moving-listener walkthrough through a live
+    sink. Acoustic updates land at `updates_per_second` from the producer
+    loop (the audio clock is the master, like Demo.run_live); each update
+    re-traces only when the pose's positions changed (IRStreamRenderer's
+    pose cache). Returns sink stats + {"updates", "retraces"}.
+
+    warmup compiles the trace/respectra/stream ops and both render chunk
+    shapes before the clock starts (see Demo.run_live — first-use JIT
+    through this container's relay otherwise starves the ring)."""
+    if scene is None:
+        obj = DATA / "world.obj"
+        scene = (Scene.from_obj(obj, cfg) if obj.exists()
+                 else Scene.from_triangles(box_room(), cfg))
+    r = renderer if renderer is not None else IRStreamRenderer(
+        scene, cfg, n_rays=n_rays, max_bounces=max_bounces
+    )
+    r.add_source(synth_pad(cfg.sample_rate), np.float32(source_pos), gain=0.5)
+
+    sr = cfg.sample_rate
+    blk = cfg.block_size
+    update_every = max(1, int(round(sr / updates_per_second / blk)))  # blocks
+    state = {"rendered": 0, "next_update_blk": 0, "updates": 0, "retraces": 0}
+
+    def maybe_update():
+        b = state["rendered"] // blk
+        if b >= state["next_update_blk"]:
+            pos, yaw = path(state["rendered"] / sr)
+            r.update(pos, yaw=yaw)
+            state["updates"] += 1
+            state["retraces"] += bool(r.last_update_retraced)
+            state["next_update_blk"] = b + update_every
+
+    def render(n: int) -> np.ndarray:
+        maybe_update()
+        out = r.render(n)
+        state["rendered"] += n
+        return out
+
+    n_blocks_total = int(np.ceil(seconds * sr / blk))
+    if warmup:
+        # both update paths (re-trace and rotation-only) + both chunk shapes
+        p0, y0 = path(0.0)
+        r.update(p0, yaw=y0)
+        r.update(p0, yaw=y0 + 0.1)
+        r.render(chunk_blocks * blk)
+        rem = n_blocks_total % chunk_blocks
+        if rem:
+            r.render(rem * blk)
+        state["next_update_blk"] = 0
+
+    stats = run_live(render, seconds, sr, block_frames=blk, fd=fd,
+                     chunk_blocks=chunk_blocks, ring_blocks=ring_blocks,
+                     sink=sink)
+    stats["updates"] = state["updates"]
+    stats["retraces"] = state["retraces"]
+    return stats
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seconds = float(args[0]) if args else 10.0
+    out_path = args[1] if len(args) > 1 else "walkthrough.pcm"
+    scene = None
+    cfg = DEFAULT_CONFIG
+    for a in sys.argv[1:]:
+        if a.startswith("--scene="):
+            scene = Scene.from_obj(Path(a.split("=", 1)[1]), cfg)
+    with open(out_path, "wb") as f:
+        stats = run_walkthrough(seconds, scene=scene, cfg=cfg, fd=f.fileno())
+    print(f"walkthrough: {stats['blocks_played']} blocks, "
+          f"{stats['underruns']} underruns, "
+          f"{stats['updates']} acoustic updates ({stats['retraces']} re-traced), "
+          f"realtime_factor {stats['realtime_factor']:.2f}; pcm -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,27 @@ def _stream_block(x, state, spectra_old, spectra_new, crossfade):
     return jnp.sum(y, axis=0).T, new_state  # (B, n_out)
 
 
+@jax.jit
+def _stream_blocks(xs, state, spectra_old, spectra_new, crossfade_first):
+    """K blocks in ONE dispatch: lax.scan of _stream_block over the chunk
+    (the crossfade, if pending, applies to the first block only — same
+    semantics as K sequential render_block calls). Matters through the
+    remote relay, where every dispatch costs a ~25-40 ms round trip: the
+    per-block live-serving path was relay-bound at 64 dispatches per
+    64-block chunk (measured realtime_factor 0.08 in the walkthrough);
+    one scanned dispatch per chunk makes the stream real-time-capable.
+    xs: (K, S, n_out, B) -> ((K, B, n_out), new_state)."""
+    fades = jnp.zeros(xs.shape[0], bool).at[0].set(crossfade_first)
+
+    def body(st, inp):
+        x, fade = inp
+        y, st = _stream_block(x, st, spectra_old, spectra_new, fade)
+        return st, y
+
+    state, ys = jax.lax.scan(body, state, (xs, fades))
+    return ys, state
+
+
 class IRStreamRenderer:
     def __init__(self, scene: Scene, cfg: Config = DEFAULT_CONFIG,
                  hrtf=None, n_rays: int | None = None,
@@ -361,5 +382,32 @@ class IRStreamRenderer:
         return np.asarray(y)
 
     def render(self, n_samples: int) -> np.ndarray:
-        out = [self.render_block() for _ in range(-(-n_samples // self.cfg.block_size))]
-        return np.concatenate(out, axis=0)[:n_samples]
+        """ceil(n/B) blocks in ONE device dispatch (_stream_blocks scan);
+        bit-identical to repeated render_block calls."""
+        if self._spectra is None:
+            raise RuntimeError("call update() once before rendering")
+        cfg = self.cfg
+        B = cfg.block_size
+        K = -(-n_samples // B)
+        S = self._dry.shape[0]
+        pos = self._cursor + np.arange(K * B)
+        blocks = np.zeros((S, K * B), np.float32)
+        for i, s in enumerate(self._sources):
+            m = len(s["samples"])
+            if s["loop"]:
+                blocks[i] = self._dry[i, pos % m]
+            else:
+                valid = pos < m
+                blocks[i, valid] = self._dry[i, pos[valid]]
+        # (S, K*B) -> (K, S, n_out, B)
+        xs = jnp.asarray(
+            blocks.reshape(S, K, B).transpose(1, 0, 2)
+        )[:, :, None, :].repeat(self.n_out, axis=2)
+        with profiling.span("ir_stream_chunk"):
+            ys, self._conv_state = _stream_blocks(
+                xs, self._conv_state, self._spectra_prev, self._spectra,
+                jnp.asarray(self._pending_fade),
+            )
+        self._pending_fade = False
+        self._cursor += K * B
+        return np.asarray(ys).reshape(K * B, self.n_out)[:n_samples]
