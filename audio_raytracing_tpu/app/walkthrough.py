@@ -55,6 +55,61 @@ def synth_pad(rate: int, seconds: float = 3.0) -> np.ndarray:
     return (out * w).astype(np.float32)
 
 
+class AsyncAcoustics:
+    """Acoustic updates on their own thread — the decoupled-tracing
+    architecture the reference's comments ask for (main.zig:518-521),
+    for the IR-streaming pipeline: the producer requests poses
+    (non-blocking, coalescing to the freshest) and keeps rendering with
+    the current spectra; the worker traces and swaps atomically
+    (IRStreamRenderer.update(swap_lock=...)). The producer's real-time
+    budget then never contains a trace."""
+
+    def __init__(self, renderer: IRStreamRenderer):
+        import threading
+
+        self.r = renderer
+        self.lock = threading.Lock()  # spectra swap vs stream read
+        self._pose = None
+        self._pose_evt = threading.Event()
+        self._stop_evt = threading.Event()
+        self._thread = None
+        self.updates = 0
+        self.retraces = 0
+
+    def request(self, pos, yaw: float = 0.0, pitch: float = 0.0) -> None:
+        self._pose = (np.asarray(pos, np.float32), float(yaw), float(pitch))
+        self._pose_evt.set()
+
+    def render(self, n: int) -> np.ndarray:
+        with self.lock:
+            return self.r.render(n)
+
+    def _loop(self) -> None:
+        while not self._stop_evt.is_set():
+            if not self._pose_evt.wait(timeout=0.02):
+                continue
+            self._pose_evt.clear()
+            pos, yaw, pitch = self._pose
+            self.r.update(pos, yaw=yaw, pitch=pitch, swap_lock=self.lock)
+            self.updates += 1
+            self.retraces += bool(self.r.last_update_retraced)
+
+    def __enter__(self):
+        import threading
+
+        self._stop_evt.clear()
+        self._thread = threading.Thread(
+            target=self._loop, name="acoustic-update", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop_evt.set()
+        self._thread.join(timeout=30.0)
+        return False
+
+
 def run_walkthrough(
     seconds: float,
     scene: Scene | None = None,
@@ -70,12 +125,18 @@ def run_walkthrough(
     warmup: bool = True,
     sink=None,
     renderer: IRStreamRenderer | None = None,
+    async_updates: bool = False,
 ) -> dict:
     """Stream `seconds` of a moving-listener walkthrough through a live
     sink. Acoustic updates land at `updates_per_second` from the producer
     loop (the audio clock is the master, like Demo.run_live); each update
     re-traces only when the pose's positions changed (IRStreamRenderer's
     pose cache). Returns sink stats + {"updates", "retraces"}.
+
+    async_updates=True moves the trace onto an AsyncAcoustics worker
+    thread: the producer requests poses and never pays a trace in its
+    budget (the reference's decoupled-tracing design), and the update
+    rate is truly `updates_per_second` rather than once per render chunk.
 
     warmup compiles the trace/respectra/stream ops and both render chunk
     shapes before the clock starts (see Demo.run_live — first-use JIT
@@ -93,19 +154,23 @@ def run_walkthrough(
     blk = cfg.block_size
     update_every = max(1, int(round(sr / updates_per_second / blk)))  # blocks
     state = {"rendered": 0, "next_update_blk": 0, "updates": 0, "retraces": 0}
+    acoustics = AsyncAcoustics(r) if async_updates else None
 
     def maybe_update():
         b = state["rendered"] // blk
         if b >= state["next_update_blk"]:
             pos, yaw = path(state["rendered"] / sr)
-            r.update(pos, yaw=yaw)
-            state["updates"] += 1
-            state["retraces"] += bool(r.last_update_retraced)
+            if acoustics is not None:
+                acoustics.request(pos, yaw=yaw)  # worker traces off-thread
+            else:
+                r.update(pos, yaw=yaw)
+                state["updates"] += 1
+                state["retraces"] += bool(r.last_update_retraced)
             state["next_update_blk"] = b + update_every
 
     def render(n: int) -> np.ndarray:
         maybe_update()
-        out = r.render(n)
+        out = acoustics.render(n) if acoustics is not None else r.render(n)
         state["rendered"] += n
         return out
 
@@ -121,11 +186,20 @@ def run_walkthrough(
             r.render(rem * blk)
         state["next_update_blk"] = 0
 
-    stats = run_live(render, seconds, sr, block_frames=blk, fd=fd,
-                     chunk_blocks=chunk_blocks, ring_blocks=ring_blocks,
-                     sink=sink)
-    stats["updates"] = state["updates"]
-    stats["retraces"] = state["retraces"]
+    def _run():
+        return run_live(render, seconds, sr, block_frames=blk, fd=fd,
+                        chunk_blocks=chunk_blocks, ring_blocks=ring_blocks,
+                        sink=sink)
+
+    if acoustics is not None:
+        with acoustics:
+            stats = _run()
+        stats["updates"] = acoustics.updates
+        stats["retraces"] = acoustics.retraces
+    else:
+        stats = _run()
+        stats["updates"] = state["updates"]
+        stats["retraces"] = state["retraces"]
     return stats
 
 
@@ -139,7 +213,8 @@ def main():
         if a.startswith("--scene="):
             scene = Scene.from_obj(Path(a.split("=", 1)[1]), cfg)
     with open(out_path, "wb") as f:
-        stats = run_walkthrough(seconds, scene=scene, cfg=cfg, fd=f.fileno())
+        stats = run_walkthrough(seconds, scene=scene, cfg=cfg, fd=f.fileno(),
+                                async_updates="--async" in sys.argv[1:])
     print(f"walkthrough: {stats['blocks_played']} blocks, "
           f"{stats['underruns']} underruns, "
           f"{stats['updates']} acoustic updates ({stats['retraces']} re-traced), "

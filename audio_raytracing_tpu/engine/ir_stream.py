@@ -254,14 +254,23 @@ class IRStreamRenderer:
 
     # -- acoustic frame ------------------------------------------------------
 
-    def update(self, listener_pos, yaw: float = 0.0, pitch: float = 0.0) -> None:
+    def update(self, listener_pos, yaw: float = 0.0, pitch: float = 0.0,
+               swap_lock=None) -> None:
         """Re-trace all source IRs for the new pose and swap spectra with a
         one-block crossfade.
 
         Pose-aware: translation (listener or any source moved) re-traces;
         pure rotation only re-decodes the cached ambisonic IRs (~free next
         to a trace); an identical pose is a no-op (no spectra swap, no
-        crossfade)."""
+        crossfade).
+
+        swap_lock: when update runs on a separate acoustic thread
+        (app/walkthrough.py::AsyncAcoustics — the decoupled-tracing
+        architecture of main.zig:518-521), pass the lock the render
+        thread holds during render()/render_block(): the expensive
+        trace + respectra run UNLOCKED and only the final
+        spectra/crossfade swap is made atomic against a concurrent
+        stream read."""
         cfg = self.cfg
         lp = np.asarray(listener_pos, np.float32)
         trace_key = (
@@ -340,16 +349,21 @@ class IRStreamRenderer:
                     self._amb_cache, orient, self.hrtf_l, self.hrtf_r,
                     cfg.block_size,
                 )
-        if self._spectra is None:
-            self._spectra = spectra
-            self._spectra_prev = spectra
-            P = spectra[0].shape[-2]
-            S = spectra[0].shape[0]
-            self._conv_state = cp.conv_init_real((S, self.n_out), P, cfg.block_size)
-        else:
-            self._spectra_prev = self._spectra
-            self._spectra = spectra
-            self._pending_fade = True
+        import contextlib
+
+        with swap_lock if swap_lock is not None else contextlib.nullcontext():
+            if self._spectra is None:
+                self._spectra = spectra
+                self._spectra_prev = spectra
+                P = spectra[0].shape[-2]
+                S = spectra[0].shape[0]
+                self._conv_state = cp.conv_init_real(
+                    (S, self.n_out), P, cfg.block_size
+                )
+            else:
+                self._spectra_prev = self._spectra
+                self._spectra = spectra
+                self._pending_fade = True
 
     # -- audio stream --------------------------------------------------------
 

@@ -40,6 +40,26 @@ def test_walkthrough_streams_and_retraces():
     assert stats["updates"] >= stats["retraces"]
 
 
+def test_walkthrough_async_updates():
+    """async mode: the trace runs on the AsyncAcoustics worker while the
+    producer renders — updates land, audio is finite, accounting holds."""
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 3.0, 6.0)), CFG,
+        absorption=np.full(12, 0.3, np.float32),
+    )
+    n_blocks = 32
+    dur = n_blocks * CFG.block_size / CFG.sample_rate
+    stats = run_walkthrough(
+        dur, scene=scene, cfg=CFG, n_rays=2048, max_bounces=4,
+        chunk_blocks=4, ring_blocks=n_blocks + 8,
+        updates_per_second=40.0, async_updates=True,
+        path=lambda t: circle_path(t, radius=1.5, period=0.05),
+    )
+    assert stats["frames_written"] == n_blocks * CFG.block_size
+    assert stats["updates"] >= 1  # worker really consumed pose requests
+    assert stats["retraces"] >= 1
+
+
 def test_render_chunk_matches_blockwise():
     """render(K*B) (one scanned dispatch) is bit-identical to K
     render_block() calls — including the crossfade block after an
