@@ -57,16 +57,38 @@ def fibonacci_sphere(n: int) -> np.ndarray:
     ).astype(np.float32)
 
 
+def _morton3_np(q: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit x/y/z columns of q (N, 3) into 30-bit keys."""
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x30000FF
+        x = (x | (x << 8)) & 0x300F00F
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+
+    q = q.astype(np.int64)
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
 def fibonacci_sphere_sorted(n: int) -> np.ndarray:
     """fibonacci_sphere reordered so index-adjacent directions are spatially
     adjacent (consecutive fibonacci indices spiral across the sphere, so a
-    128-lane tile of them is incoherent). Sorting by quantized direction
-    makes per-tile ray bundles tight, which the Pallas kernel's
-    bundle-vs-group culling exploits. Histograms are invariant to ray
-    order."""
+    128-lane tile of them is incoherent). OCTANT-MAJOR: the kernel's
+    supergroup reach test (_sg_pred) collapses to always-pass on any axis
+    where a (1, 128) row mixes direction signs, so rows must never straddle
+    an octant boundary; within an octant, morton order keeps the bundle
+    tight. Measured (benchmarks/wavefront_sim.py, 49k-tri room): the old
+    lexicographic key passed 38% of supergroups at bounce 0, octant-major
+    passes 18%. Histograms are invariant to ray order."""
     d = fibonacci_sphere(n)
-    q = np.clip(((d + 1.0) * 0.5 * 31.999).astype(np.int64), 0, 31)
-    key = (q[:, 0] << 10) | (q[:, 1] << 5) | q[:, 2]
+    octant = (
+        (d[:, 0] > 0).astype(np.int64)
+        | ((d[:, 1] > 0).astype(np.int64) << 1)
+        | ((d[:, 2] > 0).astype(np.int64) << 2)
+    )
+    q = np.clip((np.abs(d) * 1023.999).astype(np.int64), 0, 1023)
+    key = (octant << 30) | _morton3_np(q)
     return d[np.argsort(key, kind="stable")]
 
 

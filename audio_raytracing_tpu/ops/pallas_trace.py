@@ -148,7 +148,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   scattering: float = 0.0, material_scattering: bool = False,
                   rng_seed: int = 0, sg_cull: bool = False,
                   shadow_divfree: bool = False, winner_acc: int = 1,
-                  ablate: str = ""):
+                  ablate: str = "", state_io: bool = False):
     # ablate (MEASUREMENT ONLY — results are numerically wrong): "+"-joined
     # component skips for on-hardware cost attribution of the fused kernel
     # (benchmarks/ablate_kernel.py). "no_sweep" replaces the winner-sublane
@@ -189,6 +189,17 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         # interception doesn't reach inside the row fori_loop body)
         tile_base = pl.program_id(0) * TILE
     inf = jnp.float32(np.inf)
+    # state_io (wavefront mode, trace_contributions_pallas(wavefront=True)):
+    # ONE bounce per call with per-ray state read from input refs and the
+    # post-bounce state written to output refs, so the caller can re-sort
+    # rays by (direction octant, origin morton) between bounces and keep
+    # the sg_cull reach test tight at every depth. The bounce index rides
+    # scalars[9] (traced, not static: all bounces share one compiled
+    # kernel) and feeds the SAME rng counter layout as the fused loop —
+    # per-ray results are bit-identical to the resident kernel; only the
+    # histogram accumulation order differs.
+    if state_io:
+        b_io = scalar_ref[9].astype(jnp.int32)
     sx, sy, sz = scalar_ref[0], scalar_ref[1], scalar_ref[2]
     lx, ly, lz = scalar_ref[3], scalar_ref[4], scalar_ref[5]
     inv_n = scalar_ref[6]
@@ -228,6 +239,14 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     if sg_cull:
         assert group_fori, "sg_cull requires group_fori"
         sgaabb_ref, refs = refs[0], refs[1:]
+    # state_io: per-ray bounce-state inputs follow the sg table — ox, oy,
+    # oz, amp (n_keep), path, alive, gidx (int32 original ray index, the
+    # rng counter key: permutation-invariant sampling) — and the matching
+    # outputs (o, d, amp, path, alive) follow the histogram output
+    if state_io:
+        assert fused_hist and not weighted and not cull and not ablate
+        n_st_in = 6 + n_keep  # o(3) + amp(n_keep) + path + alive + gidx
+        st_in, refs = refs[:n_st_in], refs[n_st_in:]
     # weighted: n_keep per-ray initial-amplitude inputs (source
     # directivity) precede the outputs in *refs
     if weighted:
@@ -235,7 +254,16 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     else:
         w_refs, out_refs = None, refs
 
-    if fused_hist:
+    if fused_hist and state_io:
+        hist_out_ref = out_refs[0]
+        st_out = out_refs[1 : 1 + 8 + n_keep]
+        hist_ref = out_refs[1 + 8 + n_keep]
+        n_coarse = hist_ref.shape[0]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero_hist_io():
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+    elif fused_hist:
         # out_refs = (hist_out, hist_scratch): accumulate in scratch (safe
         # across sequential grid steps), write the output once at the end
         hist_out_ref, hist_ref = out_refs
@@ -601,17 +629,25 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         dx = dx_ref[pl.ds(r, 1), :]  # (1, 128)
         dy = dy_ref[pl.ds(r, 1), :]
         dz = dz_ref[pl.ds(r, 1), :]
-        ox = sx + 0.0 * dx
-        oy = sy + 0.0 * dx
-        oz = sz + 0.0 * dx
-        if weighted:
-            amp = [w_refs[c][pl.ds(r, 1), :] for c in range(n_keep)]
+        if state_io:
+            ox = st_in[0][pl.ds(r, 1), :]
+            oy = st_in[1][pl.ds(r, 1), :]
+            oz = st_in[2][pl.ds(r, 1), :]
+            amp = [st_in[3 + c][pl.ds(r, 1), :] for c in range(n_keep)]
+            path = st_in[3 + n_keep][pl.ds(r, 1), :]
+            alive = st_in[4 + n_keep][pl.ds(r, 1), :]
         else:
-            amp = [1.0 + 0.0 * dx for _ in range(n_keep)]
-        path = 0.0 * dx
-        alive = 1.0 + 0.0 * dx  # f32 mask (i1 loop carries don't legalize)
+            ox = sx + 0.0 * dx
+            oy = sy + 0.0 * dx
+            oz = sz + 0.0 * dx
+            if weighted:
+                amp = [w_refs[c][pl.ds(r, 1), :] for c in range(n_keep)]
+            else:
+                amp = [1.0 + 0.0 * dx for _ in range(n_keep)]
+            path = 0.0 * dx
+            alive = 1.0 + 0.0 * dx  # f32 mask (i1 carries don't legalize)
 
-        for b in range(max_bounces):
+        for b in ((None,) if state_io else range(max_bounces)):
             if cull:
                 o_bounds = [
                     (jnp.min(ox), jnp.max(ox)),
@@ -801,7 +837,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 for c in range(PAYLOAD_C):
                     payload_ref[b, c, pl.ds(r, 1), :] = chans[c]
 
-            if b + 1 < max_bounces:
+            if state_io or b + 1 < max_bounces:
                 two_ndd = 2.0 * (nx * dx + ny * dy + nz * dz)
                 live = alive > 0
                 sdx = dx - two_ndd * nx
@@ -810,10 +846,20 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 if scatter_on:
                     # hash uniforms at ((ray*max_bounces + b)*3 + draw);
                     # formulas mirror models/ir.py's hemisphere sample
-                    # op-for-op so interpret paths are bit-identical
-                    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-                    gidx = tile_base + r * LANES + lane
-                    cnt = seed_base + (gidx * max_bounces + b) * 3
+                    # op-for-op so interpret paths are bit-identical.
+                    # state_io: gidx is the ORIGINAL ray index carried
+                    # through the caller's permutations and b rides
+                    # scalars[9] — draws match the fused loop bit-for-bit
+                    if state_io:
+                        gidx = st_in[5 + n_keep][pl.ds(r, 1), :]
+                        b_rng = b_io
+                    else:
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, LANES), 1
+                        )
+                        gidx = tile_base + r * LANES + lane
+                        b_rng = b
+                    cnt = seed_base + (gidx * max_bounces + b_rng) * 3
                     u_sel = uniform01(cnt)
                     u1 = uniform01(cnt + 1)
                     u2 = uniform01(cnt + 2)
@@ -845,6 +891,18 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 dy = jnp.where(live, sdy, dy)
                 dz = jnp.where(live, sdz, dz)
                 ox, oy, oz = vx, vy, vz
+            if state_io:
+                rr = pl.ds(r, 1)
+                st_out[0][rr, :] = ox
+                st_out[1][rr, :] = oy
+                st_out[2][rr, :] = oz
+                st_out[3][rr, :] = dx
+                st_out[4][rr, :] = dy
+                st_out[5][rr, :] = dz
+                for c in range(n_keep):
+                    st_out[6 + c][rr, :] = amp[c]
+                st_out[6 + n_keep][rr, :] = path
+                st_out[7 + n_keep][rr, :] = alive
         return carry
 
     # full unroll on hardware: cross-row ILP the scf.for blocks (+10%
@@ -1754,7 +1812,7 @@ def trace_contributions_pallas(
     row_unroll: int | None = None, shadow_divfree: bool = False,
     stream_tris: int | None = None, ablate: str = "",
     ray_major: bool | None = None, tri_unroll: int = 8,
-    ray_blocks: int = 1, winner_acc: int = 1,
+    ray_blocks: int = 1, winner_acc: int = 1, wavefront: bool = False,
 ):
     """Run the fused kernel.
 
@@ -2034,6 +2092,121 @@ def trace_contributions_pallas(
                          memory_space=pltpu.VMEM)
             for _ in range(n_keep)
         ]
+    if wavefront:
+        # Per-bounce ray re-sorting — the r1 "wavefront" dead end revived
+        # by measurement: (a) an argsort + full-state gather costs 1.0 ms
+        # at 2^15 rays and 8.5 ms at 2^20 when amortized on-chip
+        # (benchmarks/sort_cost.py; the r1 47.6 ms figure was one relay-
+        # bound dispatch), and (b) re-sorting by (direction octant,
+        # origin morton) holds the sg_cull supergroup pass rate at
+        # 18/29/43/49% across bounces 0-3 on the 49k-tri room vs
+        # 38/57/73/82% for the static order (benchmarks/wavefront_sim.py)
+        # — ~1.8x less path-pass and ~2.2x less shadow-pass group traffic.
+        # One state_io kernel launch per bounce (single compiled kernel:
+        # the bounce index rides scalars[9]); per-ray math, rng draws
+        # included, is bit-identical to the fused loop — only histogram
+        # accumulation order differs.
+        if not (fused_hist and group_fori and sg_cull):
+            raise ValueError(
+                "wavefront requires fused_hist and the group_fori+sg_cull "
+                "large-scene kernel (it exists to tighten the supergroup "
+                "reach test)"
+            )
+        if stream_tris is not None:
+            raise ValueError(
+                "wavefront supports the VMEM-resident kernel only (scene "
+                f"T={T} engages stream_tris={stream_tris}); "
+                "wavefront+streaming is a future mode"
+            )
+        if cull or mxu_xform or ablate or shadow_divfree or ray_major:
+            raise ValueError("wavefront excludes the experiment modes")
+        pc = PAYLOAD_C_FLAT if flat_bands else PAYLOAD_C
+        n_bins = cfg.ir_n_bins
+        assert n_bins % LANES == 0, n_bins
+        n_coarse = n_bins // LANES
+        row_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs_w = in_specs[:8] + [row_spec] * (6 + n_keep)
+        kernel_w = partial(
+            _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
+            fused_hist=True, flat_bands=flat_bands, group_fori=True,
+            row_unroll=(
+                (1 if interpret else 8) if row_unroll is None else row_unroll
+            ),
+            transmission=transmission, weighted=False,
+            scattering=scattering, material_scattering=material_scattering,
+            rng_seed=rng_seed, sg_cull=True, state_io=True,
+        )
+        call_w = pl.pallas_call(
+            kernel_w,
+            grid=(rows // SUBLANES,),
+            in_specs=in_specs_w,
+            out_specs=[
+                pl.BlockSpec((n_coarse, pc * LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+            ] + [row_spec] * (8 + n_keep),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_coarse, pc * LANES), jnp.float32)
+            ] + [
+                jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+                for _ in range(8 + n_keep)
+            ],
+            scratch_shapes=[pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)],
+            interpret=interpret,
+        )
+        zeros = jnp.zeros((rows, LANES), jnp.float32)
+        ones = jnp.ones((rows, LANES), jnp.float32)
+        o_st = [src[k] + zeros for k in range(3)]
+        d_st = list(dxyz)
+        amp_st = list(w_args) if weighted else [ones] * n_keep
+        path_st, alive_st = zeros, ones
+        gidx_st = jnp.arange(R, dtype=jnp.int32).reshape(rows, LANES)
+        sgaabb = sg_args[0]
+        glo = jnp.min(gaabb[:, :3], axis=0)  # scene bounds for morton keys
+        span = jnp.maximum(jnp.max(gaabb[:, 3:6], axis=0) - glo, 1e-9)
+        hist = jnp.zeros((n_coarse, pc * LANES), jnp.float32)
+        for b in range(max_bounces):
+            if b:
+                # sort key: direction octant (sign coherence is what the
+                # reach test needs — mixed signs collapse it to
+                # always-pass) then origin morton (tight o_lo/o_hi and
+                # shadow reach). 3 + 27 bits fit int32.
+                q = jnp.stack(
+                    [
+                        jnp.clip(
+                            (o_st[k].reshape(R) - glo[k]) / span[k] * 1023.0,
+                            0.0, 1023.0,
+                        ).astype(jnp.int32)
+                        for k in range(3)
+                    ],
+                    axis=1,
+                )
+                octant = (
+                    (d_st[0].reshape(R) > 0).astype(jnp.int32)
+                    | ((d_st[1].reshape(R) > 0).astype(jnp.int32) << 1)
+                    | ((d_st[2].reshape(R) > 0).astype(jnp.int32) << 2)
+                )
+                perm = jnp.argsort((octant << 27) | (_morton3(q) >> 3))
+                tk = lambda a: a.reshape(R)[perm].reshape(rows, LANES)  # noqa: E731
+                o_st = [tk(a) for a in o_st]
+                d_st = [tk(a) for a in d_st]
+                amp_st = [tk(a) for a in amp_st]
+                path_st, alive_st = tk(path_st), tk(alive_st)
+                gidx_st = tk(gidx_st)
+            outs = call_w(
+                scalars.at[9].set(jnp.float32(b)), d_st[0], d_st[1],
+                d_st[2], tri, opl, gaabb, sgaabb, *o_st, *amp_st, path_st,
+                alive_st, gidx_st,
+            )
+            hist = hist + outs[0]
+            o_st = list(outs[1:4])
+            d_st = list(outs[4:7])
+            amp_st = list(outs[7 : 7 + n_keep])
+            path_st = outs[7 + n_keep]
+            alive_st = outs[8 + n_keep]
+        return hist.reshape(n_coarse, pc, LANES).transpose(0, 2, 1).reshape(
+            n_bins, pc
+        )
     if stream_tris is not None:
         # HBM-streamed large-scene mode: grid (tiles, bounces, 2 passes,
         # chunks); the Pallas pipeline double-buffers (chunk, 24) tri-table
@@ -2214,7 +2387,8 @@ def trace_contributions_pallas(
                      "flat_bands", "mxu_xform", "group_fori",
                      "src_directivity", "scattering", "material_scattering",
                      "rng_seed", "sg_cull", "row_unroll", "shadow_divfree",
-                     "stream_tris", "ray_major", "tri_unroll", "ray_blocks"),
+                     "stream_tris", "ray_major", "tri_unroll", "ray_blocks",
+                     "wavefront"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -2244,6 +2418,7 @@ def trace_ir_pallas(
     ray_major: bool | None = None,
     tri_unroll: int = 8,
     ray_blocks: int = 1,
+    wavefront: bool = False,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -2301,9 +2476,11 @@ def trace_ir_pallas(
             rng_seed=rng_seed, sg_cull=sg_cull, row_unroll=row_unroll,
             shadow_divfree=shadow_divfree, stream_tris=stream_tris,
             ray_major=ray_major, tri_unroll=tri_unroll,
-            ray_blocks=ray_blocks,
+            ray_blocks=ray_blocks, wavefront=wavefront,
         )
     else:
+        if wavefront:
+            raise ValueError("wavefront requires fused_hist=True")
         bins, payload = trace_contributions_pallas(
             scene_arrays, source, listener, dirs, cfg=cfg,
             max_bounces=max_bounces, total_rays=total_rays,

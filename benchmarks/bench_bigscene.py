@@ -104,6 +104,28 @@ def main():
                         repr(e)[:200]
                     )
 
+        if k == 64:
+            # wavefront: per-bounce ray re-sorting (octant, origin-morton)
+            # between single-bounce state_io kernel launches keeps the
+            # sg_cull reach test tight at every depth. Resident-kernel
+            # sizes only; measured 159 vs 205 ms at 49k (1.29x, 1.46x
+            # over the r2 pre-octant-order baseline), slower at 3072
+            # (sort unrepaid) — so it runs at k=64 only
+            def wavefront_step(i):
+                ir = trace_ir_pallas(
+                    arrays, srcs[i % 8], lst, cfg=cfg, max_bounces=bounces,
+                    dirs=dirs_sorted, fused_hist=True, flat_bands=True,
+                    sg_cull=True, group_fori=True, wavefront=True,
+                )
+                float(jnp.sum(ir.energy))
+
+            try:
+                print(f"[k={k}] pallas wavefront...", file=sys.stderr,
+                      flush=True)
+                row["pallas_wavefront_ms"] = _med(wavefront_step) * 1e3
+            except Exception as e:
+                row["pallas_wavefront_err"] = repr(e)[:200]
+
         if k >= 64:
             # HBM-streamed kernel: tri-table chunks pipelined from HBM,
             # per-tile ray state in VMEM scratch — scene size bounded by
