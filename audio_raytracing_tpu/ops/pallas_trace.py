@@ -1264,7 +1264,7 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                            material_scattering: bool = False,
                            rng_seed: int = 0, sg_cull: bool = False,
                            shadow_divfree: bool = False,
-                           row_unroll: int = 8):
+                           row_unroll: int = 8, state_io: bool = False):
     """HBM-streamed variant of _trace_kernel for scenes whose triangle
     table exceeds VMEM (~100k+ triangles at 24 f32 columns).
 
@@ -1338,7 +1338,22 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         sgaabb_ref, refs = refs[0], refs[1:]
     if weighted:
         w_refs, refs = refs[:n_keep], refs[n_keep:]
+    # state_io (wavefront mode): ONE bounce per call — per-ray state read
+    # from input refs (o, amp, path, alive, gidx; directions ride the
+    # base dx/dy/dz inputs) and the post-bounce state written to output
+    # refs after the histogram, so the caller can re-sort rays between
+    # bounces. The true bounce index rides scalars[9] (traced) for the
+    # rng counter; grid bounce dim = 1.
+    st_io_in = None
+    if state_io:
+        assert not weighted
+        b_io = scalar_ref[9].astype(jnp.int32)
+        n_st_in = 6 + n_keep  # o(3) + amp(n_keep) + path + alive + gidx
+        st_io_in, refs = refs[:n_st_in], refs[n_st_in:]
     hist_out_ref = refs[0]
+    if state_io:
+        st_io_out = refs[1 : 1 + 8 + n_keep]
+        refs = refs[:1] + refs[1 + 8 + n_keep :]
     scratch = list(refs[1:])
     hist_ref = scratch.pop(0)
     n_coarse = hist_ref.shape[0]
@@ -1390,18 +1405,26 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             hist_ref[...] = jnp.zeros_like(hist_ref)
 
         # zeros_like(ref) never reads the (uninitialized) scratch values
-        st_o[0][...] = jnp.zeros_like(st_o[0]) + sx
-        st_o[1][...] = jnp.zeros_like(st_o[1]) + sy
-        st_o[2][...] = jnp.zeros_like(st_o[2]) + sz
+        if state_io:
+            for k in range(3):
+                st_o[k][...] = st_io_in[k][...]
+            st_path[...] = st_io_in[3 + n_keep][...]
+            st_alive[...] = st_io_in[4 + n_keep][...]
+            for c in range(n_keep):
+                st_amp[c][...] = st_io_in[3 + c][...]
+        else:
+            st_o[0][...] = jnp.zeros_like(st_o[0]) + sx
+            st_o[1][...] = jnp.zeros_like(st_o[1]) + sy
+            st_o[2][...] = jnp.zeros_like(st_o[2]) + sz
+            st_path[...] = jnp.zeros_like(st_path)
+            st_alive[...] = jnp.ones_like(st_alive)
+            for c in range(n_keep):
+                st_amp[c][...] = (
+                    w_refs[c][...] if weighted else jnp.ones_like(st_amp[c])
+                )
         st_d[0][...] = dx_ref[...]
         st_d[1][...] = dy_ref[...]
         st_d[2][...] = dz_ref[...]
-        st_path[...] = jnp.zeros_like(st_path)
-        st_alive[...] = jnp.ones_like(st_alive)
-        for c in range(n_keep):
-            st_amp[c][...] = (
-                w_refs[c][...] if weighted else jnp.ones_like(st_amp[c])
-            )
 
     @pl.when((p_id == 0) & (c_id == 0))
     def _init_path_carry():
@@ -1708,8 +1731,9 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         )
         hist_ref[...] += h
 
-        # reflect for the next bounce (b_id is dynamic: predicated)
-        @pl.when(b_id < max_bounces - 1)
+        # reflect for the next bounce (b_id is dynamic: predicated;
+        # state_io calls carry one bounce each and always reflect)
+        @pl.when(jnp.bool_(True) if state_io else (b_id < max_bounces - 1))
         def _reflect():
             two_ndd = 2.0 * (nx * dx + ny * dy + nz * dz)
             live = alive > 0
@@ -1717,9 +1741,16 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             sdy = dy - two_ndd * ny
             sdz = dz - two_ndd * nz
             if scatter_on:
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-                gidx = tile_base + r * LANES + lane
-                cnt = seed_base + (gidx * max_bounces + b_id) * 3
+                if state_io:
+                    gidx = st_io_in[5 + n_keep][pl.ds(r, 1), :]
+                    b_rng = b_io
+                else:
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, LANES), 1
+                    )
+                    gidx = tile_base + r * LANES + lane
+                    b_rng = b_id
+                cnt = seed_base + (gidx * max_bounces + b_rng) * 3
                 u_sel = uniform01(cnt)
                 u1 = uniform01(cnt + 1)
                 u2 = uniform01(cnt + 2)
@@ -1757,6 +1788,16 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             st_o[1][pl.ds(r, 1), :] = wy + ly
             st_o[2][pl.ds(r, 1), :] = wz + lz
 
+        if state_io:
+            rp = pl.ds(r, 1)
+            for k in range(3):
+                st_io_out[k][rp, :] = st_o[k][rp, :]
+                st_io_out[3 + k][rp, :] = st_d[k][rp, :]
+            for c in range(n_keep):
+                st_io_out[6 + c][rp, :] = st_amp[c][rp, :]
+            st_io_out[6 + n_keep][rp, :] = st_path[rp, :]
+            st_io_out[7 + n_keep][rp, :] = st_alive[rp, :]
+
     def rows(fn):
         """Run a per-row stage for all SUBLANES rows (rolled in interpret
         mode via row_unroll=1, unrolled on hardware like _trace_kernel)."""
@@ -1793,7 +1834,8 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
 
     @pl.when(
         (i_id == n_tiles - 1)
-        & (b_id == max_bounces - 1)
+        # the grid's bounce extent: max_bounces, or 1 per state_io call
+        & (b_id == pl.num_programs(1) - 1)
         & (p_id == 1)
         & (c_id == n_chunks - 1)
     )
@@ -2112,48 +2154,128 @@ def trace_contributions_pallas(
                 "large-scene kernel (it exists to tighten the supergroup "
                 "reach test)"
             )
-        if stream_tris is not None:
-            raise ValueError(
-                "wavefront supports the VMEM-resident kernel only (scene "
-                f"T={T} engages stream_tris={stream_tris}); "
-                "wavefront+streaming is a future mode"
-            )
         if cull or mxu_xform or ablate or shadow_divfree or ray_major:
             raise ValueError("wavefront excludes the experiment modes")
         pc = PAYLOAD_C_FLAT if flat_bands else PAYLOAD_C
         n_bins = cfg.ir_n_bins
         assert n_bins % LANES == 0, n_bins
         n_coarse = n_bins // LANES
-        row_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+        wf_row_unroll = (
+            (1 if interpret else 8) if row_unroll is None else row_unroll
+        )
+        out_state_shapes = [
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+            for _ in range(8 + n_keep)
+        ]
+        if stream_tris is not None:
+            # streamed wavefront: per-bounce (tiles, 1, 2 passes, chunks)
+            # grid of the HBM-streamed kernel with state in/out refs —
+            # 196k+ scenes get per-bounce re-sorting too
+            chunk = min(int(stream_tris), T)
+            while T % chunk or chunk % TRI_GROUP:
+                chunk -= TRI_GROUP
+                if chunk <= 0:
+                    raise ValueError(
+                        f"no chunk size <= {stream_tris} divides T={T} in "
+                        f"multiples of {TRI_GROUP}; adjust stream_tris"
+                    )
+            n_chunks = T // chunk
+            chunk_groups = chunk // TRI_GROUP
+            fori_unroll_s = 1
+            for cand in (32, 16, 8):  # MUST match _trace_kernel_streamed
+                if chunk_groups % cand == 0 and chunk_groups >= cand:
+                    fori_unroll_s = cand
+                    break
+            n_groups_s = T // TRI_GROUP
+            g3 = gaabb.reshape(n_groups_s // fori_unroll_s, fori_unroll_s, 8)
+            sgaabb_s = jnp.concatenate(
+                [
+                    g3[:, :, :3].min(axis=1),
+                    g3[:, :, 3:6].max(axis=1),
+                    jnp.zeros((g3.shape[0], 2), jnp.float32),
+                ],
+                axis=1,
+            )
+            sg_args = (sgaabb_s,)
+            sg_per_chunk = chunk_groups // fori_unroll_s
+            row4 = pl.BlockSpec((SUBLANES, LANES), lambda i, b, p, c: (i, 0),
                                 memory_space=pltpu.VMEM)
-        in_specs_w = in_specs[:8] + [row_spec] * (6 + n_keep)
-        kernel_w = partial(
-            _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
-            fused_hist=True, flat_bands=flat_bands, group_fori=True,
-            row_unroll=(
-                (1 if interpret else 8) if row_unroll is None else row_unroll
-            ),
-            transmission=transmission, weighted=False,
-            scattering=scattering, material_scattering=material_scattering,
-            rng_seed=rng_seed, sg_cull=True, state_io=True,
-        )
-        call_w = pl.pallas_call(
-            kernel_w,
-            grid=(rows // SUBLANES,),
-            in_specs=in_specs_w,
-            out_specs=[
-                pl.BlockSpec((n_coarse, pc * LANES), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-            ] + [row_spec] * (8 + n_keep),
-            out_shape=[
-                jax.ShapeDtypeStruct((n_coarse, pc * LANES), jnp.float32)
-            ] + [
-                jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
-                for _ in range(8 + n_keep)
-            ],
-            scratch_shapes=[pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)],
-            interpret=interpret,
-        )
+            in_specs_w = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                row4, row4, row4,
+                pl.BlockSpec((chunk, TRI_COLS), lambda i, b, p, c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, 8), lambda i, b, p, c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_groups, 8), lambda i, b, p, c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sg_per_chunk, 8), lambda i, b, p, c: (c, 0),
+                             memory_space=pltpu.SMEM),
+            ] + [row4] * (6 + n_keep)
+            n_sel = 3 + n_keep + (1 if material_scattering else 0)
+            n_shc = n_keep if transmission else 1
+            row_state = 8 + n_keep + 6 + (1 if material_scattering else 0)
+            scratch_w = (
+                [pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)]
+                + [pltpu.VMEM((SUBLANES, LANES), jnp.float32)] * row_state
+                + [pltpu.VMEM((SUBLANES * TRI_GROUP, LANES), jnp.float32)]
+                * (1 + n_sel + n_shc)
+            )
+            kernel_w = partial(
+                _trace_kernel_streamed, n_tris=T, chunk_tris=chunk,
+                max_bounces=max_bounces, cfg=cfg, flat_bands=flat_bands,
+                transmission=transmission, weighted=False,
+                scattering=scattering,
+                material_scattering=material_scattering, rng_seed=rng_seed,
+                sg_cull=True, shadow_divfree=False,
+                row_unroll=wf_row_unroll, state_io=True,
+            )
+            call_w = pl.pallas_call(
+                kernel_w,
+                grid=(rows // SUBLANES, 1, 2, n_chunks),
+                in_specs=in_specs_w,
+                out_specs=[
+                    pl.BlockSpec((n_coarse, pc * LANES),
+                                 lambda i, b, p, c: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                ] + [row4] * (8 + n_keep),
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_coarse, pc * LANES),
+                                         jnp.float32)
+                ] + out_state_shapes,
+                scratch_shapes=scratch_w,
+                interpret=interpret,
+            )
+        else:
+            row_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+            in_specs_w = in_specs[:8] + [row_spec] * (6 + n_keep)
+            kernel_w = partial(
+                _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
+                fused_hist=True, flat_bands=flat_bands, group_fori=True,
+                row_unroll=wf_row_unroll,
+                transmission=transmission, weighted=False,
+                scattering=scattering,
+                material_scattering=material_scattering,
+                rng_seed=rng_seed, sg_cull=True, state_io=True,
+            )
+            call_w = pl.pallas_call(
+                kernel_w,
+                grid=(rows // SUBLANES,),
+                in_specs=in_specs_w,
+                out_specs=[
+                    pl.BlockSpec((n_coarse, pc * LANES), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                ] + [row_spec] * (8 + n_keep),
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_coarse, pc * LANES),
+                                         jnp.float32)
+                ] + out_state_shapes,
+                scratch_shapes=[
+                    pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)
+                ],
+                interpret=interpret,
+            )
         zeros = jnp.zeros((rows, LANES), jnp.float32)
         ones = jnp.ones((rows, LANES), jnp.float32)
         o_st = [src[k] + zeros for k in range(3)]

@@ -104,13 +104,13 @@ def main():
                         repr(e)[:200]
                     )
 
-        if k == 64:
+        if k >= 64:
             # wavefront: per-bounce ray re-sorting (octant, origin-morton)
             # between single-bounce state_io kernel launches keeps the
-            # sg_cull reach test tight at every depth. Resident-kernel
-            # sizes only; measured 159 vs 205 ms at 49k (1.29x, 1.46x
-            # over the r2 pre-octant-order baseline), slower at 3072
-            # (sort unrepaid) — so it runs at k=64 only
+            # sg_cull reach test tight at every depth. Measured 159 vs
+            # 205 ms at 49k (resident) and 438 vs 655 ms at 196k
+            # (auto-streamed past 98k padded tris); slower at 3072 (sort
+            # unrepaid), so it runs at k>=64 only
             def wavefront_step(i):
                 ir = trace_ir_pallas(
                     arrays, srcs[i % 8], lst, cfg=cfg, max_bounces=bounces,

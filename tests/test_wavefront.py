@@ -95,6 +95,19 @@ def test_wavefront_directivity_matches_resident(scene):
     )
 
 
+@pytest.mark.slow
+def test_wavefront_streamed_matches_resident(scene):
+    """wavefront + stream_tris (the 196k+ large-scene mode): per-bounce
+    (tiles, 1, 2, chunks) grids of the HBM-streamed kernel with state
+    in/out refs must match the resident wavefront bit-for-bit, hash-rng
+    scattering included."""
+    a = _trace(scene, True, scattering=0.5, rng_seed=11)
+    b = _trace(scene, True, scattering=0.5, rng_seed=11, stream_tris=256)
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=0, atol=1e-7
+    )
+
+
 def test_wavefront_validation(scene):
     arrays = scene.device_arrays()
     dirs = jnp.asarray(fibonacci_sphere_sorted(1024))
