@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "counter-hash RNG seeded by --seed)")
     ap.add_argument("--tail-interpret", action="store_true",
                     help=argparse.SUPPRESS)  # pallas interpret mode (CPU CI)
+    ap.add_argument("--tail-wavefront", action="store_true",
+                    help="per-bounce ray re-sorting on the pallas tail "
+                         "(big scenes: 1.46x at 49k tris, 1.68x at 196k; "
+                         "requires --tail pallas and a scene large enough "
+                         "for the group_fori+sg_cull kernel)")
     ap.add_argument("--material", action="append", default=[],
                     metavar="NAME=PRESET",
                     help="map an OBJ usemtl name to an acoustic preset")
@@ -110,6 +115,8 @@ def main(argv=None) -> str:
     from ..models.scene import Scene
 
     args = build_parser().parse_args(argv)
+    if args.tail_wavefront and args.tail != "pallas":
+        raise SystemExit("--tail-wavefront requires --tail pallas")
     cfg = DEFAULT_CONFIG
     if args.ir_length is not None:
         if args.ir_length <= 0:
@@ -195,6 +202,7 @@ def main(argv=None) -> str:
                 src_directivity=directivity,
                 tail_backend=args.tail, rng_seed=args.seed,
                 tail_interpret=args.tail_interpret, planes=pg,
+                tail_wavefront=args.tail_wavefront,
             )
         else:  # full: ISM early + MC tail + UTD edge diffraction
             from ..models.diffraction import (
@@ -217,6 +225,7 @@ def main(argv=None) -> str:
                     src_directivity=directivity,
                     tail_backend=args.tail, rng_seed=args.seed,
                     tail_interpret=args.tail_interpret, planes=pg,
+                    tail_wavefront=args.tail_wavefront,
                 )
                 di = diffraction_ir_utd(arrays, wedges, pos, lst, cfg=cfg,
                                         src_directivity=directivity)

@@ -830,7 +830,8 @@ def image_source_ir(
     jax.jit,
     static_argnames=("cfg", "order", "n_rays", "max_bounces", "scattering",
                      "material_scattering", "src_directivity",
-                     "tail_backend", "rng_seed", "tail_interpret"),
+                     "tail_backend", "rng_seed", "tail_interpret",
+                     "tail_wavefront"),
 )
 def hybrid_ir(
     scene_arrays,
@@ -849,6 +850,7 @@ def hybrid_ir(
     rng_seed: int = 0,
     tail_interpret: bool = False,
     planes: PlaneGroups | None = None,
+    tail_wavefront: bool = False,
 ) -> ImpulseResponse:
     """The standard room-acoustics hybrid: exact image sources for the
     early reflections + the Monte-Carlo (optionally scattering) tracer for
@@ -871,7 +873,10 @@ def hybrid_ir(
     specular exponent) using the counter-hash RNG seeded by the static
     rng_seed — passing a threefry `key` alongside it raises (vary
     rng_seed, not keys, for ensemble averaging). The default "xla" tail
-    keeps the threefry `key` semantics."""
+    keeps the threefry `key` semantics. tail_wavefront=True adds
+    per-bounce ray re-sorting on the pallas tail (big scenes only:
+    requires the auto-engaged group_fori+sg_cull kernel; measured 1.46x
+    at 49k tris, 1.68x at 196k — see benchmarks/RESULTS.md)."""
     from .ir import trace_ir
 
     if tail_backend not in ("xla", "pallas"):
@@ -894,7 +899,7 @@ def hybrid_ir(
             max_bounces=max_bounces, include_direct=False, fused_hist=True,
             scattering=scattering, material_scattering=material_scattering,
             rng_seed=rng_seed, src_directivity=src_directivity,
-            interpret=tail_interpret,
+            interpret=tail_interpret, wavefront=tail_wavefront,
         )
     elif tail_backend == "xla":
         late = trace_ir(

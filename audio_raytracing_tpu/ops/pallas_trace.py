@@ -2640,7 +2640,7 @@ def trace_ir_pallas(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
                      "interpret", "fused_hist", "cull", "flat_bands",
-                     "src_directivity"),
+                     "src_directivity", "wavefront"),
 )
 def trace_irs_pallas_multi(
     scene_arrays,
@@ -2657,6 +2657,7 @@ def trace_irs_pallas_multi(
     flat_bands: bool = False,
     src_directivity=None,
     src_axes=None,
+    wavefront: bool = False,
 ):
     """All sources' IRs in one compiled program (BASELINE config 5 on a
     single chip): lax.scan over sources around the fused kernel, so the
@@ -2692,6 +2693,7 @@ def trace_irs_pallas_multi(
             fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
             src_directivity=src_directivity,
             src_axis=None if src_directivity is None else inp[1],
+            wavefront=wavefront,
         )
         return None, ir
 
@@ -2703,7 +2705,7 @@ def trace_irs_pallas_multi(
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
-                     "interpret", "fused_hist", "flat_bands"),
+                     "interpret", "fused_hist", "flat_bands", "wavefront"),
 )
 def trace_irs_pallas_multi_listener(
     scene_arrays,
@@ -2717,6 +2719,7 @@ def trace_irs_pallas_multi_listener(
     interpret: bool = False,
     fused_hist: bool = True,
     flat_bands: bool = False,
+    wavefront: bool = False,
 ):
     """All listeners' IRs from one source in one compiled program: lax.scan
     over listeners around the fused kernel (the kernel compiles once; the
@@ -2735,6 +2738,7 @@ def trace_irs_pallas_multi_listener(
             scene_arrays, source, lst, cfg=cfg, max_bounces=max_bounces,
             dirs=dirs, include_direct=include_direct, interpret=interpret,
             fused_hist=fused_hist, flat_bands=flat_bands,
+            wavefront=wavefront,
         )
         return None, ir
 

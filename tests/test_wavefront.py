@@ -108,6 +108,87 @@ def test_wavefront_streamed_matches_resident(scene):
     )
 
 
+@pytest.mark.slow
+def test_wavefront_banded_matches_resident(scene):
+    """flat_bands=False (the hybrid tail's configuration): the state
+    carries N_BANDS amplitudes instead of one."""
+    a = _trace(scene, False, flat_bands=False)
+    b = _trace(scene, True, flat_bands=False)
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=0, atol=1e-7
+    )
+
+
+@pytest.mark.slow
+def test_wavefront_multi_source_scan(scene):
+    """trace_irs_pallas_multi(wavefront=True): the per-bounce re-sort loop
+    scans over sources (pure traced code), matching per-source calls."""
+    from audio_raytracing_tpu.ops.pallas_trace import trace_irs_pallas_multi
+
+    srcs = jnp.asarray([[1.0, 0.3, 0.5], [0.5, -0.3, 1.0]])
+    kw = dict(
+        cfg=CFG, max_bounces=2, dirs=jnp.asarray(fibonacci_sphere_sorted(1024)),
+        fused_hist=True, flat_bands=True, interpret=True,
+    )
+    multi = trace_irs_pallas_multi(
+        scene.device_arrays(), srcs, LST, wavefront=True, **kw
+    )
+    for i in range(2):
+        single = trace_ir_pallas(
+            scene.device_arrays(), srcs[i], LST, group_fori=True,
+            sg_cull=True, wavefront=True, **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(multi.energy[i]), np.asarray(single.energy)
+        )
+
+
+@pytest.mark.slow
+def test_offline_cli_tail_wavefront(tmp_path):
+    """--tail-wavefront end to end through the offline CLI (hybrid model,
+    pallas tail, interpret mode) on a scene big enough for the
+    group_fori+sg_cull kernel."""
+    from audio_raytracing_tpu.app.offline import main as offline_main
+    from audio_raytracing_tpu.utils.wav import read_wav, write_wav
+
+    tris = np.asarray(box_room_subdivided(size=(10.0, 4.0, 8.0), k=8))
+    obj = tmp_path / "room.obj"
+    with open(obj, "w") as f:
+        # the loader demands the reference's `f v/vt v/vt v/vt` faces
+        f.write("vt 0 0\n")
+        for t in tris:
+            for v in t:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for i in range(len(tris)):
+            f.write(f"f {3 * i + 1}/1 {3 * i + 2}/1 {3 * i + 3}/1\n")
+    dry = (0.3 * np.sin(2 * np.pi * 440 * np.arange(2000) / 44100)).astype(
+        np.float32
+    )
+    src_wav = tmp_path / "dry.wav"
+    write_wav(src_wav, dry, 44100)
+    out = tmp_path / "out_wf.wav"
+    msg = offline_main([
+        str(obj), str(out),
+        "--source", str(src_wav), "2,0.5,1",
+        "--listener", "0,0,0",
+        "--rays", "1024", "--bounces", "2", "--ir-length", "2048",
+        "--model", "hybrid", "--ism-order", "1",
+        "--tail", "pallas", "--tail-interpret", "--tail-wavefront",
+    ])
+    assert "wrote" in msg
+    audio, rate = read_wav(out)
+    assert rate == 44100 and np.isfinite(audio).all()
+    assert np.abs(audio).max() > 0 and audio.shape[1] == 2
+
+
+def test_tail_wavefront_requires_pallas(tmp_path):
+    from audio_raytracing_tpu.app.offline import main as offline_main
+
+    with pytest.raises(SystemExit, match="tail pallas"):
+        offline_main(["x.obj", "y.wav", "--source", "a.wav", "0,0,0",
+                      "--tail-wavefront"])
+
+
 def test_wavefront_validation(scene):
     arrays = scene.device_arrays()
     dirs = jnp.asarray(fibonacci_sphere_sorted(1024))
