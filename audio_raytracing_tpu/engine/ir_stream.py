@@ -142,7 +142,8 @@ class IRStreamRenderer:
                  max_bounces: int | None = None, intersector: str = "mt",
                  speaker_dirs=None, sh_order: int | None = None,
                  hoa_hrtf: str = "magls4", ir_fn=None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 pallas_wavefront: bool = False):
         """speaker_dirs (n_spk, 3): stream to a physical speaker rig
         (mode-matching first-order decode, no HRTF) instead of binaural
         stereo; render_block then returns (B, n_spk) feeds.
@@ -194,6 +195,10 @@ class IRStreamRenderer:
         self.n_rays = n_rays or cfg.rays_per_source
         self.max_bounces = max_bounces or cfg.max_bounces
         self._pallas_interpret = pallas_interpret
+        # per-bounce ray re-sorting on the fused kernel (big scenes only:
+        # needs the auto-engaged group_fori+sg_cull kernel; 1.46x at 49k
+        # tris, 1.68x at 196k — benchmarks/RESULTS.md "Wavefront")
+        self._pallas_wavefront = pallas_wavefront
         if intersector == "pallas" and sh_order is not None:
             raise ValueError(
                 'intersector="pallas" emits first-order moments only; '
@@ -307,6 +312,7 @@ class IRStreamRenderer:
                             max_bounces=self.max_bounces, fused_hist=True,
                             src_directivity=s.get("directivity"),
                             interpret=self._pallas_interpret,
+                            wavefront=self._pallas_wavefront,
                         )
                     else:
                         ir = trace_ir(
