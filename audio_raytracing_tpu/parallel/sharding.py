@@ -59,8 +59,23 @@ def trace_ir_sharded(
     scattering_rng: str = "threefry",
     rng_seed: int = 0,
     key=None,
+    intersector: str = "xla",
+    flat_bands: bool = False,
+    wavefront: bool = False,
+    pallas_interpret: bool = False,
 ) -> ImpulseResponse:
     """Single-source trace with rays sharded over mesh axis "rays".
+
+    intersector="pallas" runs each shard's bounce loop on the fused
+    Pallas kernel (ops/pallas_trace.py) instead of the XLA tracer — the
+    production fast path, now multi-chip: geometry replicated, each
+    chip's kernel traces its dirs slice normalized by the global ray
+    count, histograms psum over ICI. flat_bands / wavefront forward to
+    trace_ir_pallas (wavefront = per-bounce re-sorting, large scenes).
+    Stochastic scattering stays XLA-only here: the kernel's hash seed is
+    compile-time, so every shard would draw the SAME uniform stream for
+    its local ray indices (exactly the correlation trace_ir_sharded's
+    seed-folding exists to prevent) — requesting both raises.
 
     src_directivity (models/directivity.py): the source's radiation
     pattern — a static, so every shard traces with the same weighting and
@@ -80,8 +95,52 @@ def trace_ir_sharded(
     n_rays = n_rays or cfg.rays_per_source
     n_shards = mesh.shape["rays"]
     assert n_rays % n_shards == 0, (n_rays, n_shards)
-    dirs = jnp.asarray(fibonacci_sphere(n_rays))
     stochastic_on = scattering > 0.0 or material_scattering
+    if intersector == "pallas":
+        if stochastic_on:
+            raise ValueError(
+                'intersector="pallas" + stochastic scattering would '
+                "correlate the hash streams across shards (the seed is "
+                "compile-time); use the default XLA path, whose per-shard "
+                "seed folding is tested"
+            )
+        from ..models.ir import fibonacci_sphere_sorted
+        from ..ops.pallas_trace import trace_ir_pallas
+
+        # sorted order: the kernel's row bundles / sg_cull want octant-
+        # coherent tiles; each shard gets a contiguous (already coherent)
+        # slice of the global order
+        dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
+
+        def shard_fn_pallas(dirs_local, source, listener, scene_local):
+            lead = (jax.lax.axis_index("rays") == 0).astype(jnp.float32)
+            ir = trace_ir_pallas(
+                scene_local, source, listener, cfg=cfg,
+                max_bounces=max_bounces, dirs=dirs_local,
+                total_rays=n_rays, include_direct=False, fused_hist=True,
+                flat_bands=flat_bands, wavefront=wavefront,
+                src_directivity=src_directivity,
+                interpret=pallas_interpret,
+            )
+            d = direct_ir(scene_local, source, listener, cfg=cfg,
+                          src_directivity=src_directivity)
+            return ImpulseResponse(
+                energy=jax.lax.psum(ir.energy + d.energy * lead, "rays"),
+                dir_sum=jax.lax.psum(ir.dir_sum + d.dir_sum * lead, "rays"),
+            )
+
+        fn = jax.shard_map(
+            shard_fn_pallas,
+            mesh=mesh,
+            in_specs=(P("rays"), P(), P(), P()),
+            out_specs=ImpulseResponse(energy=P(), dir_sum=P()),
+            check_vma=False,
+        )
+        return fn(dirs, jnp.asarray(source), jnp.asarray(listener),
+                  scene_arrays)
+    elif intersector != "xla":
+        raise ValueError(f"unknown intersector {intersector!r}")
+    dirs = jnp.asarray(fibonacci_sphere(n_rays))
 
     def shard_fn(dirs_local, source, listener, scene_local):
         stoch = {}

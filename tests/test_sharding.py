@@ -269,3 +269,50 @@ def test_sharded_stochastic_shard_seed_decorrelation(scene):
     )
     np.testing.assert_allclose(np.asarray(a.energy), np.asarray(b.energy))
     assert float(jnp.sum(a.energy)) > 0
+
+
+@pytest.mark.slow
+def test_sharded_pallas_kernel_matches_unsharded(scene):
+    """intersector="pallas": the fused kernel inside shard_map — each of
+    the 8 virtual devices runs the interpret kernel on its dirs slice,
+    histograms psum over "rays". Must match the unsharded kernel on the
+    same sorted direction set (psum is a reshuffle of the same per-ray
+    contributions; bf16 binning sums in a different order -> tiny tol).
+    Wavefront mode shares the path (re-sorts are shard-local)."""
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted
+    from audio_raytracing_tpu.models.scene import box_room_subdivided
+    from audio_raytracing_tpu.ops.pallas_trace import trace_ir_pallas
+
+    cfg = dataclasses.replace(CFG, max_bounces=2)
+    big = Scene.from_triangles(
+        box_room_subdivided(size=(10.0, 4.0, 8.0), k=8), cfg
+    )
+    src = jnp.asarray([1.0, 0.3, 0.5])
+    lst = jnp.asarray([-1.0, 0.0, -0.5])
+    mesh = make_mesh(8, ("rays",))
+    n_rays = 8192  # 1024-ray tiles per shard (the kernel's minimum)
+    want = trace_ir_pallas(
+        big.device_arrays(), src, lst, cfg=cfg, n_rays=n_rays,
+        dirs=jnp.asarray(fibonacci_sphere_sorted(n_rays)),
+        fused_hist=True, flat_bands=True, interpret=True,
+    )
+    for wavefront in (False, True):
+        got = trace_ir_sharded(
+            big.device_arrays(), src, lst, mesh, cfg=cfg, n_rays=n_rays,
+            intersector="pallas", flat_bands=True, wavefront=wavefront,
+            pallas_interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.energy), np.asarray(want.energy),
+            rtol=0, atol=1e-6,
+        )
+
+
+def test_sharded_pallas_rejects_stochastic(scene):
+    mesh = make_mesh(8, ("rays",))
+    with pytest.raises(ValueError, match="correlate"):
+        trace_ir_sharded(
+            scene.device_arrays(), jnp.asarray([1.0, 0.5, 0.5]),
+            jnp.asarray([-1.0, -0.5, -1.0]), mesh, cfg=CFG,
+            intersector="pallas", scattering=0.5,
+        )
