@@ -202,7 +202,7 @@ def main(argv=None) -> str:
                 src_directivity=directivity,
                 tail_backend=args.tail, rng_seed=args.seed,
                 tail_interpret=args.tail_interpret, planes=pg,
-                tail_wavefront=args.tail_wavefront,
+                tail_wavefront=True if args.tail_wavefront else None,
             )
         else:  # full: ISM early + MC tail + UTD edge diffraction
             from ..models.diffraction import (
@@ -225,7 +225,7 @@ def main(argv=None) -> str:
                     src_directivity=directivity,
                     tail_backend=args.tail, rng_seed=args.seed,
                     tail_interpret=args.tail_interpret, planes=pg,
-                    tail_wavefront=args.tail_wavefront,
+                    tail_wavefront=True if args.tail_wavefront else None,
                 )
                 di = diffraction_ir_utd(arrays, wedges, pos, lst, cfg=cfg,
                                         src_directivity=directivity)

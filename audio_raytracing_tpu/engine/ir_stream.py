@@ -143,7 +143,7 @@ class IRStreamRenderer:
                  speaker_dirs=None, sh_order: int | None = None,
                  hoa_hrtf: str = "magls4", ir_fn=None,
                  pallas_interpret: bool = False,
-                 pallas_wavefront: bool = False):
+                 pallas_wavefront: bool | None = None):
         """speaker_dirs (n_spk, 3): stream to a physical speaker rig
         (mode-matching first-order decode, no HRTF) instead of binaural
         stereo; render_block then returns (B, n_spk) feeds.

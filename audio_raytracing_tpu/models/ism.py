@@ -850,7 +850,7 @@ def hybrid_ir(
     rng_seed: int = 0,
     tail_interpret: bool = False,
     planes: PlaneGroups | None = None,
-    tail_wavefront: bool = False,
+    tail_wavefront: bool | None = None,
 ) -> ImpulseResponse:
     """The standard room-acoustics hybrid: exact image sources for the
     early reflections + the Monte-Carlo (optionally scattering) tracer for
@@ -873,10 +873,11 @@ def hybrid_ir(
     specular exponent) using the counter-hash RNG seeded by the static
     rng_seed — passing a threefry `key` alongside it raises (vary
     rng_seed, not keys, for ensemble averaging). The default "xla" tail
-    keeps the threefry `key` semantics. tail_wavefront=True adds
-    per-bounce ray re-sorting on the pallas tail (big scenes only:
-    requires the auto-engaged group_fori+sg_cull kernel; measured 1.46x
-    at 49k tris, 1.68x at 196k — see benchmarks/RESULTS.md)."""
+    keeps the threefry `key` semantics. tail_wavefront: per-bounce ray
+    re-sorting on the pallas tail — None (default) auto-engages past 12k
+    padded triangles, True forces it (raises on small scenes), False
+    disables; measured 1.46x at 49k tris, 1.68x at 196k
+    (benchmarks/RESULTS.md)."""
     from .ir import trace_ir
 
     if tail_backend not in ("xla", "pallas"):

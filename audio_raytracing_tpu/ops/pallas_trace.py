@@ -1854,7 +1854,8 @@ def trace_contributions_pallas(
     row_unroll: int | None = None, shadow_divfree: bool = False,
     stream_tris: int | None = None, ablate: str = "",
     ray_major: bool | None = None, tri_unroll: int = 8,
-    ray_blocks: int = 1, winner_acc: int = 1, wavefront: bool = False,
+    ray_blocks: int = 1, winner_acc: int = 1,
+    wavefront: bool | None = None,
 ):
     """Run the fused kernel.
 
@@ -2134,6 +2135,19 @@ def trace_contributions_pallas(
                          memory_space=pltpu.VMEM)
             for _ in range(n_keep)
         ]
+    if wavefront is None:
+        # auto: measured crossover — wavefront wins from ~12k padded tris
+        # (83.9 vs 90.1 ms; 131.8 vs 153.7 at 27k; 160 vs 205 at 49k) and
+        # loses below (+4.5 ms at 3072: four sorts unrepaid), so it
+        # engages with the large-scene kernel once the scene is big
+        # enough. Explicit True on a small scene still raises (A/Bs want
+        # the error, not a silent fallback).
+        wavefront = (
+            fused_hist and group_fori and bool(sg_cull)
+            and not (cull or mxu_xform or ablate or shadow_divfree
+                     or ray_major)
+            and T >= 12288
+        )
     if wavefront:
         # Per-bounce ray re-sorting — the r1 "wavefront" dead end revived
         # by measurement: (a) an argsort + full-state gather costs 1.0 ms
@@ -2540,7 +2554,7 @@ def trace_ir_pallas(
     ray_major: bool | None = None,
     tri_unroll: int = 8,
     ray_blocks: int = 1,
-    wavefront: bool = False,
+    wavefront: bool | None = None,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -2657,7 +2671,7 @@ def trace_irs_pallas_multi(
     flat_bands: bool = False,
     src_directivity=None,
     src_axes=None,
-    wavefront: bool = False,
+    wavefront: bool | None = None,
 ):
     """All sources' IRs in one compiled program (BASELINE config 5 on a
     single chip): lax.scan over sources around the fused kernel, so the
@@ -2719,7 +2733,7 @@ def trace_irs_pallas_multi_listener(
     interpret: bool = False,
     fused_hist: bool = True,
     flat_bands: bool = False,
-    wavefront: bool = False,
+    wavefront: bool | None = None,
 ):
     """All listeners' IRs from one source in one compiled program: lax.scan
     over listeners around the fused kernel (the kernel compiles once; the

@@ -61,7 +61,7 @@ def trace_ir_sharded(
     key=None,
     intersector: str = "xla",
     flat_bands: bool = False,
-    wavefront: bool = False,
+    wavefront: bool | None = None,
     pallas_interpret: bool = False,
 ) -> ImpulseResponse:
     """Single-source trace with rays sharded over mesh axis "rays".

@@ -90,6 +90,7 @@ def main():
                         arrays, srcs[i % 8], lst, cfg=cfg,
                         max_bounces=bounces, dirs=dirs_sorted,
                         fused_hist=True, flat_bands=True, sg_cull=sg,
+                        wavefront=False,  # labeled A/B: auto would engage
                     )
                     float(jnp.sum(ir.energy))
 
@@ -134,7 +135,7 @@ def main():
                 ir = trace_ir_pallas(
                     arrays, srcs[i % 8], lst, cfg=cfg, max_bounces=bounces,
                     dirs=dirs_sorted, fused_hist=True, flat_bands=True,
-                    stream_tris=8192,
+                    stream_tris=8192, wavefront=False,
                 )
                 float(jnp.sum(ir.energy))
 
