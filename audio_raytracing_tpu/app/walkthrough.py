@@ -208,12 +208,27 @@ def main():
     seconds = float(args[0]) if args else 10.0
     out_path = args[1] if len(args) > 1 else "walkthrough.pcm"
     scene = None
+    renderer = None
     cfg = DEFAULT_CONFIG
     for a in sys.argv[1:]:
         if a.startswith("--scene="):
             scene = Scene.from_obj(Path(a.split("=", 1)[1]), cfg)
+        elif a == "--big" or a.startswith("--big="):
+            # big-scene serving demo: a k-subdivided room (k=64 -> 49k
+            # tris) streamed through the fused Pallas kernel with
+            # auto-wavefront re-sorting (re-traces are ~160 ms on-device
+            # at 49k; --async keeps them off the producer's budget)
+            from ..models.scene import box_room_subdivided
+
+            k = int(a.split("=", 1)[1]) if "=" in a else 64
+            scene = Scene.from_triangles(
+                box_room_subdivided(size=(10.0, 4.0, 8.0), k=k), cfg
+            )
+            renderer = IRStreamRenderer(scene, cfg, n_rays=1 << 15,
+                                        max_bounces=6, intersector="pallas")
     with open(out_path, "wb") as f:
         stats = run_walkthrough(seconds, scene=scene, cfg=cfg, fd=f.fileno(),
+                                renderer=renderer,
                                 async_updates="--async" in sys.argv[1:])
     print(f"walkthrough: {stats['blocks_played']} blocks, "
           f"{stats['underruns']} underruns, "
