@@ -209,10 +209,13 @@ def main():
     out_path = args[1] if len(args) > 1 else "walkthrough.pcm"
     scene = None
     renderer = None
+    updates_per_second = 10.0
     cfg = DEFAULT_CONFIG
     for a in sys.argv[1:]:
         if a.startswith("--scene="):
             scene = Scene.from_obj(Path(a.split("=", 1)[1]), cfg)
+        elif a.startswith("--rate="):
+            updates_per_second = float(a.split("=", 1)[1])
         elif a == "--big" or a.startswith("--big="):
             # big-scene serving demo: a k-subdivided room (k=64 -> 49k
             # tris) streamed through the fused Pallas kernel with
@@ -226,9 +229,16 @@ def main():
             )
             renderer = IRStreamRenderer(scene, cfg, n_rays=1 << 15,
                                         max_bounces=6, intersector="pallas")
+            # a 49k-tri re-trace is ~200 ms wall through this container's
+            # relay; 10 Hz updates saturate the single dispatch queue and
+            # starve the producer's render calls (measured: 109 underruns,
+            # 0.97x). 3 Hz leaves the queue mostly free (--rate overrides)
+            if updates_per_second > 3.0:
+                updates_per_second = 3.0
     with open(out_path, "wb") as f:
         stats = run_walkthrough(seconds, scene=scene, cfg=cfg, fd=f.fileno(),
                                 renderer=renderer,
+                                updates_per_second=updates_per_second,
                                 async_updates="--async" in sys.argv[1:])
     print(f"walkthrough: {stats['blocks_played']} blocks, "
           f"{stats['underruns']} underruns, "
