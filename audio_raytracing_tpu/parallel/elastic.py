@@ -131,9 +131,36 @@ def trace_ir_checkpointed(
     subset)."""
     n_rays = n_rays or cfg.rays_per_source
     assert n_rays % n_chunks == 0, (n_rays, n_chunks)
-    trace = _trace_fn or trace_ir
+    if _trace_fn is not None:
+        trace = _trace_fn
+    elif intersector == "pallas":
+        # preemptible tracing on the fused kernel (auto-wavefront on big
+        # scenes): each chunk is one kernel dispatch over its 1024-ray
+        # tiles; the same atomic checkpoint/resume protocol applies
+        from ..ops.pallas_trace import trace_ir_pallas
+
+        def trace(scene_arrays, src, lst, cfg, max_bounces, dirs,
+                  total_rays, include_direct, intersector):
+            return trace_ir_pallas(
+                scene_arrays, src, lst, cfg=cfg, max_bounces=max_bounces,
+                dirs=dirs, total_rays=total_rays,
+                include_direct=include_direct, fused_hist=True,
+            )
+    else:
+        trace = trace_ir
     ckpt_path = Path(ckpt_path)
-    dirs = fibonacci_sphere(n_rays)
+    if intersector == "pallas":
+        # octant-coherent order (the kernel's row bundles / sg_cull);
+        # contiguous chunks stay coherent. Chunks must tile by 1024.
+        from ..models.ir import fibonacci_sphere_sorted
+
+        assert (n_rays // n_chunks) % 1024 == 0, (
+            "pallas chunks must be multiples of 1024 rays",
+            n_rays, n_chunks,
+        )
+        dirs = fibonacci_sphere_sorted(n_rays)
+    else:
+        dirs = fibonacci_sphere(n_rays)
     chunk = n_rays // n_chunks
     meta = _ckpt_meta(scene_arrays, source, listener, n_rays, n_chunks,
                       max_bounces, intersector, cfg)

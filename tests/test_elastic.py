@@ -123,3 +123,37 @@ def test_checkpoint_rejects_mismatched_parameters(scene, tmp_path):
             scene.device_arrays(), SRC, jnp.asarray([9.0, 9.0, 9.0]), ck,
             n_chunks=4, cfg=CFG,
         )
+
+
+@pytest.mark.slow
+def test_checkpointed_pallas_matches_unchunked(scene, tmp_path):
+    """intersector="pallas": preemptible tracing on the fused kernel —
+    chunked+checkpointed accumulation must match one unchunked kernel
+    call on the same sorted direction set (chunk sums reassociate the
+    binning adds -> tiny f32 tolerance)."""
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted
+    from audio_raytracing_tpu.ops import pallas_trace as pt
+
+    cfg = dataclasses.replace(CFG, rays_per_source=2048)
+    orig = pt.trace_ir_pallas
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    pt.trace_ir_pallas = interp
+    try:
+        got = trace_ir_checkpointed(
+            scene.device_arrays(), SRC, LST, tmp_path / "ck.npz",
+            n_chunks=2, cfg=cfg, intersector="pallas",
+        )
+    finally:
+        pt.trace_ir_pallas = orig
+    want = orig(
+        scene.device_arrays(), SRC, LST, cfg=cfg,
+        dirs=jnp.asarray(fibonacci_sphere_sorted(2048)), fused_hist=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.energy), np.asarray(want.energy), rtol=0, atol=2e-6
+    )
