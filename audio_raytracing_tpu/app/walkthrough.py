@@ -64,10 +64,11 @@ class AsyncAcoustics:
     (IRStreamRenderer.update(swap_lock=...)). The producer's real-time
     budget then never contains a trace."""
 
-    def __init__(self, renderer: IRStreamRenderer):
+    def __init__(self, renderer: IRStreamRenderer, scene_track=None):
         import threading
 
         self.r = renderer
+        self.scene_track = scene_track  # t -> SceneArrays (moving geometry)
         self.lock = threading.Lock()  # spectra swap vs stream read
         self._pose = None
         self._pose_evt = threading.Event()
@@ -76,8 +77,10 @@ class AsyncAcoustics:
         self.updates = 0
         self.retraces = 0
 
-    def request(self, pos, yaw: float = 0.0, pitch: float = 0.0) -> None:
-        self._pose = (np.asarray(pos, np.float32), float(yaw), float(pitch))
+    def request(self, pos, yaw: float = 0.0, pitch: float = 0.0,
+                t: float = 0.0) -> None:
+        self._pose = (np.asarray(pos, np.float32), float(yaw), float(pitch),
+                      float(t))
         self._pose_evt.set()
 
     def render(self, n: int) -> np.ndarray:
@@ -89,7 +92,11 @@ class AsyncAcoustics:
             if not self._pose_evt.wait(timeout=0.02):
                 continue
             self._pose_evt.clear()
-            pos, yaw, pitch = self._pose
+            pos, yaw, pitch, t = self._pose
+            if self.scene_track is not None:
+                # moving geometry: swap the rigidly-transformed device
+                # arrays (no host rebuild) — forces a re-trace
+                self.r.set_scene_arrays(self.scene_track(t))
             self.r.update(pos, yaw=yaw, pitch=pitch, swap_lock=self.lock)
             self.updates += 1
             self.retraces += bool(self.r.last_update_retraced)
@@ -110,6 +117,47 @@ class AsyncAcoustics:
         return False
 
 
+def spinning_panel_track(cfg: Config, period: float = 3.0):
+    """A dynamic-geometry demo scene: a 2.4 x 2.2 m panel at the room's
+    center spins about the y axis (one rev per `period` seconds),
+    periodically occluding the source from the orbiting listener — the
+    audible proof that models/scene.rigid_transform_arrays works live.
+    Returns (scene, scene_track) for run_walkthrough: scene_track(t) is
+    one jitted device call (closed-form Woop updates, no host rebuild,
+    no recompile — same shapes every frame)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.scene import box_room_subdivided, rigid_transform_arrays
+
+    room = np.asarray(box_room_subdivided(size=(8.0, 3.0, 6.0), k=2))
+    c = np.float32([0.75, 0.0, 0.0])
+    w, h = 1.2, 1.1
+    a, b = c + [0, -h, -w], c + [0, -h, w]
+    d, e = c + [0, h, w], c + [0, h, -w]
+    panel = np.float32([[a, b, d], [a, d, e]])
+    scene = Scene.from_triangles(
+        np.concatenate([room, panel]).astype(np.float32), cfg
+    )
+    base = scene.device_arrays()
+    T = int(base.v0.shape[0])
+    idx = np.arange(T)
+    mask = jnp.asarray((idx >= len(room)) & (idx < len(room) + 2))
+    cj = jnp.asarray(c)
+
+    @jax.jit
+    def xform(angle):
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        rot = jnp.asarray([[ca, 0.0, sa], [0.0, 1.0, 0.0], [-sa, 0.0, ca]])
+        # rotate about the panel center: translation = c - R c
+        return rigid_transform_arrays(base, rot, cj - rot @ cj, mask=mask)
+
+    def scene_track(t: float):
+        return xform(jnp.float32(2.0 * math.pi * t / period))
+
+    return scene, scene_track
+
+
 def run_walkthrough(
     seconds: float,
     scene: Scene | None = None,
@@ -126,6 +174,7 @@ def run_walkthrough(
     sink=None,
     renderer: IRStreamRenderer | None = None,
     async_updates: bool = False,
+    scene_track=None,
 ) -> dict:
     """Stream `seconds` of a moving-listener walkthrough through a live
     sink. Acoustic updates land at `updates_per_second` from the producer
@@ -154,15 +203,20 @@ def run_walkthrough(
     blk = cfg.block_size
     update_every = max(1, int(round(sr / updates_per_second / blk)))  # blocks
     state = {"rendered": 0, "next_update_blk": 0, "updates": 0, "retraces": 0}
-    acoustics = AsyncAcoustics(r) if async_updates else None
+    acoustics = (
+        AsyncAcoustics(r, scene_track=scene_track) if async_updates else None
+    )
 
     def maybe_update():
         b = state["rendered"] // blk
         if b >= state["next_update_blk"]:
-            pos, yaw = path(state["rendered"] / sr)
+            t = state["rendered"] / sr
+            pos, yaw = path(t)
             if acoustics is not None:
-                acoustics.request(pos, yaw=yaw)  # worker traces off-thread
+                acoustics.request(pos, yaw=yaw, t=t)  # traces off-thread
             else:
+                if scene_track is not None:
+                    r.set_scene_arrays(scene_track(t))
                 r.update(pos, yaw=yaw)
                 state["updates"] += 1
                 state["retraces"] += bool(r.last_update_retraced)
@@ -178,6 +232,8 @@ def run_walkthrough(
     if warmup:
         # both update paths (re-trace and rotation-only) + both chunk shapes
         p0, y0 = path(0.0)
+        if scene_track is not None:
+            r.set_scene_arrays(scene_track(0.0))
         r.update(p0, yaw=y0)
         r.update(p0, yaw=y0 + 0.1)
         r.render(chunk_blocks * blk)
@@ -209,6 +265,7 @@ def main():
     out_path = args[1] if len(args) > 1 else "walkthrough.pcm"
     scene = None
     renderer = None
+    scene_track = None
     updates_per_second = 10.0
     cfg = DEFAULT_CONFIG
     for a in sys.argv[1:]:
@@ -216,6 +273,9 @@ def main():
             scene = Scene.from_obj(Path(a.split("=", 1)[1]), cfg)
         elif a.startswith("--rate="):
             updates_per_second = float(a.split("=", 1)[1])
+        elif a == "--spin":
+            # moving-occluder demo: spinning panel re-traced per update
+            scene, scene_track = spinning_panel_track(cfg)
         elif a == "--big" or a.startswith("--big="):
             # big-scene serving demo: a k-subdivided room (k=64 -> 49k
             # tris) streamed through the fused Pallas kernel with
@@ -237,7 +297,7 @@ def main():
                 updates_per_second = 3.0
     with open(out_path, "wb") as f:
         stats = run_walkthrough(seconds, scene=scene, cfg=cfg, fd=f.fileno(),
-                                renderer=renderer,
+                                renderer=renderer, scene_track=scene_track,
                                 updates_per_second=updates_per_second,
                                 async_updates="--async" in sys.argv[1:])
     print(f"walkthrough: {stats['blocks_played']} blocks, "

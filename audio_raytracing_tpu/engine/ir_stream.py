@@ -254,6 +254,16 @@ class IRStreamRenderer:
     def set_source_pos(self, idx: int, pos) -> None:
         self._sources[idx]["pos"] = np.asarray(pos, np.float32)
 
+    def set_scene_arrays(self, arrays) -> None:
+        """Swap the device geometry mid-stream — e.g. the output of
+        models/scene.rigid_transform_arrays for a moving occluder (zero
+        host rebuild, same shapes -> no recompile). Invalidates the
+        pose-aware trace cache: the next update() re-traces even for an
+        identical pose (the room itself changed)."""
+        self._arrays = arrays
+        self._trace_key = None
+        self._amb_cache = None
+
     def set_source_directivity(self, idx: int, directivity) -> None:
         self._sources[idx]["directivity"] = directivity
 

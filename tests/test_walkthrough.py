@@ -102,3 +102,38 @@ def test_walkthrough_audio_responds_to_pose():
     assert not np.allclose(a, b)
     r.update(np.float32([1.0, 0, 0]), yaw=0.7)
     assert not r.last_update_retraced  # rotation-only: cache hit
+
+
+def test_set_scene_arrays_invalidates_pose_cache():
+    """Dynamic geometry: an identical pose is a no-op until the scene
+    arrays are swapped (moving occluder), which must force a re-trace."""
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), CFG)
+    r = IRStreamRenderer(scene, CFG, n_rays=1024, max_bounces=2)
+    r.add_source(np.ones(256, np.float32), (1.0, 0.0, 0.0))
+    r.update((0.0, 0.0, -1.0))
+    assert r.last_update_retraced
+    r.update((0.0, 0.0, -1.0))
+    assert not r.last_update_retraced  # pose cache hit
+    r.set_scene_arrays(scene.device_arrays())
+    r.update((0.0, 0.0, -1.0))
+    assert r.last_update_retraced  # the room changed -> must re-trace
+
+
+def test_spinning_panel_occludes():
+    """The --spin demo's physics: the panel face-on between source and
+    listener sheds direct energy vs edge-on (rigid_transform_arrays live
+    in the streaming renderer)."""
+    import jax.numpy as jnp
+
+    from audio_raytracing_tpu.app.walkthrough import spinning_panel_track
+    from audio_raytracing_tpu.models.ir import direct_ir
+
+    _, track = spinning_panel_track(CFG, period=4.0)
+    # panel plane is x = 0.75 at t=0 (normal +-x): source at origin,
+    # listener at (1.5, 0, 0) looks straight through it; t=1 (90 deg)
+    # turns it edge-on
+    src = jnp.asarray([0.0, 0.0, 0.0])
+    lst = jnp.asarray([1.5, 0.0, 0.0])
+    e_blocked = float(jnp.sum(direct_ir(track(0.0), src, lst, cfg=CFG).energy))
+    e_open = float(jnp.sum(direct_ir(track(1.0), src, lst, cfg=CFG).energy))
+    assert e_open > 10.0 * max(e_blocked, 1e-12), (e_open, e_blocked)
