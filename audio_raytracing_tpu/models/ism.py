@@ -830,7 +830,7 @@ def image_source_ir(
     jax.jit,
     static_argnames=("cfg", "order", "n_rays", "max_bounces", "scattering",
                      "material_scattering", "src_directivity",
-                     "tail_backend", "rng_seed", "tail_interpret",
+                     "tail_backend", "tail_interpret",
                      "tail_wavefront"),
 )
 def hybrid_ir(

@@ -146,7 +146,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   group_fori: bool = False, row_unroll: int = 8,
                   transmission: bool = False, weighted: bool = False,
                   scattering: float = 0.0, material_scattering: bool = False,
-                  rng_seed: int = 0, sg_cull: bool = False,
+                  sg_cull: bool = False,
                   shadow_divfree: bool = False, winner_acc: int = 1,
                   ablate: str = "", state_io: bool = False):
     # ablate (MEASUREMENT ONLY — results are numerically wrong): "+"-joined
@@ -182,9 +182,16 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     # so interpret-mode tests compare against the XLA path directly
     scatter_on = scattering > 0.0 or material_scattering
     if scatter_on:
-        from .hashrng import hash_u32_py, uniform01
+        from .hashrng import uniform01
 
-        seed_base = hash_u32_py(rng_seed)
+        # the hashed seed rides scalars[10:12] as (lo16, hi16) halves —
+        # a TRACED operand, so ensemble seed sweeps and per-shard folds
+        # reuse one compiled kernel instead of paying a ~4 min Mosaic
+        # recompile per seed (the int32 reassembly wraps, reproducing the
+        # signed bit pattern hash_u32 produced outside)
+        seed_base = scalar_ref[10].astype(jnp.int32) | (
+            scalar_ref[11].astype(jnp.int32) << 16
+        )
         # program_id must be read at kernel top level (its interpret-mode
         # interception doesn't reach inside the row fori_loop body)
         tile_base = pl.program_id(0) * TILE
@@ -932,8 +939,7 @@ def _trace_kernel_raymajor(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                            max_bounces: int, cfg: Config,
                            flat_bands: bool = False, tri_unroll: int = 8,
                            ray_blocks: int = 1, scattering: float = 0.0,
-                           material_scattering: bool = False,
-                           rng_seed: int = 0):
+                           material_scattering: bool = False):
     """Ray-major layout of the fused trace (fused_hist only): the (8, 128)
     vreg holds 1024 RAYS (instead of 8 triangles x 128 rays) and triangle
     constants are SCALARS read from SMEM — measured motivation in
@@ -994,9 +1000,16 @@ def _trace_kernel_raymajor(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     n_coarse = hist_ref.shape[0]
     scatter_on = scattering > 0.0 or material_scattering
     if scatter_on:
-        from .hashrng import hash_u32_py, uniform01
+        from .hashrng import uniform01
 
-        seed_base = hash_u32_py(rng_seed)
+        # the hashed seed rides scalars[10:12] as (lo16, hi16) halves —
+        # a TRACED operand, so ensemble seed sweeps and per-shard folds
+        # reuse one compiled kernel instead of paying a ~4 min Mosaic
+        # recompile per seed (the int32 reassembly wraps, reproducing the
+        # signed bit pattern hash_u32 produced outside)
+        seed_base = scalar_ref[10].astype(jnp.int32) | (
+            scalar_ref[11].astype(jnp.int32) << 16
+        )
         tile_base = pl.program_id(0) * (ray_blocks * TILE)
 
     @pl.when(pl.program_id(0) == 0)
@@ -1262,7 +1275,7 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                            transmission: bool = False,
                            weighted: bool = False, scattering: float = 0.0,
                            material_scattering: bool = False,
-                           rng_seed: int = 0, sg_cull: bool = False,
+                           sg_cull: bool = False,
                            shadow_divfree: bool = False,
                            row_unroll: int = 8, state_io: bool = False):
     """HBM-streamed variant of _trace_kernel for scenes whose triangle
@@ -1292,9 +1305,16 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     inf = jnp.float32(np.inf)
     scatter_on = scattering > 0.0 or material_scattering
     if scatter_on:
-        from .hashrng import hash_u32_py, uniform01
+        from .hashrng import uniform01
 
-        seed_base = hash_u32_py(rng_seed)
+        # the hashed seed rides scalars[10:12] as (lo16, hi16) halves —
+        # a TRACED operand, so ensemble seed sweeps and per-shard folds
+        # reuse one compiled kernel instead of paying a ~4 min Mosaic
+        # recompile per seed (the int32 reassembly wraps, reproducing the
+        # signed bit pattern hash_u32 produced outside)
+        seed_base = scalar_ref[10].astype(jnp.int32) | (
+            scalar_ref[11].astype(jnp.int32) << 16
+        )
     # all program ids read at kernel top level (interpret-mode
     # interception doesn't reach inside pl.when bodies / fori loops)
     i_id = pl.program_id(0)
@@ -1889,8 +1909,11 @@ def trace_contributions_pallas(
     counter-hash uniforms (ops/hashrng.py) that are bit-identical to
     trace_ir(scattering_rng="hash", rng_seed=...); material mode reads
     each surface's probability from the tri table's scattering column.
-    Counters are LOCAL ray indices (rng_seed is compile-time here): for
-    multi-shard tracing give each shard its own seed so streams are
+    Counters are LOCAL ray indices; rng_seed is a TRACED operand (the
+    hashed seed rides the kernel's scalar vector), so ensemble seed
+    sweeps and per-shard folds (rng_seed * n_shards + axis_index, see
+    parallel/sharding.py) reuse one compiled kernel. For multi-shard
+    tracing give each shard its own folded seed so streams are
     independent.
 
     group_fori: loop triangle groups with lax.fori_loop (dynamic VMEM
@@ -2008,6 +2031,18 @@ def trace_contributions_pallas(
             jnp.zeros(7, jnp.float32),
         ]
     )  # (16,)
+    if scattering > 0.0 or material_scattering:
+        # hashed seed -> scalars[10:12] as (lo16, hi16): a traced operand
+        # (ensemble seed sweeps / per-shard folds share ONE compiled
+        # kernel; rng_seed may be a tracer — e.g. sharding.py's
+        # rng_seed * n_shards + axis_index fold)
+        from .hashrng import hash_u32
+
+        sb = hash_u32(jnp.asarray(rng_seed, jnp.int32))
+        scalars = scalars.at[10].set((sb & 0xFFFF).astype(jnp.float32))
+        scalars = scalars.at[11].set(
+            (jnp.right_shift(sb, 16) & 0xFFFF).astype(jnp.float32)
+        )
 
     d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     dxyz = [d[:, k].reshape(rows, LANES) for k in range(3)]
@@ -2044,7 +2079,7 @@ def trace_contributions_pallas(
             _trace_kernel_raymajor, n_tris=T, max_bounces=max_bounces,
             cfg=cfg, flat_bands=flat_bands, tri_unroll=tu,
             ray_blocks=ray_blocks, scattering=scattering,
-            material_scattering=material_scattering, rng_seed=rng_seed,
+            material_scattering=material_scattering,
         )
         hist = pl.pallas_call(
             kernel_rm,
@@ -2240,7 +2275,7 @@ def trace_contributions_pallas(
                 max_bounces=max_bounces, cfg=cfg, flat_bands=flat_bands,
                 transmission=transmission, weighted=False,
                 scattering=scattering,
-                material_scattering=material_scattering, rng_seed=rng_seed,
+                material_scattering=material_scattering,
                 sg_cull=True, shadow_divfree=False,
                 row_unroll=wf_row_unroll, state_io=True,
             )
@@ -2271,7 +2306,7 @@ def trace_contributions_pallas(
                 transmission=transmission, weighted=False,
                 scattering=scattering,
                 material_scattering=material_scattering,
-                rng_seed=rng_seed, sg_cull=True, state_io=True,
+                sg_cull=True, state_io=True,
             )
             call_w = pl.pallas_call(
                 kernel_w,
@@ -2437,7 +2472,7 @@ def trace_contributions_pallas(
             max_bounces=max_bounces, cfg=cfg, flat_bands=flat_bands,
             transmission=transmission, weighted=weighted,
             scattering=scattering,
-            material_scattering=material_scattering, rng_seed=rng_seed,
+            material_scattering=material_scattering,
             sg_cull=stream_sg, shadow_divfree=shadow_divfree,
             row_unroll=stream_row_unroll,
         )
@@ -2465,7 +2500,7 @@ def trace_contributions_pallas(
         row_unroll=(1 if interpret else 8) if row_unroll is None else row_unroll,
         transmission=transmission,
         weighted=weighted, scattering=scattering,
-        material_scattering=material_scattering, rng_seed=rng_seed,
+        material_scattering=material_scattering,
         sg_cull=sg_cull, shadow_divfree=shadow_divfree,
         winner_acc=winner_acc, ablate=ablate,
     )
@@ -2522,7 +2557,7 @@ def trace_contributions_pallas(
                      "include_direct", "interpret", "fused_hist", "cull",
                      "flat_bands", "mxu_xform", "group_fori",
                      "src_directivity", "scattering", "material_scattering",
-                     "rng_seed", "sg_cull", "row_unroll", "shadow_divfree",
+                     "sg_cull", "row_unroll", "shadow_divfree",
                      "stream_tris", "ray_major", "tri_unroll", "ray_blocks",
                      "wavefront"),
 )

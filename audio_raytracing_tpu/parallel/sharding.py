@@ -72,10 +72,10 @@ def trace_ir_sharded(
     chip's kernel traces its dirs slice normalized by the global ray
     count, histograms psum over ICI. flat_bands / wavefront forward to
     trace_ir_pallas (wavefront = per-bounce re-sorting, large scenes).
-    Stochastic scattering stays XLA-only here: the kernel's hash seed is
-    compile-time, so every shard would draw the SAME uniform stream for
-    its local ray indices (exactly the correlation trace_ir_sharded's
-    seed-folding exists to prevent) — requesting both raises.
+    Stochastic scattering works with scattering_rng="hash" only (threefry
+    keys cannot enter a Mosaic kernel): the kernel's seed is a traced
+    operand, so the same rng_seed * n_shards + axis_index fold as the
+    XLA path decorrelates shards with one compiled kernel.
 
     src_directivity (models/directivity.py): the source's radiation
     pattern — a static, so every shard traces with the same weighting and
@@ -97,12 +97,11 @@ def trace_ir_sharded(
     assert n_rays % n_shards == 0, (n_rays, n_shards)
     stochastic_on = scattering > 0.0 or material_scattering
     if intersector == "pallas":
-        if stochastic_on:
+        if stochastic_on and scattering_rng != "hash":
             raise ValueError(
-                'intersector="pallas" + stochastic scattering would '
-                "correlate the hash streams across shards (the seed is "
-                "compile-time); use the default XLA path, whose per-shard "
-                "seed folding is tested"
+                'intersector="pallas" scattering uses the counter-hash '
+                'rng; pass scattering_rng="hash" (threefry keys cannot '
+                "enter a Mosaic kernel)"
             )
         from ..models.ir import fibonacci_sphere_sorted
         from ..ops.pallas_trace import trace_ir_pallas
@@ -114,13 +113,26 @@ def trace_ir_sharded(
 
         def shard_fn_pallas(dirs_local, source, listener, scene_local):
             lead = (jax.lax.axis_index("rays") == 0).astype(jnp.float32)
+            stoch = {}
+            if stochastic_on:
+                # same per-shard fold as the XLA path (the kernel's seed
+                # is a traced operand since the scalars[10:12] change, so
+                # axis_index composes with one compiled kernel)
+                stoch = dict(
+                    scattering=scattering,
+                    material_scattering=material_scattering,
+                    rng_seed=(
+                        jnp.asarray(rng_seed, jnp.int32) * n_shards
+                        + jax.lax.axis_index("rays")
+                    ),
+                )
             ir = trace_ir_pallas(
                 scene_local, source, listener, cfg=cfg,
                 max_bounces=max_bounces, dirs=dirs_local,
                 total_rays=n_rays, include_direct=False, fused_hist=True,
                 flat_bands=flat_bands, wavefront=wavefront,
                 src_directivity=src_directivity,
-                interpret=pallas_interpret,
+                interpret=pallas_interpret, **stoch,
             )
             d = direct_ir(scene_local, source, listener, cfg=cfg,
                           src_directivity=src_directivity)

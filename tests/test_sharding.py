@@ -308,11 +308,55 @@ def test_sharded_pallas_kernel_matches_unsharded(scene):
         )
 
 
-def test_sharded_pallas_rejects_stochastic(scene):
+def test_sharded_pallas_rejects_threefry(scene):
     mesh = make_mesh(8, ("rays",))
-    with pytest.raises(ValueError, match="correlate"):
+    with pytest.raises(ValueError, match="hash"):
         trace_ir_sharded(
             scene.device_arrays(), jnp.asarray([1.0, 0.5, 0.5]),
             jnp.asarray([-1.0, -0.5, -1.0]), mesh, cfg=CFG,
             intersector="pallas", scattering=0.5,
+            scattering_rng="threefry",
         )
+
+
+@pytest.mark.slow
+def test_sharded_pallas_stochastic_matches_per_shard(scene):
+    """Sharded stochastic kernel tracing: the traced-seed fold makes
+    shard i's streams equal a single-device kernel trace of that shard's
+    dirs slice with seed rng_seed * n_shards + i — the same contract the
+    XLA path tests, now on the fused kernel."""
+    import dataclasses as _dc
+
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted
+    from audio_raytracing_tpu.ops.pallas_trace import trace_ir_pallas
+    from audio_raytracing_tpu.models.ir import direct_ir
+    from audio_raytracing_tpu.models.scene import box_room_subdivided
+
+    cfg = _dc.replace(CFG, max_bounces=2)
+    big = Scene.from_triangles(
+        box_room_subdivided(size=(10.0, 4.0, 8.0), k=8), cfg
+    )
+    src = jnp.asarray([1.0, 0.3, 0.5])
+    lst = jnp.asarray([-1.0, 0.0, -0.5])
+    mesh = make_mesh(8, ("rays",))
+    n_rays, seed = 8192, 5
+    got = trace_ir_sharded(
+        big.device_arrays(), src, lst, mesh, cfg=cfg, n_rays=n_rays,
+        intersector="pallas", flat_bands=True, pallas_interpret=True,
+        scattering=0.6, scattering_rng="hash", rng_seed=seed,
+    )
+    dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays)).reshape(8, -1, 3)
+    want_e = np.asarray(
+        direct_ir(big.device_arrays(), src, lst, cfg=cfg).energy
+    )
+    for i in range(8):
+        ir = trace_ir_pallas(
+            big.device_arrays(), src, lst, cfg=cfg, dirs=dirs[i],
+            total_rays=n_rays, include_direct=False, fused_hist=True,
+            flat_bands=True, interpret=True, scattering=0.6,
+            rng_seed=seed * 8 + i,
+        )
+        want_e = want_e + np.asarray(ir.energy)
+    np.testing.assert_allclose(
+        np.asarray(got.energy), want_e, rtol=0, atol=1e-6
+    )
