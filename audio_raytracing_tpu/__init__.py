@@ -36,6 +36,9 @@ def __getattr__(name):
         "SoundSystem": ("engine.system", "SoundSystem"),
         "trace_ir": ("models.ir", "trace_ir"),
         "trace_ir_pallas": ("ops.pallas_trace", "trace_ir_pallas"),
+        "trace_ir_pallas_ensemble": (
+            "ops.pallas_trace", "trace_ir_pallas_ensemble"
+        ),
         "ambisonic_ir": ("models.ir", "ambisonic_ir"),
         "ambisonic_ir_hoa": ("models.ir", "ambisonic_ir_hoa"),
         "image_source_ir": ("models.ism", "image_source_ir"),
@@ -77,6 +80,7 @@ def __getattr__(name):
 __all__ = [
     "Config", "DEFAULT_CONFIG", "Scene", "SceneArrays", "box_room", "Space",
     "SpaceBuilder", "SoundSystem", "trace_ir", "trace_ir_pallas",
+    "trace_ir_pallas_ensemble",
     "ambisonic_ir", "ambisonic_ir_hoa", "image_source_ir",
     "plane_groups", "PlaneGroups",
     "trace_ir_multi_listener", "AcousticMaterial",

@@ -2793,3 +2793,51 @@ def trace_irs_pallas_multi_listener(
 
     _, irs = jax.lax.scan(one, None, jnp.asarray(listeners, jnp.float32))
     return ImpulseResponse(energy=irs.energy, dir_sum=irs.dir_sum)
+
+
+def trace_ir_pallas_ensemble(
+    scene_arrays,
+    source,
+    listener,
+    n_ensembles: int = 4,
+    rng_seed: int = 0,
+    include_direct: bool = True,
+    **kw,
+):
+    """Ensemble-averaged stochastic trace: the mean IR over n_ensembles
+    independent seed streams, in ONE dispatch (lax.scan over seeds around
+    the fused kernel — the traced-seed scalars make every step reuse the
+    same compiled kernel; before that change each seed cost its own ~4-5
+    min Mosaic compile). Monte-Carlo tail variance drops ~1/n_ensembles
+    at n_ensembles x the trace cost and none of the ray-count's VMEM
+    pressure. Seeds fold as rng_seed * n_ensembles + e — disjoint from
+    an ensemble at any other rng_seed. **kw: any trace_ir_pallas
+    options (scattering/material_scattering make this worthwhile;
+    deterministic traces are seed-invariant and just waste n_ensembles x
+    the work — a specular-only ensemble returns the single-trace IR).
+    """
+    from ..models.ir import ImpulseResponse, direct_ir
+
+    seeds = jnp.asarray(rng_seed, jnp.int32) * n_ensembles + jnp.arange(
+        n_ensembles, dtype=jnp.int32
+    )
+
+    def one(_, seed):
+        ir = trace_ir_pallas(
+            scene_arrays, source, listener, include_direct=False,
+            rng_seed=seed, **kw,
+        )
+        return None, ir
+
+    _, irs = jax.lax.scan(one, None, seeds)
+    energy = jnp.mean(irs.energy, axis=0)
+    dir_sum = jnp.mean(irs.dir_sum, axis=0)
+    if include_direct:
+        d = direct_ir(
+            scene_arrays, source, listener, cfg=kw.get("cfg", DEFAULT_CONFIG),
+            src_directivity=kw.get("src_directivity"),
+            src_axis=kw.get("src_axis"),
+        )
+        energy = energy + d.energy
+        dir_sum = dir_sum + d.dir_sum
+    return ImpulseResponse(energy=energy, dir_sum=dir_sum)

@@ -199,3 +199,40 @@ def test_wavefront_validation(scene):
         trace_ir_pallas(arrays, SRC, LST, cfg=CFG, dirs=dirs,
                         fused_hist=True, flat_bands=True, wavefront=True,
                         group_fori=False, interpret=True)
+
+
+@pytest.mark.slow
+def test_ensemble_matches_manual_mean(scene):
+    """trace_ir_pallas_ensemble = the exact mean of per-seed traces (one
+    scanned dispatch; seeds fold rng_seed * K + e)."""
+    from audio_raytracing_tpu.ops.pallas_trace import (
+        trace_ir_pallas_ensemble,
+    )
+
+    kw = dict(
+        cfg=CFG, max_bounces=2,
+        dirs=jnp.asarray(fibonacci_sphere_sorted(1024)), fused_hist=True,
+        flat_bands=True, interpret=True, scattering=0.7,
+    )
+    got = trace_ir_pallas_ensemble(
+        scene.device_arrays(), SRC, LST, n_ensembles=2, rng_seed=3, **kw
+    )
+    singles = [
+        trace_ir_pallas(
+            scene.device_arrays(), SRC, LST, include_direct=False,
+            rng_seed=3 * 2 + e, **kw,
+        )
+        for e in range(2)
+    ]
+    from audio_raytracing_tpu.models.ir import direct_ir
+
+    want = 0.5 * (
+        np.asarray(singles[0].energy) + np.asarray(singles[1].energy)
+    ) + np.asarray(direct_ir(scene.device_arrays(), SRC, LST, cfg=CFG).energy)
+    np.testing.assert_allclose(
+        np.asarray(got.energy), want, rtol=0, atol=1e-6
+    )
+    # the two streams are genuinely different draws
+    assert np.abs(
+        np.asarray(singles[0].energy) - np.asarray(singles[1].energy)
+    ).sum() > 0
