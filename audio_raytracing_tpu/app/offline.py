@@ -87,11 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--material", action="append", default=[],
                     metavar="NAME=PRESET",
                     help="map an OBJ usemtl name to an acoustic preset")
-    ap.add_argument("--hoa-hrtf", choices=("magls4", "sphere"),
-                    default="magls4",
-                    help="HOA binaural decoder: max-rE truncation through "
-                         "the reference 4-ch MagLS bank, or the full "
-                         "order-N rigid-sphere bank")
+    ap.add_argument("--hoa-hrtf", default="magls4",
+                    help="HOA binaural decoder: 'magls4' (max-rE "
+                         "truncation through the reference 4-ch MagLS "
+                         "bank), 'sphere' (full order-N rigid-sphere "
+                         "bank), or a path to a converted MEASURED bank "
+                         "npz (tools/convert_sofa.py ingests any "
+                         "SimpleFreeFieldHRIR SOFA set)")
     ap.add_argument("--speakers", type=int, default=None,
                     help="decode to an N-speaker fibonacci rig instead of "
                          "binaural stereo (implies an HOA bed)")

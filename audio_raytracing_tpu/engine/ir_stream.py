@@ -166,13 +166,16 @@ class IRStreamRenderer:
             )
         self._ir_fn = ir_fn
         self._arrays = scene.device_arrays()
-        if hoa_hrtf not in ("magls4", "sphere"):
+        is_bank = hoa_hrtf == "sphere" or str(hoa_hrtf).endswith(".npz")
+        if hoa_hrtf != "magls4" and not is_bank:
             raise ValueError(f"unknown hoa_hrtf {hoa_hrtf!r}")
-        self._full_bank = hoa_hrtf == "sphere" and sh_order is not None
+        self._full_bank = is_bank and sh_order is not None
         if self._full_bank:
             from ..ops.hoa import hoa_binaural_bank
 
-            hl, hr = hoa_binaural_bank(sh_order)
+            hl, hr = hoa_binaural_bank(
+                sh_order, bank=None if hoa_hrtf == "sphere" else hoa_hrtf
+            )
         else:
             hl, hr = hrtf if hrtf is not None else default_hrtf()
         self.hrtf_l = jnp.asarray(hl)

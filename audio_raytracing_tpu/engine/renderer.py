@@ -158,14 +158,18 @@ def render_ir_offline(
         amb_rot = rotate_hoa(amb_total, jnp.asarray(orient), sh_order)
         if speaker_dirs is not None:
             return np.asarray(decode_to_speakers(amb_rot, speaker_dirs).T)
-        if hoa_hrtf == "sphere" and sh_order >= 1:
+        full_bank = hoa_hrtf == "sphere" or str(hoa_hrtf).endswith(".npz")
+        if full_bank and sh_order >= 1:
             from ..ops.hoa import hoa_binaural_bank
 
-            bl, br = hoa_binaural_bank(sh_order)
+            bl, br = hoa_binaural_bank(
+                sh_order,
+                bank=None if hoa_hrtf == "sphere" else hoa_hrtf,
+            )
             left = jnp.sum(convolve_direct(amb_rot, bl), axis=0)
             right = jnp.sum(convolve_direct(amb_rot, br), axis=0)
             return np.asarray(jnp.stack([left, right], axis=-1))
-        if hoa_hrtf not in ("magls4", "sphere"):
+        if hoa_hrtf != "magls4" and not full_bank:
             raise ValueError(f"unknown hoa_hrtf {hoa_hrtf!r}")
         amb4 = hoa_to_reference_foa(amb_rot)
         left = jnp.sum(convolve_direct(amb4, jnp.asarray(hl)), axis=0)

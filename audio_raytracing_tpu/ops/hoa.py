@@ -322,28 +322,40 @@ def decode_to_speakers(amb, speaker_dirs, weighting: str | None = "max_re"):
 
 
 @lru_cache(maxsize=None)
-def hoa_binaural_bank(order: int):
+def hoa_binaural_bank(order: int, bank=None):
     """Order-N binaural decoder FIRs ((C, taps) left, (C, taps) right) from
-    the rigid-sphere MagLS bank (data/hrtf_hoa_sphere.npz, built by
-    tools/make_hoa_hrtf.py — Duda & Martens spherical-head HRTF, MagLS fit
-    per order). Unlike hoa_to_stereo's max-rE truncation through the
-    reference's 4-channel bank, this decodes EVERY channel of an order-N
-    bed. Channels are ACN/N3D in the framework frame."""
+    a MagLS bank npz — by default the rigid-sphere model
+    (data/hrtf_hoa_sphere.npz, built by tools/make_hoa_hrtf.py — Duda &
+    Martens spherical-head HRTF, MagLS fit per order); `bank` points at
+    any npz with the same irs_{l,r}_oN keys, e.g. a MEASURED human set
+    converted from a SOFA file by tools/convert_sofa.py. Unlike
+    hoa_to_stereo's max-rE truncation through the reference's 4-channel
+    bank, this decodes EVERY channel of an order-N bed. Channels are
+    ACN/N3D in the framework frame."""
     from pathlib import Path
 
     _check_order(order)
     if order == 0:
         raise ValueError("order-0 beds have no spatial content to decode; "
                          "use hoa_to_stereo")
-    path = Path(__file__).resolve().parents[2] / "data" / "hrtf_hoa_sphere.npz"
+    path = (
+        Path(bank) if bank is not None
+        else Path(__file__).resolve().parents[2] / "data"
+        / "hrtf_hoa_sphere.npz"
+    )
     with np.load(path) as z:
+        if f"irs_l_o{order}" not in z:
+            raise ValueError(
+                f"bank {path} has no order-{order} decoder (keys: "
+                f"{sorted(k for k in z.files if k.startswith('irs_l'))})"
+            )
         return (
             jnp.asarray(z[f"irs_l_o{order}"]),
             jnp.asarray(z[f"irs_r_o{order}"]),
         )
 
 
-def hoa_to_stereo_sphere(amb, order: int | None = None):
+def hoa_to_stereo_sphere(amb, order: int | None = None, bank=None):
     """Full-order binaural decode of an ACN/N3D HOA bed (C, N) through the
     rigid-sphere MagLS bank: every spherical-harmonic channel convolves
     with its own decoder FIR (no truncation). Returns (N + taps - 1, 2)."""
@@ -354,6 +366,6 @@ def hoa_to_stereo_sphere(amb, order: int | None = None):
         order = int(round(np.sqrt(amb.shape[0]))) - 1
     if n_sh(order) != amb.shape[0]:
         raise ValueError(f"channel count {amb.shape[0]} is not (order+1)^2")
-    irs_l, irs_r = hoa_binaural_bank(order)
+    irs_l, irs_r = hoa_binaural_bank(order, bank=bank)
     # ambisonic_to_stereo's einsum is generic in the channel count
     return ambisonic_to_stereo(amb, irs_l, irs_r)
