@@ -236,3 +236,27 @@ def test_ensemble_matches_manual_mean(scene):
     assert np.abs(
         np.asarray(singles[0].energy) - np.asarray(singles[1].energy)
     ).sum() > 0
+
+
+@pytest.mark.slow
+def test_wavefront_open_scene_matches_resident():
+    """Escaped rays (open scene: no ceiling) freeze with alive=0 and ride
+    the per-bounce sorts as dead payload — the wavefront must still match
+    the resident loop exactly."""
+    tris = np.asarray(box_room_subdivided(size=(10.0, 4.0, 8.0), k=8))
+    # drop upward-facing triangles (ceiling): rays escape through the top
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    open_scene = Scene.from_triangles(tris[n[:, 1] > -1e-6], CFG)
+    kw = dict(
+        cfg=CFG, max_bounces=3,
+        dirs=jnp.asarray(fibonacci_sphere_sorted(1024)), fused_hist=True,
+        flat_bands=True, interpret=True, group_fori=True, sg_cull=True,
+    )
+    a = trace_ir_pallas(open_scene.device_arrays(), SRC, LST,
+                        wavefront=False, **kw)
+    b = trace_ir_pallas(open_scene.device_arrays(), SRC, LST,
+                        wavefront=True, **kw)
+    assert np.isfinite(np.asarray(b.energy)).all()
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=0, atol=1e-7
+    )
