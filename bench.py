@@ -104,6 +104,7 @@ def main():
     from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted, trace_ir
     from audio_raytracing_tpu.models.scene import Scene, box_room
 
+    t_start = time.time()
     backend = jax.default_backend()
     obj = ROOT / "data" / "world.obj"
     cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=32768, max_voices=8)
@@ -280,6 +281,43 @@ def main():
             "pallas_ray_bounce_per_sec": n_rays * bounces / t_p,
         }
 
+    # --- big-scene sub-linear tracing (driver-visible wavefront datapoint:
+    # 49k tris, supergroup culling + auto per-bounce re-sorting; see
+    # benchmarks/bench_bigscene.py for the full sweep to 3.1M tris).
+    # Best-effort: skipped when the core metrics already consumed the time
+    # budget (a loaded relay can take minutes per Mosaic compile) or via
+    # ARTPU_BENCH_NO_BIGSCENE=1; failures never break the tracked metric.
+    bigscene = {}
+    if (os.environ.get("ARTPU_BENCH_NO_BIGSCENE") != "1"
+            and time.time() - t_start < 300):
+        try:
+            from audio_raytracing_tpu.models.scene import box_room_subdivided
+            from audio_raytracing_tpu.ops.pallas_trace import trace_ir_pallas
+
+            big_cfg = dataclasses.replace(cfg, ir_length=32768)
+            big = Scene.from_triangles(
+                box_room_subdivided(size=(10.0, 4.0, 8.0), k=64), big_cfg
+            )
+            big_arrays = big.device_arrays()
+            bdirs = jnp.asarray(fibonacci_sphere_sorted(1 << 15))
+
+            def big_step():
+                ir = trace_ir_pallas(
+                    big_arrays, srcs[next(it) % len(srcs)], lst, cfg=big_cfg,
+                    max_bounces=4, dirs=bdirs, fused_hist=True,
+                    flat_bands=True,  # wavefront auto-engages at 49k tris
+                )
+                float(jnp.sum(ir.energy))
+
+            t_b = _median_time(big_step, iters=3, warmup=2)
+            T_big = int(big_arrays.v0.shape[0])
+            bigscene = {
+                "bigscene_49k_wavefront_ms": t_b * 1e3,
+                "bigscene_49k_tests_per_sec": (1 << 15) * 4 * T_big * 2 / t_b,
+            }
+        except Exception as e:  # noqa: BLE001 — extras must not kill bench
+            bigscene = {"bigscene_error": repr(e)[:200]}
+
     result = {
         "metric": "ray_bounce_per_sec",
         "value": rate,
@@ -301,6 +339,7 @@ def main():
             "ray_triangle_tests_per_sec": rate * scene.v0.shape[0] * 2,
             "aot_artifact_stale": aot_stale,
             **pallas,
+            **bigscene,
             **_roofline(rate, scene.v0.shape[0]),
         },
     }
