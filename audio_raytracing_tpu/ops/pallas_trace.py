@@ -148,7 +148,8 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   scattering: float = 0.0, material_scattering: bool = False,
                   sg_cull: bool = False,
                   shadow_divfree: bool = False, winner_acc: int = 1,
-                  ablate: str = "", state_io: bool = False):
+                  ablate: str = "", state_io: bool = False,
+                  sg_unroll: int | None = None):
     # ablate (MEASUREMENT ONLY — results are numerically wrong): "+"-joined
     # component skips for on-hardware cost attribution of the fused kernel
     # (benchmarks/ablate_kernel.py). "no_sweep" replaces the winner-sublane
@@ -352,7 +353,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     # cross-iteration pipelining). Measured at 3072 tris: unroll 8 = 62 ms,
     # 16 = 56 ms, 32 = 55 ms (best), 64 = 56 ms with 60 s compiles.
     fori_unroll = 1
-    for cand in (32, 16, 8):
+    for cand in ((sg_unroll,) if sg_unroll else (32, 16, 8)):
         if n_groups % cand == 0 and n_groups >= cand:
             fori_unroll = cand
             break
@@ -1277,7 +1278,8 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                            material_scattering: bool = False,
                            sg_cull: bool = False,
                            shadow_divfree: bool = False,
-                           row_unroll: int = 8, state_io: bool = False):
+                           row_unroll: int = 8, state_io: bool = False,
+                           sg_unroll: int | None = None):
     """HBM-streamed variant of _trace_kernel for scenes whose triangle
     table exceeds VMEM (~100k+ triangles at 24 f32 columns).
 
@@ -1348,7 +1350,7 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     n_keep = 1 if flat_bands else N_BANDS
     chunk_groups = chunk_tris // TRI_GROUP
     fori_unroll = 1
-    for cand in (32, 16, 8):
+    for cand in ((sg_unroll,) if sg_unroll else (32, 16, 8)):
         if chunk_groups % cand == 0 and chunk_groups >= cand:
             fori_unroll = cand
             break
@@ -1875,7 +1877,7 @@ def trace_contributions_pallas(
     stream_tris: int | None = None, ablate: str = "",
     ray_major: bool | None = None, tri_unroll: int = 8,
     ray_blocks: int = 1, winner_acc: int = 1,
-    wavefront: bool | None = None,
+    wavefront: bool | None = None, sg_unroll: int | None = None,
 ):
     """Run the fused kernel.
 
@@ -2137,11 +2139,34 @@ def trace_contributions_pallas(
                 "winner_acc applies to the fully unrolled tri-major path "
                 "pass only (group_fori carries one fori accumulator)"
             )
+    if wavefront is None:
+        # auto: measured crossover — wavefront wins from ~12k padded tris
+        # (83.9 vs 90.1 ms; 131.8 vs 153.7 at 27k; 160 vs 205 at 49k) and
+        # loses below (+4.5 ms at 3072: four sorts unrepaid), so it
+        # engages with the large-scene kernel once the scene is big
+        # enough. Explicit True on a small scene still raises (A/Bs want
+        # the error, not a silent fallback).
+        wavefront = (
+            fused_hist and group_fori and bool(sg_cull)
+            and not (cull or mxu_xform or ablate or shadow_divfree
+                     or ray_major)
+            and T >= 12288
+        )
+    if (wavefront and sg_unroll is None and stream_tris is None
+            and (T // TRI_GROUP) % 16 == 0):
+        # Finer supergroup windows pay on the resident wavefront path:
+        # re-sorted rays keep coherent fans, so 128-tri windows (unroll
+        # 16) cull tighter than 256-tri ones. Measured at 49k tris,
+        # 2^15 rays, 8 bounces: 152.7 ms (16) vs 158.2 (auto=32) vs
+        # 172.6 (8). Streamed (196k+) and static paths keep auto=32
+        # (unmeasured resp. measured-best there).
+        sg_unroll = 16
     sg_args = ()
     if sg_cull:
         n_groups = T // TRI_GROUP
         fori_unroll = 1
-        for cand in (32, 16, 8):  # MUST match _trace_kernel's choice
+        # MUST match _trace_kernel's choice
+        for cand in ((sg_unroll,) if sg_unroll else (32, 16, 8)):
             if n_groups % cand == 0 and n_groups >= cand:
                 fori_unroll = cand
                 break
@@ -2170,19 +2195,6 @@ def trace_contributions_pallas(
                          memory_space=pltpu.VMEM)
             for _ in range(n_keep)
         ]
-    if wavefront is None:
-        # auto: measured crossover — wavefront wins from ~12k padded tris
-        # (83.9 vs 90.1 ms; 131.8 vs 153.7 at 27k; 160 vs 205 at 49k) and
-        # loses below (+4.5 ms at 3072: four sorts unrepaid), so it
-        # engages with the large-scene kernel once the scene is big
-        # enough. Explicit True on a small scene still raises (A/Bs want
-        # the error, not a silent fallback).
-        wavefront = (
-            fused_hist and group_fori and bool(sg_cull)
-            and not (cull or mxu_xform or ablate or shadow_divfree
-                     or ray_major)
-            and T >= 12288
-        )
     if wavefront:
         # Per-bounce ray re-sorting — the r1 "wavefront" dead end revived
         # by measurement: (a) an argsort + full-state gather costs 1.0 ms
@@ -2231,7 +2243,8 @@ def trace_contributions_pallas(
             n_chunks = T // chunk
             chunk_groups = chunk // TRI_GROUP
             fori_unroll_s = 1
-            for cand in (32, 16, 8):  # MUST match _trace_kernel_streamed
+            # MUST match _trace_kernel_streamed
+            for cand in ((sg_unroll,) if sg_unroll else (32, 16, 8)):
                 if chunk_groups % cand == 0 and chunk_groups >= cand:
                     fori_unroll_s = cand
                     break
@@ -2278,6 +2291,7 @@ def trace_contributions_pallas(
                 material_scattering=material_scattering,
                 sg_cull=True, shadow_divfree=False,
                 row_unroll=wf_row_unroll, state_io=True,
+                sg_unroll=sg_unroll,
             )
             call_w = pl.pallas_call(
                 kernel_w,
@@ -2306,7 +2320,7 @@ def trace_contributions_pallas(
                 transmission=transmission, weighted=False,
                 scattering=scattering,
                 material_scattering=material_scattering,
-                sg_cull=True, state_io=True,
+                sg_cull=True, state_io=True, sg_unroll=sg_unroll,
             )
             call_w = pl.pallas_call(
                 kernel_w,
@@ -2406,7 +2420,8 @@ def trace_contributions_pallas(
         n_chunks = T // chunk
         chunk_groups = chunk // TRI_GROUP
         fori_unroll = 1
-        for cand in (32, 16, 8):  # MUST match _trace_kernel_streamed
+        # MUST match _trace_kernel_streamed
+        for cand in ((sg_unroll,) if sg_unroll else (32, 16, 8)):
             if chunk_groups % cand == 0 and chunk_groups >= cand:
                 fori_unroll = cand
                 break
@@ -2474,7 +2489,7 @@ def trace_contributions_pallas(
             scattering=scattering,
             material_scattering=material_scattering,
             sg_cull=stream_sg, shadow_divfree=shadow_divfree,
-            row_unroll=stream_row_unroll,
+            row_unroll=stream_row_unroll, sg_unroll=sg_unroll,
         )
         hist = pl.pallas_call(
             kernel_s,
@@ -2502,7 +2517,7 @@ def trace_contributions_pallas(
         weighted=weighted, scattering=scattering,
         material_scattering=material_scattering,
         sg_cull=sg_cull, shadow_divfree=shadow_divfree,
-        winner_acc=winner_acc, ablate=ablate,
+        winner_acc=winner_acc, ablate=ablate, sg_unroll=sg_unroll,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + sg_args + w_args
     if fused_hist:
@@ -2559,7 +2574,7 @@ def trace_contributions_pallas(
                      "src_directivity", "scattering", "material_scattering",
                      "sg_cull", "row_unroll", "shadow_divfree",
                      "stream_tris", "ray_major", "tri_unroll", "ray_blocks",
-                     "wavefront"),
+                     "wavefront", "sg_unroll"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -2590,6 +2605,7 @@ def trace_ir_pallas(
     tri_unroll: int = 8,
     ray_blocks: int = 1,
     wavefront: bool | None = None,
+    sg_unroll: int | None = None,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -2648,6 +2664,7 @@ def trace_ir_pallas(
             shadow_divfree=shadow_divfree, stream_tris=stream_tris,
             ray_major=ray_major, tri_unroll=tri_unroll,
             ray_blocks=ray_blocks, wavefront=wavefront,
+            sg_unroll=sg_unroll,
         )
     else:
         if wavefront:
