@@ -78,6 +78,94 @@ def _morton3(q):
     return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
 
 
+def _sg_fori(n_sg, sg_coarse, fori_body, cpred, carry):
+    """Run fori_body over n_sg supergroup windows, optionally gated by a
+    COARSE second culling level: one cpred(cb) scalar test per block of
+    sg_coarse windows skips the block's per-window tests + lax.cond
+    machinery wholesale. The all-skip floor measured 41.7/230 ms (49k
+    resident) and 92.3/749 ms (196k streamed) of the static culled time —
+    most of it per-window cond iterations, which this collapses by
+    sg_coarse x in regions the coarse union AABB already rejects. The
+    coarse AABBs live at rows n_sg.. of the same SMEM table (see
+    _append_coarse), so cpred is just the window test at an offset row."""
+    if not sg_coarse:
+        return jax.lax.fori_loop(0, n_sg, fori_body, carry)
+
+    def coarse_body(cb, carry):
+        def run(c):
+            return jax.lax.fori_loop(
+                cb * sg_coarse, (cb + 1) * sg_coarse, fori_body, c
+            )
+
+        return jax.lax.cond(cpred(cb), run, lambda c: c, carry)
+
+    return jax.lax.fori_loop(0, n_sg // sg_coarse, coarse_body, carry)
+
+
+def _append_coarse(sg, sg_coarse):
+    """Append n_sg/sg_coarse coarse union-AABB rows to a (n_sg, 8)
+    supergroup table (lo3, hi3, pad2). Kernels test coarse block cb at
+    row n_sg + cb with the ordinary supergroup predicate."""
+    n_sg = sg.shape[0]
+    s3 = sg.reshape(n_sg // sg_coarse, sg_coarse, 8)
+    cg = jnp.concatenate(
+        [
+            s3[:, :, :3].min(axis=1),
+            s3[:, :, 3:6].max(axis=1),
+            jnp.zeros((n_sg // sg_coarse, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([sg, cg], axis=0)
+
+
+def _resolve_sg_coarse(sg_coarse, n_sg):
+    """sg_coarse=None -> auto: the first of (8, 4) that tiles the n_sg
+    supergroup windows with at least 2 blocks, else off (small scenes:
+    the coarse test would gate nothing). 0/False -> explicitly off (for
+    A/Bs). An explicit int passes through for the caller to validate."""
+    if sg_coarse is not None:
+        return sg_coarse or None
+    for c in (8, 4):
+        if n_sg % c == 0 and n_sg >= 2 * c:
+            return c
+    return None
+
+
+def _coarse_rows_chunked(spc, sg_coarse):
+    """Padded per-chunk row count for the streamed blocked SMEM table:
+    spc supergroup rows + spc/sg_coarse coarse rows, rounded up to a
+    multiple of SUBLANES (Mosaic requires block sublane dims % 8; the
+    pad rows are never read — loop bounds stop at spc/sg_coarse)."""
+    rows = spc + spc // sg_coarse
+    return -(-rows // SUBLANES) * SUBLANES
+
+
+def _append_coarse_chunked(sg, sg_coarse, spc):
+    """Per-chunk variant of _append_coarse for the streamed kernels'
+    blocked SMEM table: each chunk's spc supergroup rows get
+    spc/sg_coarse coarse rows appended (then zero-padded to
+    _coarse_rows_chunked rows), so the block at chunk c is
+    (_coarse_rows_chunked(spc, sg_coarse), 8) and the kernel tests
+    coarse block cb at block-local row spc + cb."""
+    n_chunks = sg.shape[0] // spc
+    cpc = spc // sg_coarse
+    s3 = sg.reshape(n_chunks, cpc, sg_coarse, 8)
+    cg = jnp.concatenate(
+        [
+            s3[:, :, :, :3].min(axis=2),
+            s3[:, :, :, 3:6].max(axis=2),
+            jnp.zeros((n_chunks, cpc, 2), jnp.float32),
+        ],
+        axis=2,
+    )
+    pad = _coarse_rows_chunked(spc, sg_coarse) - (spc + cpc)
+    parts = [sg.reshape(n_chunks, spc, 8), cg]
+    if pad:
+        parts.append(jnp.zeros((n_chunks, pad, 8), jnp.float32))
+    return jnp.concatenate(parts, axis=1).reshape(-1, 8)
+
+
 def build_tri_tables(scene_arrays):
     """(tri_table (T, TRI_COLS), group_aabbs (T/8, 8)).
 
@@ -149,7 +237,8 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   sg_cull: bool = False,
                   shadow_divfree: bool = False, winner_acc: int = 1,
                   ablate: str = "", state_io: bool = False,
-                  sg_unroll: int | None = None):
+                  sg_unroll: int | None = None,
+                  sg_coarse: int | None = None):
     # ablate (MEASUREMENT ONLY — results are numerically wrong): "+"-joined
     # component skips for on-hardware cost attribution of the fused kernel
     # (benchmarks/ablate_kernel.py). "no_sweep" replaces the winner-sublane
@@ -481,7 +570,12 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                     lambda c: c, carry,
                 )
 
-            carry = jax.lax.fori_loop(0, n_groups // fori_unroll, fori_body, carry)
+            n_sg = n_groups // fori_unroll
+            carry = _sg_fori(
+                n_sg, sg_coarse if sg_cull else None, fori_body,
+                lambda cb: _sg_pred(n_sg + cb, o_lo, o_hi, r_lo, r_hi),
+                carry,
+            )
             return carry[0], list(carry[1:])
         if winner_acc > 1 and preds is None:
             # ILP experiment: C independent accumulator chains over
@@ -614,7 +708,12 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                     lambda c: c, carry,
                 )
 
-            carry = jax.lax.fori_loop(0, n_groups // fori_unroll, fori_body, carry)
+            n_sg = n_groups // fori_unroll
+            carry = _sg_fori(
+                n_sg, sg_coarse if sg_cull else None, fori_body,
+                lambda cb: _sg_pred(n_sg + cb, l_pt, l_pt, r_lo, r_hi),
+                carry,
+            )
             if transmission:
                 return [jnp.sum(c, axis=0, keepdims=True) for c in carry]
             return jnp.max(carry, axis=0, keepdims=True)
@@ -1279,7 +1378,8 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                            sg_cull: bool = False,
                            shadow_divfree: bool = False,
                            row_unroll: int = 8, state_io: bool = False,
-                           sg_unroll: int | None = None):
+                           sg_unroll: int | None = None,
+                           sg_coarse: int | None = None):
     """HBM-streamed variant of _trace_kernel for scenes whose triangle
     table exceeds VMEM (~100k+ triangles at 24 f32 columns).
 
@@ -1530,8 +1630,11 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             pb_best[pl.ds(rr, TRI_GROUP), :],
             *[s[pl.ds(rr, TRI_GROUP), :] for s in pb_sel],
         )
-        carry = jax.lax.fori_loop(
-            0, chunk_groups // fori_unroll, fori_body, carry
+        spc = chunk_groups // fori_unroll
+        carry = _sg_fori(
+            spc, sg_coarse if sg_cull else None, fori_body,
+            lambda cb: _sg_pred(spc + cb, o_lo, o_hi, r_lo, r_hi),
+            carry,
         )
         pb_best[pl.ds(rr, TRI_GROUP), :] = carry[0]
         for c in range(n_sel):
@@ -1662,8 +1765,11 @@ def _trace_kernel_streamed(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             )
 
         carry = tuple(s[pl.ds(rr, TRI_GROUP), :] for s in sh_c)
-        carry = jax.lax.fori_loop(
-            0, chunk_groups // fori_unroll, fori_body, carry
+        spc = chunk_groups // fori_unroll
+        carry = _sg_fori(
+            spc, sg_coarse if sg_cull else None, fori_body,
+            lambda cb: _sg_pred(spc + cb, l_pt, l_pt, r_lo, r_hi),
+            carry,
         )
         for c in range(n_shc):
             sh_c[c][pl.ds(rr, TRI_GROUP), :] = carry[c]
@@ -1878,6 +1984,7 @@ def trace_contributions_pallas(
     ray_major: bool | None = None, tri_unroll: int = 8,
     ray_blocks: int = 1, winner_acc: int = 1,
     wavefront: bool | None = None, sg_unroll: int | None = None,
+    sg_coarse: int | None = None,
 ):
     """Run the fused kernel.
 
@@ -1932,6 +2039,16 @@ def trace_contributions_pallas(
     (8k sorted rays, 128-ray rows, 256-tri blocks) — path 42/66/88/92%,
     shadow 8/14/27/33% at bounces 0-3, i.e. the listener-shadow pass
     skips 3-12x of its group sweeps.
+
+    sg_coarse (sg_cull only): COARSE second culling level — one scalar
+    test per block of sg_coarse supergroup windows skips the block's
+    per-window tests + lax.cond machinery wholesale (the all-skip floor
+    measured 41.7/230 ms at 49k resident, 92.3/749 ms at 196k streamed:
+    per-window cond iterations are not free). Bit-identical results.
+    None -> auto (8 or 4 when they tile the window count, else off);
+    0 -> off. Measured (contended host, deltas device-real): 49k
+    wavefront 376.7 -> 361.6 ms, 196k streamed wavefront 496.8 -> 467.5,
+    49k static 230.3 -> 225.4.
 
     fused_hist=False: returns (bins (B*R,), payload (B*R, 7)) for an
     external scatter (exact f32).
@@ -2158,8 +2275,9 @@ def trace_contributions_pallas(
         # re-sorted rays keep coherent fans, so 128-tri windows (unroll
         # 16) cull tighter than 256-tri ones. Measured at 49k tris,
         # 2^15 rays, 8 bounces: 152.7 ms (16) vs 158.2 (auto=32) vs
-        # 172.6 (8). Streamed (196k+) and static paths keep auto=32
-        # (unmeasured resp. measured-best there).
+        # 172.6 (8). Streamed (196k+) keeps auto=32 (measured: 16 loses
+        # 506 vs 495 ms at 196k x 2^15 x 4); static paths keep the
+        # measured-best 32.
         sg_unroll = 16
     sg_args = ()
     if sg_cull:
@@ -2179,6 +2297,19 @@ def trace_contributions_pallas(
             ],
             axis=1,
         )  # (n_super, 8) union AABBs, SMEM-resident scalar table
+        if stream_tris is None:
+            # coarse second level: measured 15 ms at 49k wavefront /
+            # 5 ms at 49k static of pure per-window cond machinery
+            # collapsed (the all-skip floor is 41.7 of 230 ms there)
+            n_sg = n_groups // fori_unroll
+            sg_coarse = _resolve_sg_coarse(sg_coarse, n_sg)
+            if sg_coarse:
+                if n_sg % sg_coarse or n_sg < 2 * sg_coarse:
+                    raise ValueError(
+                        f"sg_coarse={sg_coarse} must divide the supergroup "
+                        f"count {n_sg} with at least 2 blocks"
+                    )
+                sgaabb = _append_coarse(sgaabb, sg_coarse)
         sg_args = (sgaabb,)
         # the kernel parses the sg ref FIRST among the extra refs: its
         # spec goes right after the 7 base inputs, before any w specs
@@ -2258,8 +2389,22 @@ def trace_contributions_pallas(
                 ],
                 axis=1,
             )
-            sg_args = (sgaabb_s,)
             sg_per_chunk = chunk_groups // fori_unroll_s
+            sg_coarse = _resolve_sg_coarse(sg_coarse, sg_per_chunk)
+            sg_rows = sg_per_chunk
+            if sg_coarse:
+                if (sg_per_chunk % sg_coarse
+                        or sg_per_chunk < 2 * sg_coarse):
+                    raise ValueError(
+                        f"sg_coarse={sg_coarse} must divide the per-chunk "
+                        f"supergroup count {sg_per_chunk} with at least 2 "
+                        f"blocks"
+                    )
+                sgaabb_s = _append_coarse_chunked(
+                    sgaabb_s, sg_coarse, sg_per_chunk
+                )
+                sg_rows = _coarse_rows_chunked(sg_per_chunk, sg_coarse)
+            sg_args = (sgaabb_s,)
             row4 = pl.BlockSpec((SUBLANES, LANES), lambda i, b, p, c: (i, 0),
                                 memory_space=pltpu.VMEM)
             in_specs_w = [
@@ -2271,7 +2416,7 @@ def trace_contributions_pallas(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((chunk_groups, 8), lambda i, b, p, c: (c, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((sg_per_chunk, 8), lambda i, b, p, c: (c, 0),
+                pl.BlockSpec((sg_rows, 8), lambda i, b, p, c: (c, 0),
                              memory_space=pltpu.SMEM),
             ] + [row4] * (6 + n_keep)
             n_sel = 3 + n_keep + (1 if material_scattering else 0)
@@ -2291,7 +2436,7 @@ def trace_contributions_pallas(
                 material_scattering=material_scattering,
                 sg_cull=True, shadow_divfree=False,
                 row_unroll=wf_row_unroll, state_io=True,
-                sg_unroll=sg_unroll,
+                sg_unroll=sg_unroll, sg_coarse=sg_coarse,
             )
             call_w = pl.pallas_call(
                 kernel_w,
@@ -2320,7 +2465,7 @@ def trace_contributions_pallas(
                 transmission=transmission, weighted=False,
                 scattering=scattering,
                 material_scattering=material_scattering,
-                sg_cull=True, state_io=True, sg_unroll=sg_unroll,
+                sg_cull=True, state_io=True, sg_unroll=sg_unroll, sg_coarse=sg_coarse,
             )
             call_w = pl.pallas_call(
                 kernel_w,
@@ -2457,8 +2602,22 @@ def trace_contributions_pallas(
                 axis=1,
             )
             sg_per_chunk = chunk_groups // fori_unroll
+            sg_coarse = _resolve_sg_coarse(sg_coarse, sg_per_chunk)
+            sg_rows = sg_per_chunk
+            if sg_coarse:
+                if (sg_per_chunk % sg_coarse
+                        or sg_per_chunk < 2 * sg_coarse):
+                    raise ValueError(
+                        f"sg_coarse={sg_coarse} must divide the per-chunk "
+                        f"supergroup count {sg_per_chunk} with at least 2 "
+                        f"blocks"
+                    )
+                sgaabb = _append_coarse_chunked(
+                    sgaabb, sg_coarse, sg_per_chunk
+                )
+                sg_rows = _coarse_rows_chunked(sg_per_chunk, sg_coarse)
             in_specs_s.append(
-                pl.BlockSpec((sg_per_chunk, 8), lambda i, b, p, c: (c, 0),
+                pl.BlockSpec((sg_rows, 8), lambda i, b, p, c: (c, 0),
                              memory_space=pltpu.SMEM)
             )
             args_s.append(sgaabb)
@@ -2489,7 +2648,7 @@ def trace_contributions_pallas(
             scattering=scattering,
             material_scattering=material_scattering,
             sg_cull=stream_sg, shadow_divfree=shadow_divfree,
-            row_unroll=stream_row_unroll, sg_unroll=sg_unroll,
+            row_unroll=stream_row_unroll, sg_unroll=sg_unroll, sg_coarse=sg_coarse,
         )
         hist = pl.pallas_call(
             kernel_s,
@@ -2517,7 +2676,7 @@ def trace_contributions_pallas(
         weighted=weighted, scattering=scattering,
         material_scattering=material_scattering,
         sg_cull=sg_cull, shadow_divfree=shadow_divfree,
-        winner_acc=winner_acc, ablate=ablate, sg_unroll=sg_unroll,
+        winner_acc=winner_acc, ablate=ablate, sg_unroll=sg_unroll, sg_coarse=sg_coarse,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + sg_args + w_args
     if fused_hist:
@@ -2574,7 +2733,7 @@ def trace_contributions_pallas(
                      "src_directivity", "scattering", "material_scattering",
                      "sg_cull", "row_unroll", "shadow_divfree",
                      "stream_tris", "ray_major", "tri_unroll", "ray_blocks",
-                     "wavefront", "sg_unroll"),
+                     "wavefront", "sg_unroll", "sg_coarse"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -2606,6 +2765,7 @@ def trace_ir_pallas(
     ray_blocks: int = 1,
     wavefront: bool | None = None,
     sg_unroll: int | None = None,
+    sg_coarse: int | None = None,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -2664,7 +2824,7 @@ def trace_ir_pallas(
             shadow_divfree=shadow_divfree, stream_tris=stream_tris,
             ray_major=ray_major, tri_unroll=tri_unroll,
             ray_blocks=ray_blocks, wavefront=wavefront,
-            sg_unroll=sg_unroll,
+            sg_unroll=sg_unroll, sg_coarse=sg_coarse,
         )
     else:
         if wavefront:
@@ -2676,7 +2836,7 @@ def trace_ir_pallas(
             group_fori=group_fori, src_weights=src_weights,
             scattering=scattering, material_scattering=material_scattering,
             rng_seed=rng_seed, sg_cull=sg_cull, row_unroll=row_unroll,
-            shadow_divfree=shadow_divfree,
+            shadow_divfree=shadow_divfree, sg_coarse=sg_coarse,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     if flat_bands:

@@ -639,3 +639,63 @@ def test_ablate_variants_run_and_guard(scene):
             arrays, src, lst, dirs, cfg=CFG, max_bounces=2, interpret=True,
             ablate="no_hist",  # fused_hist=False unsupported
         )
+
+
+def test_sg_coarse_resolution_and_guards():
+    """Coarse-level auto policy (pallas_trace.py::_resolve_sg_coarse) and
+    the divisibility guard: None -> first of (8, 4) tiling the window
+    count with >= 2 blocks, 0 -> off, bad explicit values raise."""
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted
+    from audio_raytracing_tpu.models.scene import box_room_subdivided
+    from audio_raytracing_tpu.ops.pallas_trace import _resolve_sg_coarse
+
+    assert _resolve_sg_coarse(None, 384) == 8
+    assert _resolve_sg_coarse(None, 12) == 4
+    assert _resolve_sg_coarse(None, 4) is None  # < 2 blocks
+    assert _resolve_sg_coarse(0, 384) is None
+    assert _resolve_sg_coarse(16, 384) == 16  # explicit passthrough
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    sc = Scene.from_triangles(box_room_subdivided(k=16), cfg)
+    dirs = jnp.asarray(fibonacci_sphere_sorted(1024))
+    with pytest.raises(ValueError, match="sg_coarse=5"):
+        trace_ir_pallas(sc.device_arrays(), jnp.asarray([1.0, 0.5, 0.5]),
+                        jnp.asarray([-1.0, -0.5, -1.0]), cfg=cfg,
+                        max_bounces=1, dirs=dirs, interpret=True,
+                        fused_hist=True, group_fori=True, sg_cull=True,
+                        sg_coarse=5)
+
+
+@pytest.mark.slow
+def test_sg_coarse_bit_identical():
+    """The coarse second culling level is conservative: bit-identical
+    energies with it on (auto and explicit) and off, on both the resident
+    and the HBM-streamed kernel (streamed at spc=4 + sg_coarse=2
+    exercises the SUBLANES row padding of the blocked SMEM table)."""
+    from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted
+    from audio_raytracing_tpu.models.scene import box_room_subdivided
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=4096)
+    sc = Scene.from_triangles(
+        box_room_subdivided(size=(10.0, 4.0, 8.0), k=16), cfg
+    )
+    arrays = sc.device_arrays()
+    src = jnp.asarray([1.0, 0.3, 0.5])
+    lst = jnp.asarray([-1.0, 0.0, -0.5])
+    dirs = jnp.asarray(fibonacci_sphere_sorted(1024))
+    kw = dict(cfg=cfg, max_bounces=2, dirs=dirs, interpret=True,
+              fused_hist=True, group_fori=True, sg_cull=True)
+    off = np.asarray(
+        trace_ir_pallas(arrays, src, lst, sg_coarse=0, **kw).energy
+    )
+    for label, extra in (
+        ("resident auto(4)", {}),  # n_sg=12 -> auto picks 4
+        ("resident explicit 2", {"sg_coarse": 2}),
+        ("streamed explicit 2", {"sg_coarse": 2, "stream_tris": 1024}),
+        ("streamed off", {"sg_coarse": 0, "stream_tris": 1024}),
+    ):
+        e = np.asarray(trace_ir_pallas(arrays, src, lst, **extra, **kw).energy)
+        assert np.array_equal(e, off), label
+    x = trace_ir(arrays, src, lst, cfg=cfg, max_bounces=2, dirs=dirs)
+    ex = np.asarray(x.energy)
+    assert np.abs(off - ex).sum() / np.abs(ex).sum() < 2e-3
