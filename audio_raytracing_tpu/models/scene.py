@@ -103,6 +103,14 @@ class Scene:
         if self.scattering is None:
             self.scattering = np.zeros(self.v0.shape[0], np.float32)
 
+    @property
+    def triangles(self) -> np.ndarray:
+        """Unpadded (n_triangles, 3, 3) vertex stack — the raw-geometry
+        input the host-side analyses expect (extract_edges /
+        extract_wedges, Scene.from_triangles roundtrips)."""
+        t = self.n_triangles
+        return np.stack([self.v0[:t], self.v1[:t], self.v2[:t]], axis=1)
+
     @classmethod
     def from_triangles(
         cls,

@@ -60,6 +60,19 @@ def test_scene_padding_and_normals(world_obj_path):
     np.testing.assert_allclose(n, 1.0, rtol=1e-5)
 
 
+def test_scene_triangles_roundtrip():
+    """Scene.triangles returns the unpadded (T, 3, 3) stack and
+    roundtrips through from_triangles (the host-analysis input surface:
+    extract_edges / extract_wedges consume it)."""
+    tris = box_room(size=(3.0, 2.0, 4.0))
+    scene = Scene.from_triangles(tris)
+    got = scene.triangles
+    assert got.shape == (12, 3, 3)
+    np.testing.assert_array_equal(got, tris.astype(np.float32))
+    again = Scene.from_triangles(scene.triangles)
+    np.testing.assert_array_equal(again.triangles, got)
+
+
 def test_box_room_normals_inward():
     tris = box_room(size=(2.0, 2.0, 2.0))
     scene = Scene.from_triangles(tris)
