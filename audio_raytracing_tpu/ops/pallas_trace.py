@@ -2257,17 +2257,19 @@ def trace_contributions_pallas(
                 "pass only (group_fori carries one fori accumulator)"
             )
     if wavefront is None:
-        # auto: measured crossover — wavefront wins from ~12k padded tris
-        # (83.9 vs 90.1 ms; 131.8 vs 153.7 at 27k; 160 vs 205 at 49k) and
-        # loses below (+4.5 ms at 3072: four sorts unrepaid), so it
-        # engages with the large-scene kernel once the scene is big
-        # enough. Explicit True on a small scene still raises (A/Bs want
-        # the error, not a silent fallback).
+        # auto: measured crossover. Originally ~12k padded tris; the
+        # coarse culling level moved it down (re-sorted coherent fans
+        # skip whole coarse blocks): wavefront wins from 4800 tris
+        # (58.4 vs 59.7 ms; 65.8 vs 70.2 at 6912; 76.6 vs 84.7 at 9408;
+        # 71.9 vs 91.0 at 12288 — all 2^15 x 4 flat_bands) and loses
+        # only a hair at 3072 (48.9 vs 47.9: four sorts unrepaid).
+        # Explicit True on a small scene still raises (A/Bs want the
+        # error, not a silent fallback).
         wavefront = (
             fused_hist and group_fori and bool(sg_cull)
             and not (cull or mxu_xform or ablate or shadow_divfree
                      or ray_major)
-            and T >= 12288
+            and T >= 4800
         )
     if (wavefront and sg_unroll is None and stream_tris is None
             and (T // TRI_GROUP) % 16 == 0):
