@@ -315,6 +315,33 @@ def main():
                 "bigscene_49k_wavefront_ms": t_b * 1e3,
                 "bigscene_49k_tests_per_sec": (1 << 15) * 4 * T_big * 2 / t_b,
             }
+            # the streamed-wavefront point past the VMEM ceiling (196k
+            # tris, HBM-chunked kernel): the per-chip effective-rate
+            # headline grows with scene size — surface the next tier in
+            # the driver artifact too (same time-budget guard)
+            if time.time() - t_start < 330:
+                big2 = Scene.from_triangles(
+                    box_room_subdivided(size=(10.0, 4.0, 8.0), k=128),
+                    big_cfg,
+                )
+                big2_arrays = big2.device_arrays()
+
+                def big2_step():
+                    ir = trace_ir_pallas(
+                        big2_arrays, srcs[next(it) % len(srcs)], lst,
+                        cfg=big_cfg, max_bounces=4, dirs=bdirs,
+                        fused_hist=True, flat_bands=True,
+                    )
+                    float(jnp.sum(ir.energy))
+
+                t_b2 = _median_time(big2_step, iters=3, warmup=2)
+                T_big2 = int(big2_arrays.v0.shape[0])
+                bigscene.update(
+                    bigscene_196k_streamed_ms=t_b2 * 1e3,
+                    bigscene_196k_tests_per_sec=(
+                        (1 << 15) * 4 * T_big2 * 2 / t_b2
+                    ),
+                )
         except Exception as e:  # noqa: BLE001 — extras must not kill bench
             bigscene = {"bigscene_error": repr(e)[:200]}
 
