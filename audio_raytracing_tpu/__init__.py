@@ -59,6 +59,7 @@ def __getattr__(name):
         "diffraction_ir": ("models.diffraction", "diffraction_ir"),
         "diffraction_ir_utd": ("models.diffraction", "diffraction_ir_utd"),
         "diffraction_ir_utd2": ("models.diffraction", "diffraction_ir_utd2"),
+        "diffraction_ir_utd3": ("models.diffraction", "diffraction_ir_utd3"),
         "Directivity": ("models.directivity", "Directivity"),
         "DIRECTIVITY_PRESETS": ("models.directivity", "DIRECTIVITY_PRESETS"),
         "directivity_gain": ("models.directivity", "directivity_gain"),
@@ -89,7 +90,8 @@ __all__ = [
     "trace_ir_sharded",
     "trace_irs_multi_source", "trace_irs_multi_listener_sharded",
     "hybrid_ir", "diffraction_ir", "diffraction_ir_utd",
-    "diffraction_ir_utd2", "extract_edges", "extract_wedges",
+    "diffraction_ir_utd2", "diffraction_ir_utd3",
+    "extract_edges", "extract_wedges",
     "Directivity", "DIRECTIVITY_PRESETS", "directivity_gain",
     "reverb_params_from_ir", "fdn_gain_for_t60", "fdn_t60_of_gain",
     "rigid_transform_arrays", "AudioSink", "run_live", "__version__",

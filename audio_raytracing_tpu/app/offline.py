@@ -15,7 +15,7 @@ an N-channel speaker-rig WAV (fibonacci rig) instead of binaural stereo.
 --model picks the acoustic model family: the Monte-Carlo specular tracer
 (default), exact image sources (orders <= 4), the ISM+tail hybrid, or
 "full" = hybrid + UTD edge diffraction (shadow-zone arrivals around
-occluders, models/diffraction.py); --diffraction-order 2 adds the
+occluders, models/diffraction.py); --diffraction-order 2/3 adds the
 edge-to-edge (double) UTD paths.
 """
 
@@ -63,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "(exact; orders of magnitude faster on subdivided "
                          "architectural scenes, and required for "
                          "--ism-order 5/6)")
-    ap.add_argument("--diffraction-order", type=int, choices=(1, 2),
+    ap.add_argument("--diffraction-order", type=int, choices=(1, 2, 3),
                     default=1,
                     help="--model full: 2 adds edge-to-edge (double) UTD "
                          "paths — thick barriers, double screens, strips")
@@ -210,6 +210,7 @@ def main(argv=None) -> str:
             from ..models.diffraction import (
                 diffraction_ir_utd,
                 diffraction_ir_utd2,
+                diffraction_ir_utd3,
                 extract_wedges,
             )
             from ..models.ir import ImpulseResponse
@@ -238,6 +239,11 @@ def main(argv=None) -> str:
                                              src_directivity=directivity)
                     energy = energy + d2.energy
                     dir_sum = dir_sum + d2.dir_sum
+                if args.diffraction_order >= 3:
+                    d3 = diffraction_ir_utd3(arrays, wedges, pos, lst, cfg=cfg,
+                                             src_directivity=directivity)
+                    energy = energy + d3.energy
+                    dir_sum = dir_sum + d3.dir_sum
                 return ImpulseResponse(energy=energy, dir_sum=dir_sum)
     speaker_dirs = (
         jnp.asarray(fibonacci_sphere(args.speakers))

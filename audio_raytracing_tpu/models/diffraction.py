@@ -699,3 +699,160 @@ def diffraction_ir_utd2(
         u * jnp.mean(e, axis=-1, keepdims=True), bins, num_segments=n_bins + 1
     )[:-1]
     return ImpulseResponse(energy=energy.T, dir_sum=dsum.T)
+
+
+def diffraction_ir_utd3(
+    scene_arrays,
+    wedges: WedgeSet,
+    source,
+    listener,
+    cfg: Config = DEFAULT_CONFIG,
+    n_iters: int = 12,
+    src_directivity=None,
+    capacity: int = 1 << 15,
+) -> ImpulseResponse:
+    """Third-order (edge-to-edge-to-edge) UTD diffraction over all
+    ordered wedge triples — the last path family of the deferred
+    diffraction roadmap (NEXT.md D): three cascaded barriers, deep
+    multi-screen shadow zones, and the strip's triple bounce (i == k
+    with distinct apexes is allowed; only consecutive wedges must
+    differ).
+
+    Same construction as diffraction_ir_utd2 one order up: the
+    stationary triple-apex path src -> p1 (edge i) -> p2 (edge j) ->
+    p3 (edge k) -> lst from cyclically alternating the closed-form
+    single-edge solve (_apex_b) n_iters times; non-stationary triples
+    end clamped to an endpoint and are discarded by the interior masks.
+    Cascaded Kouyoumjian-Pathak coefficients with LOCAL (reciprocal)
+    distance parameters — wedge i sees (s1, s2), j (s2, s3), k (s3,
+    s4) — and total free-field-relative gain
+    |D1||D2||D3| sqrt(d_total / (s1 s2 s3 s4)).
+
+    Cost: the Fermat/interior GEOMETRY phase is dense over E^3 ordered
+    triples but scene-free (~50 flops/row); the expensive stages — four
+    nearest-hit occlusion legs and three Fresnel coefficient cascades —
+    run only on the first `capacity` geometry survivors after a
+    nonzero(size=capacity) compaction (the models/ism.py two-phase
+    pattern; a dense E=98 room measured 512 s on CPU, the compacted
+    form ~1 s). Survivors beyond capacity are silently dropped —
+    raise `capacity` for dense multi-barrier scenes. Rarely audible
+    over the hybrid tail (each extra order sheds energy fast); provided
+    for completeness of the deterministic family.
+    """
+    src = jnp.asarray(source, jnp.float32)
+    lst = jnp.asarray(listener, jnp.float32)
+    edges = jnp.asarray(wedges.edges, jnp.float32)
+    n_bins = cfg.ir_n_bins
+    E = edges.shape[0]
+    if E < 2:
+        z = jnp.zeros((len(EQ_FREQS), n_bins), jnp.float32)
+        return ImpulseResponse(energy=z, dir_sum=jnp.zeros((3, n_bins)))
+
+    ar = jnp.arange(E)
+    i = jnp.repeat(ar, E * E)
+    j = jnp.tile(jnp.repeat(ar, E), E)
+    kx = jnp.tile(ar, E * E)
+    e0i, e1i = edges[i, 0], edges[i, 1]
+    e0j, e1j = edges[j, 0], edges[j, 1]
+    e0k, e1k = edges[kx, 0], edges[kx, 1]
+
+    # direct must be blocked (additive with the other families)
+    d_sl = jnp.linalg.norm(lst - src)
+    safe_dir = jnp.where(d_sl < 1e-9, jnp.float32([1, 0, 0]), lst - src)
+    t_occ, _, hit = nearest_hit(
+        src[None], safe_dir[None] / jnp.maximum(d_sl, 1e-9),
+        scene_arrays.v0, scene_arrays.v1, scene_arrays.v2,
+    )
+    direct_blocked = hit[0] & (t_occ[0] < d_sl)
+
+    # phase 1 (dense, scene-free): cyclic alternating Fermat solve for
+    # the triple apex + interiority/degeneracy gates
+    p1 = 0.5 * (e0i + e1i)
+    p2 = 0.5 * (e0j + e1j)
+    p3 = 0.5 * (e0k + e1k)
+    int1 = int2 = int3 = jnp.ones(E * E * E, bool)
+    for _ in range(n_iters):
+        p1, int1 = _apex_b(e0i, e1i, src, p2)
+        p2, int2 = _apex_b(e0j, e1j, p1, p3)
+        p3, int3 = _apex_b(e0k, e1k, p2, lst)
+
+    s1 = jnp.linalg.norm(p1 - src[None, :], axis=-1)
+    s2 = jnp.linalg.norm(p2 - p1, axis=-1)
+    s3 = jnp.linalg.norm(p3 - p2, axis=-1)
+    s4 = jnp.linalg.norm(lst[None, :] - p3, axis=-1)
+    d_total = s1 + s2 + s3 + s4
+    delta = d_total - d_sl
+
+    geo_ok = (
+        direct_blocked & int1 & int2 & int3
+        & (i != j) & (j != kx) & (s2 > 1e-4) & (s3 > 1e-4)
+        & (delta > 1e-6)
+    )
+
+    # phase 2 (compacted): occlusion legs + cascaded coefficients on the
+    # first `capacity` survivors only
+    sel = jnp.nonzero(geo_ok, size=capacity, fill_value=0)[0]
+    # fill rows repeat index 0 (which may itself be a survivor): mask by
+    # position against the true survivor count, not by geo_ok[sel]
+    alive = jnp.arange(capacity) < jnp.sum(geo_ok.astype(jnp.int32))
+    i, j, kx = i[sel], j[sel], kx[sel]
+    p1, p2, p3 = p1[sel], p2[sel], p3[sel]
+    s1, s2, s3, s4 = s1[sel], s2[sel], s3[sel], s4[sel]
+    d_total, delta = d_total[sel], delta[sel]
+
+    legs = (
+        _leg_clear(scene_arrays, jnp.broadcast_to(src, p1.shape), p1)
+        & _leg_clear(scene_arrays, p1, p2)
+        & _leg_clear(scene_arrays, p2, p3)
+        & _leg_clear(scene_arrays, p3, jnp.broadcast_to(lst, p3.shape))
+    )
+    valid = alive & legs
+
+    k = 2.0 * jnp.pi * _band_freqs(cfg) / cfg.speed_of_sound  # (4,)
+    keep = jnp.sqrt(jnp.clip(1.0 - scene_arrays.absorption, 0.0, 1.0))
+    xh = jnp.asarray(wedges.xhat)
+    yh = jnp.asarray(wedges.yhat)
+    n_w = jnp.asarray(wedges.n_w)
+    r_o = keep[jnp.asarray(wedges.face_o)]
+    r_n = keep[jnp.asarray(wedges.face_n)]
+    w = edges[:, 1] - edges[:, 0]
+    w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+
+    d1 = _utd_gain(
+        xh[i], yh[i], n_w[i], r_o[i], r_n[i], w[i], p1,
+        jnp.broadcast_to(src, p1.shape), p2, s1, s2, k,
+    )
+    d2 = _utd_gain(
+        xh[j], yh[j], n_w[j], r_o[j], r_n[j], w[j], p2,
+        p1, p3, s2, s3, k,
+    )
+    d3 = _utd_gain(
+        xh[kx], yh[kx], n_w[kx], r_o[kx], r_n[kx], w[kx], p3,
+        p2, jnp.broadcast_to(lst, p3.shape), s3, s4, k,
+    )
+    gain = d1 * d2 * d3 * jnp.sqrt(
+        d_total / jnp.maximum(s1 * s2 * s3 * s4, 1e-12)
+    )[:, None]
+    if src_directivity is not None:
+        from .directivity import directivity_gain
+
+        gain = gain * directivity_gain(p1 - src[None, :], src_directivity)
+
+    amp = (
+        gain / (d_total[:, None] + 1.0)
+        * _air_amplitude(d_total, cfg)
+    )
+    e = amp * amp * jnp.where(valid, 1.0, 0.0)[:, None]
+
+    bps = float(cfg.ir_bins_per_sample)
+    spm = cfg.samples_per_meter
+    b_raw = d_total * spm * bps + 0.5
+    bins = jnp.where(
+        valid & (b_raw < n_bins), jnp.clip(b_raw, 0, n_bins - 1), n_bins
+    ).astype(jnp.int32)
+    energy = jax.ops.segment_sum(e, bins, num_segments=n_bins + 1)[:-1]
+    u = (p3 - lst[None, :]) / jnp.maximum(s4, 1e-9)[:, None]
+    dsum = jax.ops.segment_sum(
+        u * jnp.mean(e, axis=-1, keepdims=True), bins, num_segments=n_bins + 1
+    )[:-1]
+    return ImpulseResponse(energy=energy.T, dir_sum=dsum.T)

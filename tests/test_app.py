@@ -148,6 +148,7 @@ def test_offline_cli_models(tmp_path):
         ("ism", ["--ism-order", "2", "--ism-planes"]),
         ("hybrid", ["--ism-order", "1"]),
         ("full", ["--ism-order", "1", "--diffraction-order", "2"]),
+        ("full", ["--ism-order", "1", "--diffraction-order", "3"]),
         ("trace", ["--directivity", "cardioid@1,0,0"]),
     ]:
         out = tmp_path / f"out_{model}_{len(extra)}.wav"

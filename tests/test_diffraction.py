@@ -445,3 +445,88 @@ def test_physical_band_model():
             scene.device_arrays(), W, src, lst,
             cfg=dataclasses.replace(CFG, diffraction_band_model="nope"),
         )
+
+
+def _triple_screen_setup():
+    """Three ascending screens: every first- AND second-order path is
+    blocked (each skip-a-screen connecting leg passes below the skipped
+    screen's top), so only the over-all-three-tops triple remains.
+    Geometry (x, top height): (-2, 1.5), (0, 2.5), (2, 3.0) with
+    src=(-4,0,0), lst=(4,0,0); e.g. the A->C leg (-2,1.5)->(2,3.0)
+    crosses x=0 at y=2.25 < 2.5 (blocked by B), and src->B-top crosses
+    x=-2 at y=1.25 < 1.5 (blocked by A)."""
+    from audio_raytracing_tpu.models.diffraction import extract_wedges
+
+    tris = np.concatenate([
+        screen(half_h=1.5, half_w=6.0, x=-2.0),
+        screen(half_h=2.5, half_w=6.0, x=0.0),
+        screen(half_h=3.0, half_w=6.0, x=2.0),
+    ])
+    scene = Scene.from_triangles(tris, CFG)
+    return scene.device_arrays(), extract_wedges(tris)
+
+
+def test_utd3_triple_screen_path():
+    """Orders 1-2 are silent across the triple barrier; third order
+    carries the over-all-tops arrival at the correct delay with
+    physical band ordering."""
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd,
+        diffraction_ir_utd2,
+        diffraction_ir_utd3,
+    )
+
+    arrays, wedges = _triple_screen_setup()
+    src = jnp.asarray([-4.0, 0.0, 0.0])
+    lst = jnp.asarray([4.0, 0.0, 0.0])
+    e1 = float(jnp.sum(diffraction_ir_utd(arrays, wedges, src, lst, cfg=CFG).energy))
+    e2 = float(jnp.sum(diffraction_ir_utd2(arrays, wedges, src, lst, cfg=CFG).energy))
+    ir3 = diffraction_ir_utd3(arrays, wedges, src, lst, cfg=CFG)
+    e3 = float(jnp.sum(ir3.energy))
+    assert e1 < 1e-12
+    assert e2 < 1e-12
+    assert e3 > 1e-12
+
+    p1 = np.float32([-2.0, 1.5, 0.0])
+    p2 = np.float32([0.0, 2.5, 0.0])
+    p3 = np.float32([2.0, 3.0, 0.0])
+    d = (np.linalg.norm(p1 - np.float32([-4, 0, 0]))
+         + np.linalg.norm(p2 - p1) + np.linalg.norm(p3 - p2)
+         + np.linalg.norm(np.float32([4, 0, 0]) - p3))
+    expect_bin = int(round(d * CFG.samples_per_meter * CFG.ir_bins_per_sample))
+    peak = int(np.argmax(np.asarray(ir3.energy).sum(axis=0)))
+    assert abs(peak - expect_bin) <= 3
+
+    e_bands = np.asarray(ir3.energy).sum(axis=1)
+    assert e_bands[0] > e_bands[1] > e_bands[2] > e_bands[3]
+
+
+def test_utd3_reciprocity():
+    from audio_raytracing_tpu.models.diffraction import diffraction_ir_utd3
+
+    arrays, wedges = _triple_screen_setup()
+    src = jnp.asarray([-4.0, 0.2, 0.3])
+    lst = jnp.asarray([4.0, -0.1, -0.4])
+    a = float(jnp.sum(diffraction_ir_utd3(arrays, wedges, src, lst, cfg=CFG).energy))
+    b = float(jnp.sum(diffraction_ir_utd3(arrays, wedges, lst, src, cfg=CFG).energy))
+    assert a > 0
+    np.testing.assert_allclose(a, b, rtol=1e-4)
+
+
+def test_utd3_weaker_than_utd2_on_double_screen():
+    """On the double-screen scene the third order lands below the second
+    (each extra edge attenuates). The ratio is only ~0.4, not tens of
+    dB: the floorless screens admit strong strip bounces (top->bottom
+    in-plane legs, the same Keller-strip convention utd2 documents) and
+    around-the-side triples, all genuine stationary paths."""
+    from audio_raytracing_tpu.models.diffraction import (
+        diffraction_ir_utd2,
+        diffraction_ir_utd3,
+    )
+
+    arrays, wedges = _double_screen_setup()
+    src = jnp.asarray([-3.0, 0.0, 0.0])
+    lst = jnp.asarray([3.0, 0.0, 0.0])
+    e2 = float(jnp.sum(diffraction_ir_utd2(arrays, wedges, src, lst, cfg=CFG).energy))
+    e3 = float(jnp.sum(diffraction_ir_utd3(arrays, wedges, src, lst, cfg=CFG).energy))
+    assert 0.0 < e3 < 0.6 * e2
