@@ -71,6 +71,10 @@ def __getattr__(name):
         "rigid_transform_arrays": ("models.scene", "rigid_transform_arrays"),
         "AudioSink": ("native", "AudioSink"),
         "run_live": ("engine.live", "run_live"),
+        "fit_materials": ("models.inverse", "fit_materials"),
+        "fit_source_position": ("models.inverse", "fit_source_position"),
+        "log_energy_loss": ("models.inverse", "log_energy_loss"),
+        "FitResult": ("models.inverse", "FitResult"),
     }
     if name in table:
         mod, attr = table[name]
@@ -94,5 +98,7 @@ __all__ = [
     "extract_edges", "extract_wedges",
     "Directivity", "DIRECTIVITY_PRESETS", "directivity_gain",
     "reverb_params_from_ir", "fdn_gain_for_t60", "fdn_t60_of_gain",
-    "rigid_transform_arrays", "AudioSink", "run_live", "__version__",
+    "rigid_transform_arrays", "AudioSink", "run_live",
+    "fit_materials", "fit_source_position", "log_energy_loss", "FitResult",
+    "__version__",
 ]

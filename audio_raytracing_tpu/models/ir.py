@@ -175,10 +175,14 @@ def _segment_crossings(org, delta, v0, v1, v2, eps: float = 1e-6):
     return ok.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "sh_order", "src_directivity"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "sh_order", "src_directivity", "soft_bins"),
+)
 def direct_ir(
     scene_arrays, source, listener, cfg: Config = DEFAULT_CONFIG,
     sh_order: int | None = None, src_directivity=None, src_axis=None,
+    soft_bins: bool = False,
 ) -> ImpulseResponse:
     """The single deterministic direct-path term (occlusion-tested).
 
@@ -227,13 +231,26 @@ def direct_ir(
             to_l, src_directivity, axis=src_axis
         )
     e_direct = amp_direct * amp_direct
-    bin_direct = jnp.clip((d_direct * spm * bps + 0.5), 0, n_bins - 1).astype(jnp.int32)
-    energy = jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32).at[bin_direct].add(e_direct)
+    if soft_bins:
+        # differentiable linear bin split (see trace_ir docstring)
+        p = jnp.clip(d_direct * spm * bps, 0.0, float(n_bins - 1))
+        b0 = jnp.floor(p)
+        w1 = p - b0
+        b0i = b0.astype(jnp.int32)
+        b1i = jnp.minimum(b0i + 1, n_bins - 1)
+
+        def _bin_add(buf, val):
+            return buf.at[b0i].add(val * (1.0 - w1)).at[b1i].add(val * w1)
+    else:
+        bin_direct = jnp.clip((d_direct * spm * bps + 0.5), 0, n_bins - 1).astype(jnp.int32)
+
+        def _bin_add(buf, val):
+            return buf.at[bin_direct].add(val)
+
+    energy = _bin_add(jnp.zeros((n_bins, len(EQ_FREQS)), jnp.float32), e_direct)
     u_direct = jnp.where(d_direct < 1e-6, 0.0, (source - listener) / jnp.maximum(d_direct, 1e-6))
-    dir_sum = (
-        jnp.zeros((n_bins, 3), jnp.float32)
-        .at[bin_direct]
-        .add(u_direct * jnp.mean(e_direct))
+    dir_sum = _bin_add(
+        jnp.zeros((n_bins, 3), jnp.float32), u_direct * jnp.mean(e_direct)
     )
     sh_moments = None
     if sh_order is not None:
@@ -246,10 +263,9 @@ def direct_ir(
             jnp.zeros(n_sh(sh_order)).at[0].set(1.0),
             sh_basis(u_direct, sh_order),
         )
-        sh_moments = (
-            jnp.zeros((n_bins, n_sh(sh_order)), jnp.float32)
-            .at[bin_direct]
-            .add(y * jnp.mean(e_direct))
+        sh_moments = _bin_add(
+            jnp.zeros((n_bins, n_sh(sh_order)), jnp.float32),
+            y * jnp.mean(e_direct),
         ).T
     return ImpulseResponse(energy=energy.T, dir_sum=dir_sum.T, sh_moments=sh_moments)
 
@@ -260,7 +276,7 @@ def direct_ir(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
         "intersector", "scatter", "scattering", "bih_leaf_cap",
         "material_scattering", "sh_order", "src_directivity",
-        "scattering_rng",
+        "scattering_rng", "soft_bins",
     ),
 )
 def trace_ir(
@@ -285,6 +301,7 @@ def trace_ir(
     src_axis=None,
     scattering_rng: str = "threefry",
     rng_seed: int = 0,
+    soft_bins: bool = False,
 ) -> ImpulseResponse:
     """Trace one source -> listener impulse response.
 
@@ -335,6 +352,15 @@ def trace_ir(
     this automatically (rng_seed * n_shards + axis_index, or
     jax.random.fold_in for threefry); only hand-rolled shard_maps need
     to fold the shard id in themselves.
+
+    soft_bins=True splits each arrival linearly between its two
+    neighboring bins instead of rounding to the nearest (reference
+    semantics, integer delay bins) — a DIVERGENCE kept off by default:
+    it makes the histogram piecewise-linear (C0) in the path distances,
+    so arrival TIMING carries usable reverse-mode gradients
+    (models/inverse.py fits source positions through it); it also
+    removes the half-bin quantization jitter. Total energy is conserved
+    exactly (the two weights sum to 1).
     """
     if src_axis is not None and src_directivity is None:
         raise ValueError("src_axis requires src_directivity")
@@ -432,6 +458,7 @@ def trace_ir(
         d = direct_ir(
             scene_arrays, source, listener, cfg=cfg, sh_order=sh_order,
             src_directivity=src_directivity, src_axis=src_axis,
+            soft_bins=soft_bins,
         )
         energy, dir_sum = d.energy.T, d.dir_sum.T
         sh_acc = d.sh_moments.T if sh_order is not None else None
@@ -531,8 +558,22 @@ def trace_ir(
         if sh_order is not None:
             cols.append(sh_basis(u, sh_order) * e_mean)
         payload = jnp.concatenate(cols, axis=-1)  # (R, 7 [+ n_sh])
-        bins = jnp.where(visible, jnp.clip((d_total * spm * bps + 0.5), 0, n_bins - 1), n_bins)
-        seg = scatter_fn(payload, bins.astype(jnp.int32), n_bins)
+        if soft_bins:
+            # linear split between the two neighboring bins: C0 in
+            # d_total, so timing gradients flow (see docstring)
+            p = jnp.clip(d_total * spm * bps, 0.0, float(n_bins - 1))
+            b0 = jnp.floor(p)
+            w1 = (p - b0)[:, None]  # grad d(w1)/d(p) = 1 (floor is const)
+            b0i = jnp.where(visible, b0, n_bins).astype(jnp.int32)
+            b1i = jnp.where(
+                visible, jnp.minimum(b0 + 1.0, float(n_bins - 1)), n_bins
+            ).astype(jnp.int32)
+            seg = scatter_fn(payload * (1.0 - w1), b0i, n_bins) + scatter_fn(
+                payload * w1, b1i, n_bins
+            )
+        else:
+            bins = jnp.where(visible, jnp.clip((d_total * spm * bps + 0.5), 0, n_bins - 1), n_bins)
+            seg = scatter_fn(payload, bins.astype(jnp.int32), n_bins)
 
         d_new = reflect(d, n)
         if scattering > 0.0 or material_scattering:

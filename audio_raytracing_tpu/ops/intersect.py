@@ -47,7 +47,12 @@ def intersect_pairs(origins, dirs, v0, v1, v2, eps: float = EPS):
     ac = v2 - v0
     h = jnp.cross(dirs, ac)
     det = jnp.sum(ab * h, axis=-1)
-    inv = 1.0 / det  # inf where det == 0; masked below
+    # |det| < eps lanes are masked by `valid` below, but a bare 1/det
+    # would still carry an inf PARTIAL derivative into reverse-mode AD
+    # (0 cotangent x inf = NaN poisons every geometry/origin gradient —
+    # models/inverse.py differentiates through this); substituting a
+    # finite dummy det on masked lanes is forward-identical
+    inv = 1.0 / jnp.where(jnp.abs(det) >= eps, det, 1.0)
     s = origins - v0
     u = inv * jnp.sum(s * h, axis=-1)
     q = jnp.cross(s, ab)
