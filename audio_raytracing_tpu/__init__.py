@@ -74,6 +74,7 @@ def __getattr__(name):
         "fit_materials": ("models.inverse", "fit_materials"),
         "fit_source_position": ("models.inverse", "fit_source_position"),
         "log_energy_loss": ("models.inverse", "log_energy_loss"),
+        "measured_ir_to_energy": ("models.inverse", "measured_ir_to_energy"),
         "FitResult": ("models.inverse", "FitResult"),
     }
     if name in table:
@@ -99,6 +100,7 @@ __all__ = [
     "Directivity", "DIRECTIVITY_PRESETS", "directivity_gain",
     "reverb_params_from_ir", "fdn_gain_for_t60", "fdn_t60_of_gain",
     "rigid_transform_arrays", "AudioSink", "run_live",
-    "fit_materials", "fit_source_position", "log_energy_loss", "FitResult",
+    "fit_materials", "fit_source_position", "log_energy_loss",
+    "measured_ir_to_energy", "FitResult",
     "__version__",
 ]

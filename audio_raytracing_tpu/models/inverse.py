@@ -66,7 +66,13 @@ def smooth_energy(energy, k: int):
     return jax.vmap(lambda e: jnp.convolve(e, kern, mode="same"))(energy)
 
 
-def log_energy_loss(energy, target, smooth: int = 8, eps: float | None = None):
+def log_energy_loss(
+    energy,
+    target,
+    smooth: int = 8,
+    eps: float | None = None,
+    gain_invariant: bool = False,
+):
     """Mean squared log-energy distance between two (n_bands, n_bins)
     histograms, boxcar-smoothed. Log domain: reverberant decay spans
     many orders of magnitude — a linear MSE would only see the direct
@@ -78,12 +84,64 @@ def log_energy_loss(energy, target, smooth: int = 8, eps: float | None = None):
     saturates the loss into plateaus a few bins of misalignment away
     (measured: a 0.2 m source offset already sat at ~95% of the far
     loss) — the relative floor keeps the basin wide and the gradients
-    alive."""
-    if eps is None:
-        eps = 1e-3 * jnp.mean(target)
+    alive.
+
+    gain_invariant=True normalizes BOTH histograms to unit total energy
+    before comparing — the loss then ignores one overall scale on
+    either side (a mic/DAC calibration constant) while keeping
+    between-band ratios and decay slopes, which identify absorption.
+    Use it against MEASURED targets (measured_ir_to_energy). "per_band"
+    normalizes each band separately (unknown spectral tilt too) —
+    measurably weaker identification: only within-band shape then
+    constrains the low bands. (Subtracting the mean log-difference
+    instead does NOT work: the eps-floored empty bins pin the offset,
+    so the scale leaks back in — measured as the fit collapsing to
+    absorption ~ 0 against a 13.7x-hot target.)"""
     a = smooth_energy(energy, smooth)
     b = smooth_energy(target, smooth)
-    return jnp.mean((jnp.log(a + eps) - jnp.log(b + eps)) ** 2)
+    if gain_invariant == "per_band":
+        a = a / jnp.maximum(jnp.sum(a, axis=-1, keepdims=True), 1e-30)
+        b = b / jnp.maximum(jnp.sum(b, axis=-1, keepdims=True), 1e-30)
+    elif gain_invariant:
+        a = a / jnp.maximum(jnp.sum(a), 1e-30)
+        b = b / jnp.maximum(jnp.sum(b), 1e-30)
+    if eps is None:
+        eps = 1e-3 * jnp.mean(b)
+    d = jnp.log(a + eps) - jnp.log(b + eps)
+    return jnp.mean(d**2)
+
+
+def measured_ir_to_energy(h, cfg: Config = DEFAULT_CONFIG):
+    """Convert a measured time-domain impulse response into the tracer's
+    (n_bands, n_bins) energy-histogram convention, so fit_materials can
+    calibrate a scene against a real measurement.
+
+    h: (N,) pressure IR at cfg.sample_rate. Band-split with the engine's
+    own 4-band LR2 filterbank (ops/eq.py::eq_band_signals — the same
+    crossover the renderer mixes through), squared per sample, and
+    truncated/zero-padded to cfg.ir_n_bins. Requires
+    cfg.ir_bins_per_sample == 1 (the default), where one histogram bin
+    is exactly one sample of delay.
+
+    A measurement's absolute scale is arbitrary (mic/preamp gain) and
+    its spectral tilt partly equipment — fit with
+    log_energy_loss(gain_invariant=True) (fit_materials passes it
+    through) so only decay shapes and ratios drive the fit."""
+    if cfg.ir_bins_per_sample != 1:
+        raise ValueError(
+            "measured_ir_to_energy maps one sample to one bin; "
+            f"cfg.ir_bins_per_sample must be 1, got {cfg.ir_bins_per_sample}"
+        )
+    from ..ops.eq import eq_band_signals
+
+    h = jnp.asarray(h, jnp.float32)
+    bands, _ = eq_band_signals(h[None])  # (1, 4, N)
+    e = bands[0] ** 2
+    n_bins = cfg.ir_n_bins
+    n = e.shape[1]
+    if n >= n_bins:
+        return e[:, :n_bins]
+    return jnp.pad(e, ((0, 0), (0, n_bins - n)))
 
 
 def run_fit(
@@ -158,6 +216,7 @@ def fit_materials(
     lr: float = 0.25,
     init: float = 0.5,
     smooth: int = 8,
+    gain_invariant: bool = False,
     n_rays: int | None = None,
     max_bounces: int | None = None,
     dirs=None,
@@ -166,9 +225,10 @@ def fit_materials(
 ) -> FitResult:
     """Fit per-band surface absorption to a target energy histogram.
 
-    target_energy: (n_bands, n_bins) — e.g. ImpulseResponse.energy from a
-    measurement converted to the tracer's binning, or a traced IR whose
-    materials you want to recover. groups: optional (T_padded,) int32
+    target_energy: (n_bands, n_bins) — a traced IR's energy whose
+    materials you want to recover, or a real measurement through
+    measured_ir_to_energy (then set gain_invariant=True — see
+    log_energy_loss). groups: optional (T_padded,) int32
     mapping each triangle to a material group (walls/floor/ceiling...);
     None fits one global material. n_groups is required with groups.
 
@@ -217,7 +277,9 @@ def fit_materials(
             dirs=dirs,
             **trace_kw,
         )
-        return log_energy_loss(ir.energy, target, smooth=smooth)
+        return log_energy_loss(
+            ir.energy, target, smooth=smooth, gain_invariant=gain_invariant
+        )
 
     raw, losses = run_fit(loss_fn, raw0, n_steps, lr=lr)
     return FitResult(params=jax.nn.sigmoid(raw), losses=losses, raw=raw)

@@ -81,6 +81,33 @@ def eq_apply_block(x, z, gains, step_mask=None):
     return ys.T, z_new
 
 
+def eq_band_signals(x, z=None):
+    """Split signals into the equalizer's four band components.
+
+    x: (V, N). Returns (bands: (V, 4, N), z_new: (V, 4)) where band k is
+    exactly the signal that gain g_k multiplies in eq_apply_block (the
+    alternating signs folded in), so summing over the band axis equals
+    eq_apply_block's output at unit gains. Used by the measured-IR
+    analysis (models/inverse.py::measured_ir_to_energy): band-splitting
+    a measured impulse response with the SAME filterbank the engine
+    mixes with keeps analysis and synthesis on one spectral convention.
+    """
+    if z is None:
+        z = jnp.zeros((x.shape[0], 4), jnp.float32)
+
+    def step(z_c, xs):
+        xv = xs[:, None]
+        ys = EQ_B0 * xv + z_c
+        z_n = EQ_B1 * xv - EQ_A * ys
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(ys[:, :1]), ys[:, 2:4], jnp.zeros_like(ys[:, :1])], axis=1
+        )
+        return z_n, (ys - shifted) * EQ_BAND_SIGNS
+
+    z_new, bands = jax.lax.scan(step, z, x.T)  # (N, V, 4)
+    return jnp.transpose(bands, (1, 2, 0)), z_new
+
+
 def eq_apply_oracle(x, z, gains, step_mask=None):
     """NumPy scalar port for differential tests (sound_system.zig:578-595)."""
     x = np.asarray(x, np.float32)

@@ -142,3 +142,60 @@ def test_fit_source_position_recovers():
     )
     err = float(jnp.linalg.norm(res.params - SRC))
     assert err < 0.05, (np.asarray(res.params), float(res.losses[-1]), err)
+
+
+def test_gain_invariant_fit_recovers():
+    # a 13.7x-hot target (uncalibrated mic): gain_invariant=True
+    # normalizes both sides, so recovery matches the calibrated fit
+    true_a = np.float32([0.15, 0.3, 0.5, 0.7])
+    arrays = _scene().device_arrays()
+    truth = jnp.broadcast_to(true_a, arrays.absorption.shape)
+    target = trace_ir(
+        arrays._replace(absorption=truth), SRC, LST, cfg=CFG, dirs=DIRS,
+        max_bounces=3,
+    ).energy
+    res = fit_materials(
+        arrays, SRC, LST, target * 13.7, cfg=CFG, dirs=DIRS, max_bounces=3,
+        n_steps=250, lr=0.3, gain_invariant=True,
+    )
+    np.testing.assert_allclose(np.asarray(res.params)[0], true_a, atol=0.05)
+
+
+def test_eq_band_signals_sum_reconstructs():
+    from audio_raytracing_tpu.ops.eq import eq_apply_block, eq_band_signals
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+    z0 = jnp.zeros((2, 4), jnp.float32)
+    y, z_mix = eq_apply_block(x, z0, jnp.ones((2, 4), jnp.float32))
+    bands, z_split = eq_band_signals(x)
+    np.testing.assert_allclose(
+        np.asarray(bands.sum(axis=1)), np.asarray(y), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(z_split), np.asarray(z_mix))
+
+
+def test_measured_ir_band_mapping():
+    from audio_raytracing_tpu.models.inverse import measured_ir_to_energy
+
+    sr = CFG.sample_rate
+    t = np.arange(4096) / sr
+    # the reference's one-pole crossovers are shallow, so single tones
+    # spread; assert the argmax band is monotone in frequency and the
+    # band interiors map where they should
+    arg = []
+    for f in (40.0, 300.0, 2000.0, 10000.0):
+        h = np.sin(2 * np.pi * f * t).astype(np.float32)
+        e = np.asarray(measured_ir_to_energy(h, CFG)).sum(axis=1)
+        arg.append(int(e.argmax()))
+    assert arg == sorted(arg), arg
+    assert arg[2] == 2 and arg[3] == 3, arg
+    # timing: the high band's sections are fast — an impulse at sample
+    # 500 keeps its energy centroid there (the low band smears over its
+    # ~440-sample time constant; that is the filter, not the analysis)
+    h = np.zeros(4096, np.float32)
+    h[500] = 1.0
+    e = np.asarray(measured_ir_to_energy(h, CFG))
+    c3 = float((e[3] * np.arange(4096)).sum() / e[3].sum())
+    assert abs(c3 - 500.0) < 2.0, c3
+    assert e.shape == (4, CFG.ir_n_bins)
