@@ -71,6 +71,8 @@ def __getattr__(name):
         "rigid_transform_arrays": ("models.scene", "rigid_transform_arrays"),
         "AudioSink": ("native", "AudioSink"),
         "run_live": ("engine.live", "run_live"),
+        "IRStreamRenderer": ("engine.ir_stream", "IRStreamRenderer"),
+        "BatchedAcoustics": ("engine.serving", "BatchedAcoustics"),
         "fit_materials": ("models.inverse", "fit_materials"),
         "fit_source_position": ("models.inverse", "fit_source_position"),
         "log_energy_loss": ("models.inverse", "log_energy_loss"),
@@ -100,6 +102,7 @@ __all__ = [
     "Directivity", "DIRECTIVITY_PRESETS", "directivity_gain",
     "reverb_params_from_ir", "fdn_gain_for_t60", "fdn_t60_of_gain",
     "rigid_transform_arrays", "AudioSink", "run_live",
+    "IRStreamRenderer", "BatchedAcoustics",
     "fit_materials", "fit_source_position", "log_energy_loss",
     "measured_ir_to_energy", "FitResult",
     "__version__",

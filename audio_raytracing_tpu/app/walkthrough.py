@@ -175,6 +175,7 @@ def run_walkthrough(
     renderer: IRStreamRenderer | None = None,
     async_updates: bool = False,
     scene_track=None,
+    acoustics=None,
 ) -> dict:
     """Stream `seconds` of a moving-listener walkthrough through a live
     sink. Acoustic updates land at `updates_per_second` from the producer
@@ -186,6 +187,13 @@ def run_walkthrough(
     thread: the producer requests poses and never pays a trace in its
     budget (the reference's decoupled-tracing design), and the update
     rate is truly `updates_per_second` rather than once per render chunk.
+
+    acoustics: an already-constructed update worker facade (e.g. a
+    BatchedAcoustics stream handle, engine/serving.py — N walkthroughs
+    sharing ONE trace dispatch per round) used instead of a private
+    AsyncAcoustics; pass its renderer as `renderer` too. Its worker
+    lifecycle belongs to the caller (the handle's context manager is a
+    no-op).
 
     warmup compiles the trace/respectra/stream ops and both render chunk
     shapes before the clock starts (see Demo.run_live — first-use JIT
@@ -203,9 +211,10 @@ def run_walkthrough(
     blk = cfg.block_size
     update_every = max(1, int(round(sr / updates_per_second / blk)))  # blocks
     state = {"rendered": 0, "next_update_blk": 0, "updates": 0, "retraces": 0}
-    acoustics = (
-        AsyncAcoustics(r, scene_track=scene_track) if async_updates else None
-    )
+    if acoustics is not None and getattr(acoustics, "r", None) is not r:
+        raise ValueError("pass the acoustics handle's renderer as renderer=")
+    if acoustics is None and async_updates:
+        acoustics = AsyncAcoustics(r, scene_track=scene_track)
 
     def maybe_update():
         b = state["rendered"] // blk

@@ -273,7 +273,7 @@ class IRStreamRenderer:
     # -- acoustic frame ------------------------------------------------------
 
     def update(self, listener_pos, yaw: float = 0.0, pitch: float = 0.0,
-               swap_lock=None) -> None:
+               swap_lock=None, traced_amb=None) -> None:
         """Re-trace all source IRs for the new pose and swap spectra with a
         one-block crossfade.
 
@@ -288,7 +288,14 @@ class IRStreamRenderer:
         thread holds during render()/render_block(): the expensive
         trace + respectra run UNLOCKED and only the final
         spectra/crossfade swap is made atomic against a concurrent
-        stream read."""
+        stream read.
+
+        traced_amb: (S, C, L_ir) ambisonic IRs for exactly this pose,
+        already traced elsewhere — engine/serving.py::BatchedAcoustics
+        traces EVERY stream's listener in one shared multi-listener
+        dispatch and hands each renderer its slice, so this update pays
+        only the respectra. Ignored on rotation-only updates (the cached
+        IRs are the same trace)."""
         cfg = self.cfg
         lp = np.asarray(listener_pos, np.float32)
         trace_key = (
@@ -308,7 +315,10 @@ class IRStreamRenderer:
             quat.quat_from_roll_pitch_yaw(np.float32(pitch), np.float32(yaw), np.float32(0.0))
         )
         retrace = self._amb_cache is None or trace_key != self._trace_key
-        if retrace:
+        if retrace and traced_amb is not None:
+            self._amb_cache = traced_amb
+            self._trace_key = trace_key
+        elif retrace:
             with profiling.span("ir_retrace"):
                 irs = []
                 for s in self._sources:

@@ -1,0 +1,261 @@
+"""Batched multi-stream serving: one trace dispatch serves every listener.
+
+benchmarks/bench_serving.py measured per-stream throughput holding to 4
+concurrent walkthrough streams and halving at 8: each stream's
+AsyncAcoustics worker dispatches its OWN re-trace, and the per-dispatch
+cost (~21-25 ms through this environment's relay; still a full path
+trace on any runtime) saturates the chip's dispatch queue. But the
+bounce path of the tracer is listener-independent —
+models/ir.py::trace_ir_multi_listener already traces ONE shared path
+pass and runs only per-listener next-event estimation — so N streams in
+the same scene with the same sources should never pay N path traces.
+
+BatchedAcoustics is the serving-side coordinator that exploits it: all
+streams share one worker thread that snapshots every stream's freshest
+requested pose (coalescing, like AsyncAcoustics), traces ALL listeners
+in ONE dispatch (constant (L, 3) batch shape -> one compiled
+executable), and hands each stream its (S, 4, L_ir) ambisonic IRs via
+IRStreamRenderer.update(traced_amb=...), which then pays only its own
+respectra + atomic spectra swap. Per acoustic round the dispatch queue
+sees 1 shared trace + L cheap respectras instead of L full traces.
+
+The reference's architecture is one SoundSystem serving one listener
+(sound_system.zig:128-170, main.zig:518-521 for the decoupled-tracing
+intent); many listeners per chip is the serving scale-out this
+framework adds, and the shared-path batching is the TPU-native way to
+do it (big batched dispatches over many small ones).
+
+Constraints (v1, asserted where cheap): every stream shares the scene
+geometry and the source configuration (positions + per-source
+directivity) given to the coordinator; first-order ambisonic streams
+only (sh_order renderers trace SH moments the multi-listener tracer
+does not emit); per-stream source motion is not coordinated (use
+per-stream AsyncAcoustics for that). Moving shared geometry IS
+supported: set_scene_arrays swaps the traced arrays and invalidates
+every stream's pose cache.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, DEFAULT_CONFIG
+from ..models.ir import (
+    ImpulseResponse,
+    ambisonic_ir,
+    fibonacci_sphere,
+    trace_ir_multi_listener,
+)
+
+
+class _StreamHandle:
+    """Per-stream facade over the shared coordinator — the AsyncAcoustics
+    interface (request/render/updates/retraces + context manager), so
+    app/walkthrough.py::run_walkthrough(acoustics=handle) drives a batched
+    stream exactly like a solo one. The context manager is a no-op: the
+    worker thread's lifecycle belongs to the coordinator (`with coord:`),
+    not to any single stream."""
+
+    def __init__(self, coord: "BatchedAcoustics", renderer):
+        self.coord = coord
+        self.r = renderer
+        self.lock = threading.Lock()  # spectra swap vs stream read
+        self._pose = None  # (pos f32[3], yaw, pitch) — last requested
+        self._dirty = False
+        self.updates = 0
+        self.retraces = 0
+
+    def request(self, pos, yaw: float = 0.0, pitch: float = 0.0,
+                t: float = 0.0) -> None:
+        self._pose = (np.asarray(pos, np.float32), float(yaw), float(pitch))
+        self._dirty = True
+        self.coord._evt.set()
+
+    def render(self, n: int) -> np.ndarray:
+        with self.lock:
+            return self.r.render(n)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class BatchedAcoustics:
+    """Shared acoustic-update worker for N concurrent listener streams.
+
+    Usage (see benchmarks/bench_serving.py --batched):
+
+        coord = BatchedAcoustics(scene.device_arrays(), [src_pos], cfg=cfg,
+                                 n_rays=1 << 15, max_bounces=6)
+        handles = [coord.stream(r) for r in renderers]
+        coord.warmup(initial_poses)      # compile before the clock starts
+        with coord:                      # worker thread
+            ... each stream: handle.request(...) / handle.render(...)
+
+    Register every stream before warmup(): the batched trace executable is
+    compiled for the (L, 3) listener batch; registering later recompiles
+    on the next round (correct, but a mid-stream stall through a
+    compile-relay environment).
+    """
+
+    def __init__(self, scene_arrays, source_positions,
+                 cfg: Config = DEFAULT_CONFIG, n_rays: int | None = None,
+                 max_bounces: int | None = None, intersector: str = "mt",
+                 src_directivities=None, coalesce_s: float = 0.02):
+        self.cfg = cfg
+        self._arrays = scene_arrays
+        self._srcs = jnp.asarray(
+            np.asarray(source_positions, np.float32).reshape(-1, 3)
+        )
+        n_src = int(self._srcs.shape[0])
+        if src_directivities is not None and len(src_directivities) != n_src:
+            raise ValueError("one directivity (or None) per source")
+        dvts = tuple(src_directivities or (None,) * n_src)
+        self.n_rays = n_rays or cfg.rays_per_source
+        self.max_bounces = max_bounces or cfg.max_bounces
+        self.intersector = intersector
+        # coalescing window: staggered per-stream requests inside one
+        # window batch into a single round (streams request at the block
+        # cadence, so a few ms catches a whole cohort)
+        self.coalesce_s = coalesce_s
+        self._handles: list[_StreamHandle] = []
+        self._evt = threading.Event()
+        self._stop_evt = threading.Event()
+        self._thread = None
+        self.rounds = 0
+        self.error = None
+        dirs = jnp.asarray(fibonacci_sphere(self.n_rays))
+        n_bounce, isect, config = self.max_bounces, intersector, cfg
+
+        def _trace_all(arrays, srcs, listeners):
+            # one multi-listener trace per source (python loop — n_src is
+            # static), each = one shared path pass + L NEE lanes; stacked
+            # to (L, S, 4, L_ir) first-order ambisonic IRs
+            ambs = []
+            for i in range(n_src):
+                ir = trace_ir_multi_listener(
+                    arrays, srcs[i], listeners, cfg=config,
+                    max_bounces=n_bounce, dirs=dirs, intersector=isect,
+                    src_directivity=dvts[i],
+                )
+                amb = jax.vmap(
+                    lambda e, d: ambisonic_ir(ImpulseResponse(e, d))
+                )(ir.energy, ir.dir_sum)  # (L, 4, L_ir)
+                ambs.append(amb)
+            return jnp.stack(ambs, axis=1)  # (L, S, 4, L_ir)
+
+        self._trace_all = jax.jit(_trace_all)
+
+    # -- streams -------------------------------------------------------------
+
+    def stream(self, renderer) -> _StreamHandle:
+        """Register an IRStreamRenderer; returns its request/render facade."""
+        if renderer.sh_order is not None:
+            raise ValueError(
+                "batched serving traces first-order ambisonic IRs; "
+                "sh_order streams need their own AsyncAcoustics"
+            )
+        if renderer._ir_fn is not None:
+            raise ValueError("custom ir_fn streams cannot be batch-traced")
+        if (renderer.n_rays, renderer.max_bounces) != (
+            self.n_rays, self.max_bounces
+        ):
+            raise ValueError(
+                "renderer n_rays/max_bounces must match the coordinator "
+                f"({renderer.n_rays}/{renderer.max_bounces} vs "
+                f"{self.n_rays}/{self.max_bounces}) — the batched trace "
+                "replaces the renderer's own"
+            )
+        h = _StreamHandle(self, renderer)
+        self._handles.append(h)
+        return h
+
+    def set_scene_arrays(self, arrays) -> None:
+        """Swap the shared device geometry (e.g. rigid_transform_arrays
+        output) — every stream's pose cache invalidates, so the next round
+        re-traces and re-swaps all dirty streams against the new room."""
+        self._arrays = arrays
+        for h in self._handles:
+            h.r.set_scene_arrays(arrays)
+            h._dirty = True
+        self._evt.set()
+
+    # -- rounds --------------------------------------------------------------
+
+    def warmup(self, poses) -> None:
+        """Seed every stream's pose ((pos, yaw[, pitch]) per stream, in
+        registration order) and compile + run the batched trace once, so
+        the first live round never pays the executable build."""
+        if len(poses) != len(self._handles):
+            raise ValueError("one initial pose per registered stream")
+        for h, p in zip(self._handles, poses):
+            pos, yaw = p[0], p[1]
+            pitch = float(p[2]) if len(p) > 2 else 0.0
+            h._pose = (np.asarray(pos, np.float32), float(yaw), pitch)
+        amb = self._trace_all(
+            self._arrays, self._srcs,
+            jnp.asarray(np.stack([h._pose[0] for h in self._handles])),
+        )
+        float(jnp.sum(amb))  # host transfer: force the compile + execute
+
+    def _round(self) -> None:
+        handles = list(self._handles)
+        if not handles or any(h._pose is None for h in handles):
+            return  # nothing to do until every stream has a pose
+        dirty = []
+        for h in handles:
+            dirty.append(h._dirty)
+            h._dirty = False
+        if not any(dirty):
+            return
+        # ONE dispatch for the whole cohort: the batch shape stays (L, 3)
+        # whether one stream moved or all did (clean streams ride their
+        # unchanged pose; their lanes are the cheap NEE part of the trace,
+        # and their update() below is a pose-cache no-op)
+        listeners = jnp.asarray(np.stack([h._pose[0] for h in handles]))
+        amb = self._trace_all(self._arrays, self._srcs, listeners)
+        for i, h in enumerate(handles):
+            if not dirty[i]:
+                continue
+            pos, yaw, pitch = h._pose
+            h.r.update(pos, yaw=yaw, pitch=pitch, swap_lock=h.lock,
+                       traced_amb=amb[i])
+            h.updates += 1
+            h.retraces += bool(h.r.last_update_retraced)
+        self.rounds += 1
+
+    def _loop(self) -> None:
+        while not self._stop_evt.is_set():
+            if not self._evt.wait(timeout=0.02):
+                continue
+            if self.coalesce_s:
+                time.sleep(self.coalesce_s)
+            self._evt.clear()
+            try:
+                self._round()
+            except Exception as e:  # noqa: BLE001 — surface, don't hang streams
+                self.error = e
+                return
+
+    def __enter__(self):
+        self._stop_evt.clear()
+        self._thread = threading.Thread(
+            target=self._loop, name="batched-acoustics", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop_evt.set()
+        self._thread.join(timeout=30.0)
+        if self.error is not None:
+            raise self.error
+        return False

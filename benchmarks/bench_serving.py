@@ -3,13 +3,20 @@
 walkthrough streams can one chip sustain in real time?
 
 Each stream is a full moving-listener walkthrough (its own
-IRStreamRenderer on world.obj, its own AsyncAcoustics tracing worker,
-its own wall-clock AudioSink) running in its own thread; all streams
-share the one TPU through the relay dispatch queue. Reports per-N
-underruns and realtime factors — the measured version of the "~4
-concurrent streams per chip" headroom estimate in RESULTS.md.
+IRStreamRenderer on world.obj, its own wall-clock AudioSink) running in
+its own thread; all streams share the one TPU through the relay dispatch
+queue. Two update architectures:
+
+* default: each stream owns an AsyncAcoustics tracing worker — N
+  independent re-trace dispatches per acoustic round (the measured
+  "throughput halves at 8 streams" configuration in RESULTS.md).
+* --batched: all streams share ONE engine/serving.py::BatchedAcoustics
+  worker — every acoustic round is ONE trace_ir_multi_listener dispatch
+  (shared path pass, per-listener NEE) + N cheap respectras, so the
+  dispatch queue cost per round is ~constant in N.
 
 Run: python benchmarks/bench_serving.py [seconds=10] [max_streams=4]
+     [--batched]
 Prints one JSON line.
 """
 
@@ -33,8 +40,10 @@ def main():
     from audio_raytracing_tpu.engine.ir_stream import IRStreamRenderer
     from audio_raytracing_tpu.models.scene import Scene, box_room
 
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
-    max_streams = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batched = "--batched" in sys.argv[1:]
+    seconds = float(pos_args[0]) if pos_args else 10.0
+    max_streams = int(pos_args[1]) if len(pos_args) > 1 else 4
     cfg = DEFAULT_CONFIG
     obj = Path(__file__).resolve().parent.parent / "data" / "world.obj"
     scene = (Scene.from_obj(obj, cfg) if obj.exists()
@@ -45,26 +54,43 @@ def main():
     while n <= max_streams:
         stats = [None] * n
         errs = [None] * n
+        renderers = [
+            IRStreamRenderer(scene, cfg, n_rays=1 << 15, max_bounces=6)
+            for _ in range(n)
+        ]
+        coord = None
+        handles = [None] * n
+        if batched:
+            from audio_raytracing_tpu.engine.serving import BatchedAcoustics
+
+            coord = BatchedAcoustics(
+                scene.device_arrays(), [np.zeros(3, np.float32)], cfg=cfg,
+                n_rays=1 << 15, max_bounces=6,
+            )
+            handles = [coord.stream(r) for r in renderers]
+            coord.warmup([circle_path(1.7 * i) for i in range(n)])
 
         def one(i):
             # phase-offset orbits so re-traces don't all land on the same
             # relay instant; each stream owns its renderer + sink
             path = lambda t, i=i: circle_path(t + 1.7 * i)  # noqa: E731
-            r = IRStreamRenderer(scene, cfg, n_rays=1 << 15, max_bounces=6)
             try:
                 stats[i] = run_walkthrough(
-                    seconds, scene=scene, cfg=cfg, renderer=r, path=path,
-                    async_updates=True,
+                    seconds, scene=scene, cfg=cfg, renderer=renderers[i],
+                    path=path, async_updates=True, acoustics=handles[i],
                 )
             except Exception as e:  # noqa: BLE001
                 errs[i] = repr(e)[:200]
 
         threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
         t0 = time.time()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        import contextlib
+
+        with coord if coord is not None else contextlib.nullcontext():
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
         row = {
             "underruns": [s["underruns"] if s else None for s in stats],
             "realtime_factor": [
@@ -73,6 +99,8 @@ def main():
             "retraces": [s["retraces"] if s else None for s in stats],
             "wall_s": round(time.time() - t0, 1),
         }
+        if coord is not None:
+            row["trace_rounds"] = coord.rounds
         if any(errs):
             row["errors"] = [e for e in errs if e]
         out[f"n{n}"] = row
@@ -86,7 +114,7 @@ def main():
         "metric": "concurrent_realtime_streams",
         "value": max(ok) if ok else 0,
         "unit": "streams",
-        "extra": out,
+        "extra": {"batched": batched, **out},
     }))
 
 
