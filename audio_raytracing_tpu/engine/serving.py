@@ -109,7 +109,18 @@ class BatchedAcoustics:
     def __init__(self, scene_arrays, source_positions,
                  cfg: Config = DEFAULT_CONFIG, n_rays: int | None = None,
                  max_bounces: int | None = None, intersector: str = "mt",
-                 src_directivities=None, coalesce_s: float = 0.02):
+                 src_directivities=None, coalesce_s: float = 0.02,
+                 mesh=None, pallas_kw=None):
+        """intersector: "mt"/"mxu" use the shared-path XLA tracer (one path
+        pass + L NEE lanes — the cheapest round); "pallas" scans the fused
+        kernel over the listener batch (ops/pallas_trace.py::
+        trace_irs_pallas_multi_listener — L full traces of device work but
+        still ONE dispatch, and the auto-wavefront/sg_cull kernel is the
+        only way to serve 49k+-triangle rooms; pallas_kw forwards e.g.
+        interpret/flat_bands/wavefront). mesh: a ("listeners", "rays")
+        jax.sharding.Mesh scales the round across chips
+        (parallel/sharding.py::trace_irs_multi_listener_sharded — stream
+        count must divide the listeners axis)."""
         self.cfg = cfg
         self._arrays = scene_arrays
         self._srcs = jnp.asarray(
@@ -132,25 +143,73 @@ class BatchedAcoustics:
         self._thread = None
         self.rounds = 0
         self.error = None
-        dirs = jnp.asarray(fibonacci_sphere(self.n_rays))
-        n_bounce, isect, config = self.max_bounces, intersector, cfg
+        n_bounce, config = self.max_bounces, cfg
+        amb_of = jax.vmap(lambda e, d: ambisonic_ir(ImpulseResponse(e, d)))
 
-        def _trace_all(arrays, srcs, listeners):
-            # one multi-listener trace per source (python loop — n_src is
-            # static), each = one shared path pass + L NEE lanes; stacked
-            # to (L, S, 4, L_ir) first-order ambisonic IRs
-            ambs = []
-            for i in range(n_src):
-                ir = trace_ir_multi_listener(
-                    arrays, srcs[i], listeners, cfg=config,
-                    max_bounces=n_bounce, dirs=dirs, intersector=isect,
-                    src_directivity=dvts[i],
+        if intersector == "pallas":
+            if mesh is not None:
+                raise ValueError(
+                    "pallas + mesh batched serving is not implemented; "
+                    "use the sharded XLA tracer (intersector='mt', mesh=)"
                 )
-                amb = jax.vmap(
-                    lambda e, d: ambisonic_ir(ImpulseResponse(e, d))
-                )(ir.energy, ir.dir_sum)  # (L, 4, L_ir)
-                ambs.append(amb)
-            return jnp.stack(ambs, axis=1)  # (L, S, 4, L_ir)
+            if any(d is not None for d in dvts):
+                raise ValueError(
+                    "source directivity is not plumbed through the "
+                    "multi-listener kernel scan"
+                )
+            from ..models.ir import fibonacci_sphere_sorted
+            from ..ops.pallas_trace import trace_irs_pallas_multi_listener
+
+            dirs = jnp.asarray(fibonacci_sphere_sorted(self.n_rays))
+            kw = dict(pallas_kw or {})
+
+            def _trace_all(arrays, srcs, listeners):
+                ambs = []
+                for i in range(n_src):
+                    ir = trace_irs_pallas_multi_listener(
+                        arrays, srcs[i], listeners, cfg=config,
+                        max_bounces=n_bounce, dirs=dirs, **kw,
+                    )
+                    ambs.append(amb_of(ir.energy, ir.dir_sum))
+                return jnp.stack(ambs, axis=1)  # (L, S, 4, L_ir)
+
+        elif mesh is not None:
+            if any(d is not None for d in dvts):
+                raise ValueError(
+                    "source directivity is not plumbed through the "
+                    "sharded multi-listener tracer"
+                )
+            from ..parallel.sharding import trace_irs_multi_listener_sharded
+
+            the_mesh, rays = mesh, self.n_rays
+
+            def _trace_all(arrays, srcs, listeners):
+                ambs = []
+                for i in range(n_src):
+                    ir = trace_irs_multi_listener_sharded(
+                        arrays, srcs[i], listeners, the_mesh, cfg=config,
+                        n_rays=rays, max_bounces=n_bounce,
+                    )
+                    ambs.append(amb_of(ir.energy, ir.dir_sum))
+                return jnp.stack(ambs, axis=1)
+
+        else:
+            dirs = jnp.asarray(fibonacci_sphere(self.n_rays))
+            isect = intersector
+
+            def _trace_all(arrays, srcs, listeners):
+                # one multi-listener trace per source (python loop — n_src
+                # is static), each = one shared path pass + L NEE lanes;
+                # stacked to (L, S, 4, L_ir) first-order ambisonic IRs
+                ambs = []
+                for i in range(n_src):
+                    ir = trace_ir_multi_listener(
+                        arrays, srcs[i], listeners, cfg=config,
+                        max_bounces=n_bounce, dirs=dirs, intersector=isect,
+                        src_directivity=dvts[i],
+                    )
+                    ambs.append(amb_of(ir.energy, ir.dir_sum))
+                return jnp.stack(ambs, axis=1)  # (L, S, 4, L_ir)
 
         self._trace_all = jax.jit(_trace_all)
 

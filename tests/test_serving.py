@@ -128,6 +128,70 @@ def test_batched_worker_thread_end_to_end():
     assert coord.error is None
 
 
+def test_batched_serving_sharded_mesh():
+    """mesh=("listeners","rays"): the round's one dispatch runs the
+    sharded shared-path tracer across the virtual 8-device mesh and the
+    per-stream spectra still match solo single-device updates."""
+    from audio_raytracing_tpu.parallel.mesh import make_mesh
+
+    scene = make_scene()
+    mesh = make_mesh(8, ("listeners", "rays"), (2, 4))
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        mesh=mesh, coalesce_s=0.0,
+    )
+    renderers = []
+    handles = []
+    for _ in range(2):
+        r = IRStreamRenderer(scene, CFG)
+        r.add_source(tone(), pos=SRC)
+        handles.append(coord.stream(r))
+        renderers.append(r)
+    coord.warmup(POSES)
+    for h, (pos, yaw) in zip(handles, POSES):
+        h.request(pos, yaw=yaw)
+    coord._round()
+    for r, (pos, yaw) in zip(renderers, POSES):
+        solo = IRStreamRenderer(scene, CFG)
+        solo.add_source(tone(), pos=SRC)
+        solo.update(pos, yaw=yaw)
+        for got, want in zip(r._spectra, solo._spectra):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6
+            )
+
+
+def test_batched_serving_pallas_route():
+    """intersector='pallas' (interpret mode on CPU): the listener-scanned
+    fused kernel feeds the same spectra as a solo pallas stream."""
+    scene = make_scene()
+    # the fused kernel tiles rays at 1024 (8 sublanes x 128 lanes)
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=1024, max_bounces=2,
+        intersector="pallas", pallas_kw={"interpret": True},
+        coalesce_s=0.0,
+    )
+    r = IRStreamRenderer(scene, CFG, n_rays=1024, max_bounces=2,
+                         intersector="pallas", pallas_interpret=True)
+    r.add_source(tone(), pos=SRC)
+    h = coord.stream(r)
+    coord.warmup(POSES[:1])
+    h.request(POSES[0][0], yaw=POSES[0][1])
+    coord._round()
+    assert h.retraces == 1
+
+    solo = IRStreamRenderer(scene, CFG, n_rays=1024, max_bounces=2,
+                            intersector="pallas", pallas_interpret=True)
+    solo.add_source(tone(), pos=SRC)
+    solo.update(POSES[0][0], yaw=POSES[0][1])
+    for got, want in zip(r._spectra, solo._spectra):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-7
+        )
+
+
 def test_batched_registration_validation():
     import pytest
 
