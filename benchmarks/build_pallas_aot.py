@@ -25,7 +25,12 @@ sys.path.insert(0, str(ROOT))
 
 BENCH_RAYS = 1 << 20
 BENCH_BOUNCES = 8
-BENCH_SOURCES = 8  # the amortized-throughput variant (one dispatch, S IRs)
+# the amortized-throughput variant (one dispatch, S IRs). 32 sources:
+# per-trace device time is ~32.1 ms and the relay round trip ~22.7 ms, so
+# the scan's amortized rate approaches the 2.61e8 bounces/s chip asymptote
+# as (1 + 22.7/(32.1 S))^-1 — S=8 left ~8% on the table (measured 2.40e8),
+# S=32 predicts ~2.54e8 at a still-moderate 1.05 s dispatch
+BENCH_SOURCES = 32
 ARTIFACT = ROOT / "benchmarks" / "pallas_trace_exec.pkl"
 
 
