@@ -378,8 +378,16 @@ class IRStreamRenderer:
                     self._amb_cache, orient, self.hrtf_l, self.hrtf_r,
                     cfg.block_size,
                 )
+        self._swap_spectra(spectra, swap_lock)
+
+    def _swap_spectra(self, spectra, swap_lock=None) -> None:
+        """Adopt new partitioned spectra: first call initializes the conv
+        state, later calls arm a one-block crossfade. Atomic against a
+        concurrent render when swap_lock (held by the render thread) is
+        given."""
         import contextlib
 
+        cfg = self.cfg
         with swap_lock if swap_lock is not None else contextlib.nullcontext():
             if self._spectra is None:
                 self._spectra = spectra
@@ -393,6 +401,36 @@ class IRStreamRenderer:
                 self._spectra_prev = self._spectra
                 self._spectra = spectra
                 self._pending_fade = True
+
+    def apply_traced(self, listener_pos, yaw: float, pitch: float,
+                     amb, spectra, swap_lock=None) -> None:
+        """Batched-serving fastest path (engine/serving.py): adopt
+        externally traced ambisonic IRs AND their already-decoded
+        partitioned spectra — the coordinator batches BOTH the trace and
+        the respectra across streams, so this stream's acoustic update is
+        pure bookkeeping + an atomic swap (no dispatch at all).
+        Cache/crossfade semantics match update()."""
+        lp = np.asarray(listener_pos, np.float32)
+        trace_key = (
+            lp.tobytes(),
+            tuple(
+                (s["pos"].tobytes(), s.get("directivity"))
+                for s in self._sources
+            ),
+        )
+        orient_key = (float(yaw), float(pitch))
+        fresh = self._spectra is None
+        if (not fresh and trace_key == self._trace_key
+                and orient_key == self._orient_key):
+            self.last_update_retraced = False
+            return
+        self.last_update_retraced = (
+            self._amb_cache is None or trace_key != self._trace_key
+        )
+        self._amb_cache = amb
+        self._trace_key = trace_key
+        self._orient_key = orient_key
+        self._swap_spectra(spectra, swap_lock)
 
     # -- audio stream --------------------------------------------------------
 

@@ -52,6 +52,8 @@ from ..models.ir import (
     fibonacci_sphere,
     trace_ir_multi_listener,
 )
+from ..utils import quat
+from .ir_stream import _respectra
 
 
 class _StreamHandle:
@@ -110,7 +112,8 @@ class BatchedAcoustics:
                  cfg: Config = DEFAULT_CONFIG, n_rays: int | None = None,
                  max_bounces: int | None = None, intersector: str = "mt",
                  src_directivities=None, coalesce_s: float = 0.02,
-                 mesh=None, pallas_kw=None):
+                 mesh=None, pallas_kw=None,
+                 batch_respectra: bool | None = None):
         """intersector: "mt"/"mxu" use the shared-path XLA tracer (one path
         pass + L NEE lanes — the cheapest round); "pallas" scans the fused
         kernel over the listener batch (ops/pallas_trace.py::
@@ -120,7 +123,16 @@ class BatchedAcoustics:
         interpret/flat_bands/wavefront). mesh: a ("listeners", "rays")
         jax.sharding.Mesh scales the round across chips
         (parallel/sharding.py::trace_irs_multi_listener_sharded — stream
-        count must divide the listeners axis)."""
+        count must divide the listeners axis).
+
+        batch_respectra: also fold every stream's HRTF respectra into ONE
+        vmapped dispatch per round (then a stream's update is pure
+        bookkeeping — IRStreamRenderer.apply_traced — and the round costs
+        2 dispatches total regardless of N; at 16 streams the N respectra
+        dispatches were the measured next bottleneck after the batched
+        trace). None = auto: on when every stream is plain binaural
+        stereo sharing one HRTF; True asserts that; False keeps
+        per-stream update() respectras."""
         self.cfg = cfg
         self._arrays = scene_arrays
         self._srcs = jnp.asarray(
@@ -143,6 +155,9 @@ class BatchedAcoustics:
         self._thread = None
         self.rounds = 0
         self.error = None
+        self._batch_respectra_opt = batch_respectra
+        self._respectra_all = None
+        self._respectra_cohort = -1  # stream count the vmap was built for
         n_bounce, config = self.max_bounces, cfg
         amb_of = jax.vmap(lambda e, d: ambisonic_ir(ImpulseResponse(e, d)))
 
@@ -249,6 +264,48 @@ class BatchedAcoustics:
 
     # -- rounds --------------------------------------------------------------
 
+    def _setup_respectra(self) -> None:
+        """Build (or decline) the cohort-wide vmapped respectra for the
+        current stream set; re-run whenever the cohort changes."""
+        self._respectra_cohort = len(self._handles)
+        self._respectra_all = None
+        if self._batch_respectra_opt is False or not self._handles:
+            return
+        rs = [h.r for h in self._handles]
+        ok = all(
+            r.n_out == 2 and r._decoder is None and r.sh_order is None
+            for r in rs
+        ) and all(
+            r.hrtf_l.shape == rs[0].hrtf_l.shape
+            and bool(jnp.all(r.hrtf_l == rs[0].hrtf_l))
+            and bool(jnp.all(r.hrtf_r == rs[0].hrtf_r))
+            for r in rs[1:]
+        )
+        if not ok:
+            if self._batch_respectra_opt is True:
+                raise ValueError(
+                    "batch_respectra needs plain binaural-stereo streams "
+                    "sharing one HRTF (no speaker rigs, no sh_order, no "
+                    "per-stream HRTF sets)"
+                )
+            return
+        hl, hr, block = rs[0].hrtf_l, rs[0].hrtf_r, self.cfg.block_size
+        self._respectra_all = jax.jit(
+            lambda ambs, orients: jax.vmap(
+                lambda a, o: _respectra(a, o, hl, hr, block)
+            )(ambs, orients)
+        )
+
+    @staticmethod
+    def _orients(handles):
+        return jnp.asarray(np.stack([
+            np.asarray(quat.quat_from_roll_pitch_yaw(
+                np.float32(h._pose[2]), np.float32(h._pose[1]),
+                np.float32(0.0),
+            ), np.float32)
+            for h in handles
+        ]))
+
     def warmup(self, poses) -> None:
         """Seed every stream's pose ((pos, yaw[, pitch]) per stream, in
         registration order) and compile + run the batched trace once, so
@@ -264,6 +321,10 @@ class BatchedAcoustics:
             jnp.asarray(np.stack([h._pose[0] for h in self._handles])),
         )
         float(jnp.sum(amb))  # host transfer: force the compile + execute
+        self._setup_respectra()
+        if self._respectra_all is not None:
+            re, _ = self._respectra_all(amb, self._orients(self._handles))
+            float(jnp.sum(re))
 
     def _round(self) -> None:
         handles = list(self._handles)
@@ -281,14 +342,29 @@ class BatchedAcoustics:
         # and their update() below is a pose-cache no-op)
         listeners = jnp.asarray(np.stack([h._pose[0] for h in handles]))
         amb = self._trace_all(self._arrays, self._srcs, listeners)
-        for i, h in enumerate(handles):
-            if not dirty[i]:
-                continue
-            pos, yaw, pitch = h._pose
-            h.r.update(pos, yaw=yaw, pitch=pitch, swap_lock=h.lock,
-                       traced_amb=amb[i])
-            h.updates += 1
-            h.retraces += bool(h.r.last_update_retraced)
+        if self._respectra_cohort != len(handles):
+            self._setup_respectra()
+        if self._respectra_all is not None:
+            # 2 dispatches per round total: per-stream updates below are
+            # pure bookkeeping + an atomic swap
+            re, im = self._respectra_all(amb, self._orients(handles))
+            for i, h in enumerate(handles):
+                if not dirty[i]:
+                    continue
+                pos, yaw, pitch = h._pose
+                h.r.apply_traced(pos, yaw, pitch, amb[i], (re[i], im[i]),
+                                 swap_lock=h.lock)
+                h.updates += 1
+                h.retraces += bool(h.r.last_update_retraced)
+        else:
+            for i, h in enumerate(handles):
+                if not dirty[i]:
+                    continue
+                pos, yaw, pitch = h._pose
+                h.r.update(pos, yaw=yaw, pitch=pitch, swap_lock=h.lock,
+                           traced_amb=amb[i])
+                h.updates += 1
+                h.retraces += bool(h.r.last_update_retraced)
         self.rounds += 1
 
     def _loop(self) -> None:

@@ -11,8 +11,8 @@ Metrics (BASELINE.md north-star targets):
     histogram scatter) per second per chip. Strict reading of the 1e9
     target; the looser reading (ray-triangle intersection tests/s during
     bounce tracing) is reported in extra.ray_triangle_tests_per_sec.
-    Measured as sustained chip throughput when the 8-source scan
-    executable is available (one dispatch = 8 full traces, amortizing the
+    Measured as sustained chip throughput when the multi-source scan
+    executable is available (one dispatch = S full traces, amortizing the
     ~20-25 ms per-dispatch relay round-trip of this environment — device
     time, not tunnel latency); extra carries both the single-dispatch and
     amortized rates.
@@ -164,13 +164,14 @@ def main():
             ir_build_ms = t_aot * 1e3
             trace_path = "pallas_fused_aot"
 
-    # sustained chip throughput: one dispatch traces 8 sources (lax.scan
+    # sustained chip throughput: one dispatch traces S sources (lax.scan
     # around the same kernel), amortizing this environment's ~20-25 ms
     # per-dispatch host<->device relay round-trip (NOT chip cost; a local
     # PJRT runtime dispatches in ~50 us). This is the headline value when
     # available; the single-dispatch rate stays in extra.
     rate_single = rate
     rate_amortized = None
+    n_src = None
     aot_m = getattr(aot_mod, "load_multi", lambda: None)()
     if aot_m is not None and aot_m[1] == n_rays and aot_m[2] == bounces:
         fn_m, _, _, n_src = aot_m
@@ -188,7 +189,7 @@ def main():
         rate_amortized = n_src * n_rays * bounces / t_m
         if rate_amortized > rate:
             rate = rate_amortized
-            trace_path = "pallas_fused_aot_8src_scan"
+            trace_path = f"pallas_fused_aot_{n_src}src_scan"
 
     # --- audio block render, 8 sources ---
     hrtf = default_hrtf()
@@ -367,7 +368,8 @@ def main():
             "audio_block_device_ms": audio_block_device_ms,
             "acoustic_update_ms": update_ms,
             "ray_bounce_per_sec_single_dispatch": rate_single,
-            "ray_bounce_per_sec_amortized_8src": rate_amortized,
+            "ray_bounce_per_sec_amortized_multisrc": rate_amortized,
+            "aot_scan_sources": n_src,
             "ray_triangle_tests_per_sec": rate * scene.v0.shape[0] * 2,
             "aot_artifact_stale": aot_stale,
             **pallas,

@@ -16,7 +16,10 @@ queue. Two update architectures:
   dispatch queue cost per round is ~constant in N.
 
 Run: python benchmarks/bench_serving.py [seconds=10] [max_streams=4]
-     [--batched]
+     [--batched] [--mxu]
+--mxu runs the batched coordinator's shared-path trace through the MXU
+Woop intersector (the NEE shadow passes dominate a wide listener batch;
+Woop matmuls beat the elementwise MT path there).
 Prints one JSON line.
 """
 
@@ -42,6 +45,7 @@ def main():
 
     pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batched = "--batched" in sys.argv[1:]
+    isect = "mxu" if "--mxu" in sys.argv[1:] else "mt"
     seconds = float(pos_args[0]) if pos_args else 10.0
     max_streams = int(pos_args[1]) if len(pos_args) > 1 else 4
     cfg = DEFAULT_CONFIG
@@ -65,7 +69,7 @@ def main():
 
             coord = BatchedAcoustics(
                 scene.device_arrays(), [np.zeros(3, np.float32)], cfg=cfg,
-                n_rays=1 << 15, max_bounces=6,
+                n_rays=1 << 15, max_bounces=6, intersector=isect,
             )
             handles = [coord.stream(r) for r in renderers]
             coord.warmup([circle_path(1.7 * i) for i in range(n)])

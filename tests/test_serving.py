@@ -192,6 +192,47 @@ def test_batched_serving_pallas_route():
         )
 
 
+def test_batch_respectra_flag_and_fallback():
+    """auto (vmapped cohort respectra + apply_traced) and
+    batch_respectra=False (per-stream update(traced_amb=)) produce the
+    same spectra; forcing True with a speaker-rig stream raises."""
+    import pytest
+
+    scene = make_scene()
+    outs = []
+    for flag in (None, False):
+        coord = BatchedAcoustics(
+            scene.device_arrays(), [SRC], cfg=CFG,
+            n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+            coalesce_s=0.0, batch_respectra=flag,
+        )
+        r = IRStreamRenderer(scene, CFG)
+        r.add_source(tone(), pos=SRC)
+        h = coord.stream(r)
+        coord.warmup(POSES[:1])
+        assert (coord._respectra_all is not None) == (flag is None)
+        h.request(POSES[0][0], yaw=POSES[0][1])
+        coord._round()
+        outs.append(r._spectra)
+    for got, want in zip(*outs):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7
+        )
+
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        batch_respectra=True,
+    )
+    rig = IRStreamRenderer(
+        scene, CFG, speaker_dirs=np.float32([[1, 0, 0], [-1, 0, 0]])
+    )
+    rig.add_source(tone(), pos=SRC)
+    coord.stream(rig)
+    with pytest.raises(ValueError, match="batch_respectra"):
+        coord.warmup(POSES[:1])
+
+
 def test_batched_registration_validation():
     import pytest
 
