@@ -25,8 +25,8 @@ Metrics (BASELINE.md north-star targets):
     throughput number.
 
 Set ARTPU_BENCH_PALLAS=1 to also measure the fused Pallas trace kernel
-(adds several minutes of Mosaic compilation through the remote-compile
-relay, which has no persistent cache).
+(several minutes of Mosaic compilation on a cold
+benchmarks/.jax_compile_cache).
 """
 
 from __future__ import annotations
@@ -104,6 +104,9 @@ def main():
     from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted, trace_ir
     from audio_raytracing_tpu.models.scene import Scene, box_room
 
+    from audio_raytracing_tpu.utils.compile_cache import enable as _cc
+
+    _cc(ROOT / "benchmarks" / ".jax_compile_cache")
     t_start = time.time()
     backend = jax.default_backend()
     obj = ROOT / "data" / "world.obj"

@@ -34,6 +34,9 @@ def _med(step, n=5):
 def main():
     import jax.numpy as jnp
 
+    from audio_raytracing_tpu.utils.compile_cache import enable as _cc
+    _cc(Path(__file__).resolve().parent / ".jax_compile_cache")
+
     from audio_raytracing_tpu.config import DEFAULT_CONFIG
     from audio_raytracing_tpu.models.ir import (
         fibonacci_sphere,

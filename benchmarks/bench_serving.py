@@ -35,6 +35,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     import numpy as np
 
+    from audio_raytracing_tpu.utils.compile_cache import enable as _cc
+    _cc(Path(__file__).resolve().parent / ".jax_compile_cache")
+
     from audio_raytracing_tpu.app.walkthrough import (
         circle_path,
         run_walkthrough,

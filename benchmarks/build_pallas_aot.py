@@ -2,9 +2,11 @@
 """Compile the fused Pallas trace kernel ahead of time and serialize the
 executable to benchmarks/pallas_trace_exec.pkl.
 
-The remote-compile relay in this environment has no persistent compilation
-cache, so a fresh Mosaic compile costs minutes; PJRT executable
-serialization (jax.experimental.serialize_executable) loads in ~0.1 s.
+A fresh Mosaic compile costs minutes through this environment's
+remote-compile relay; PJRT executable serialization
+(jax.experimental.serialize_executable) loads in ~0.1 s and, unlike the
+persistent compilation cache (utils/compile_cache.py, enabled here too),
+skips the ~10-30 s tracing/lowering as well.
 bench.py uses the artifact as the headline trace path when its source hash
 matches ops/pallas_trace.py (stale artifacts are ignored). Re-run this
 script after changing the kernel.
@@ -67,6 +69,9 @@ def bench_inputs():
 
 def main():
     import jax.numpy as jnp
+
+    from audio_raytracing_tpu.utils.compile_cache import enable as _cc
+    _cc(ROOT / "benchmarks" / ".jax_compile_cache")
     from jax.experimental import serialize_executable as se
 
     from audio_raytracing_tpu.ops.pallas_trace import trace_ir_pallas
@@ -136,8 +141,8 @@ def load():
 
 
 def load_multi():
-    """The 8-source amortized-throughput executable: (fn, rays, bounces,
-    n_src) or None when absent/stale/pre-multi."""
+    """The multi-source amortized-throughput executable: (fn, rays,
+    bounces, n_src) or None when absent/stale/pre-multi."""
     if not ARTIFACT.exists():
         return None
     try:

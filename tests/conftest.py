@@ -28,6 +28,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache (machine-local, gitignored): the suite's
+# dominant cost is XLA CPU compiles of the giant interpret-mode Pallas
+# programs; re-runs deserialize them from disk instead (also lowers the
+# compiler-memory pressure behind the historical mid-suite segfaults —
+# see test_pallas_trace.py's cache-clearing fixture).
+from audio_raytracing_tpu.utils.compile_cache import enable as _enable_cc
+
+_enable_cc(Path(__file__).resolve().parent / ".jax_compile_cache")
+
 import numpy as np
 import pytest
 

@@ -233,6 +233,33 @@ def test_batch_respectra_flag_and_fallback():
         coord.warmup(POSES[:1])
 
 
+def test_late_registration_recompiles_and_serves():
+    """A stream joining after warmup changes the (L, 3) batch shape: the
+    next round recompiles (documented) and still feeds every dirty stream
+    the right spectra."""
+    scene = make_scene()
+    coord, renderers, handles = make_coord(scene, 2)
+    coord.warmup(POSES)
+    late = IRStreamRenderer(scene, CFG)
+    late.add_source(tone(), pos=SRC)
+    h3 = coord.stream(late)
+    pose3 = (np.float32([2.0, 1.0, -2.0]), 1.1)
+    h3._pose = (pose3[0], pose3[1], 0.0)
+    for h, (pos, yaw) in zip(handles, POSES):
+        h.request(pos, yaw=yaw)
+    h3.request(pose3[0], yaw=pose3[1])
+    coord._round()
+    assert all(h.updates == 1 for h in handles + [h3])
+
+    solo = IRStreamRenderer(scene, CFG)
+    solo.add_source(tone(), pos=SRC)
+    solo.update(pose3[0], yaw=pose3[1])
+    for got, want in zip(late._spectra, solo._spectra):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_batched_registration_validation():
     import pytest
 
