@@ -75,6 +75,9 @@ def __getattr__(name):
         "BatchedAcoustics": ("engine.serving", "BatchedAcoustics"),
         "fit_materials": ("models.inverse", "fit_materials"),
         "fit_source_position": ("models.inverse", "fit_source_position"),
+        "fit_source_and_materials": (
+            "models.inverse", "fit_source_and_materials"
+        ),
         "log_energy_loss": ("models.inverse", "log_energy_loss"),
         "measured_ir_to_energy": ("models.inverse", "measured_ir_to_energy"),
         "FitResult": ("models.inverse", "FitResult"),
@@ -103,7 +106,8 @@ __all__ = [
     "reverb_params_from_ir", "fdn_gain_for_t60", "fdn_t60_of_gain",
     "rigid_transform_arrays", "AudioSink", "run_live",
     "IRStreamRenderer", "BatchedAcoustics",
-    "fit_materials", "fit_source_position", "log_energy_loss",
+    "fit_materials", "fit_source_position", "fit_source_and_materials",
+    "log_energy_loss",
     "measured_ir_to_energy", "FitResult",
     "__version__",
 ]

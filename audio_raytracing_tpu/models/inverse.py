@@ -285,6 +285,128 @@ def fit_materials(
     return FitResult(params=jax.nn.sigmoid(raw), losses=losses, raw=raw)
 
 
+def fit_source_and_materials(
+    scene_arrays,
+    listener,
+    target_energy,
+    x0,
+    *,
+    groups=None,
+    n_groups: int | None = None,
+    cfg: Config = DEFAULT_CONFIG,
+    stages: tuple = ((200, 32), (300, 8)),
+    refine_steps: int = 150,
+    lr_pos: float = 0.03,
+    lr_mat: float = 0.25,
+    init: float = 0.5,
+    gain_invariant: bool = False,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+    dirs=None,
+    raw_init=None,
+    **trace_kw,
+) -> FitResult:
+    """Jointly fit a source position AND per-group, per-band absorption
+    to one target energy histogram (the full calibration problem: where
+    is the source and what is the room made of — fit_source_position
+    assumes known materials; this does not).
+
+    The two parameter families get separate adams via
+    optax.multi_transform (meters moving soft-binned arrival times vs
+    logit-space absorption scaling decay slopes; lr_pos, lr_mat), and the
+    schedule is staged — each measured necessary on the box-room probe
+    (2026-08-18, 256 rays x 2 bounces, 0.28 m initial offset, true
+    absorption 0.2/0.3/0.4/0.5 from init 0.5):
+
+      1..k  joint stages over `stages` = ((steps, smooth), ...), smooth
+            annealed coarse -> fine. One fine-only joint stage stalls
+            0.26 m out (free absorption absorbs the level mismatch and
+            flattens the timing gradient); coarse(32) -> fine(8) lands
+            the position at 4.4 mm.
+      k+1   materials-only refine at the pinned position (refine_steps,
+            fit_materials, hard bins): at the fine smooth the best JOINT
+            iterate trades low-band absorption against residual binning
+            noise (drifts +0.13); re-fitting absorption alone recovers
+            it to ~0.02. Skipped when refine_steps=0.
+
+    Same basin caveat as fit_source_position: start x0 within a few tens
+    of centimeters at the default binning. losses concatenates every
+    stage's trace (loss scales differ across smooths — diagnostic only).
+
+    Returns FitResult with params={"pos": (3,), "mat": (G, n_bands)}.
+    """
+    if groups is not None and n_groups is None:
+        raise ValueError("groups requires n_groups")
+    n_bands = scene_arrays.absorption.shape[1]
+    g = 1 if groups is None else int(n_groups)
+    if dirs is None:
+        dirs = jnp.asarray(fibonacci_sphere(n_rays or cfg.rays_per_source))
+    oh = None if groups is None else _group_onehot(jnp.asarray(groups), g)
+    p0 = jnp.clip(jnp.float32(init), 1e-4, 1.0 - 1e-4)
+    raw = (
+        raw_init
+        if raw_init is not None
+        else {
+            "pos": jnp.asarray(x0, jnp.float32),
+            "mat": jnp.full(
+                (g, n_bands), jnp.log(p0) - jnp.log1p(-p0), jnp.float32
+            ),
+        }
+    )
+    target = jnp.asarray(target_energy)
+
+    def absorption_of(mat_raw):
+        a = jax.nn.sigmoid(mat_raw)  # (G, n_bands)
+        return (
+            jnp.broadcast_to(a[0], scene_arrays.absorption.shape)
+            if oh is None
+            else jnp.dot(oh, a, precision=jax.lax.Precision.HIGHEST)
+        )
+
+    opt = optax.multi_transform(
+        {"pos": optax.adam(lr_pos), "mat": optax.adam(lr_mat)},
+        {"pos": "pos", "mat": "mat"},
+    )
+    all_losses = []
+    for n_steps, smooth in stages:
+
+        def loss_fn(raw, smooth=smooth):
+            ir = trace_ir(
+                scene_arrays._replace(absorption=absorption_of(raw["mat"])),
+                raw["pos"],
+                listener,
+                cfg=cfg,
+                max_bounces=max_bounces,
+                dirs=dirs,
+                soft_bins=True,
+                **trace_kw,
+            )
+            return log_energy_loss(
+                ir.energy, target, smooth=smooth,
+                gain_invariant=gain_invariant,
+            )
+
+        raw, losses = run_fit(loss_fn, raw, n_steps, optimizer=opt)
+        all_losses.append(losses)
+
+    mat_raw = raw["mat"]
+    if refine_steps:
+        res = fit_materials(
+            scene_arrays, raw["pos"], listener, target, groups=groups,
+            n_groups=n_groups, cfg=cfg, n_steps=refine_steps, lr=lr_mat,
+            smooth=stages[-1][1], gain_invariant=gain_invariant, dirs=dirs,
+            max_bounces=max_bounces, raw_init=mat_raw, **trace_kw,
+        )
+        mat_raw = res.raw
+        all_losses.append(res.losses)
+    raw = {"pos": raw["pos"], "mat": mat_raw}
+    return FitResult(
+        params={"pos": raw["pos"], "mat": jax.nn.sigmoid(mat_raw)},
+        losses=jnp.concatenate(all_losses),
+        raw=raw,
+    )
+
+
 def fit_source_position(
     scene_arrays,
     listener,

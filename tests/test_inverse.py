@@ -144,6 +144,30 @@ def test_fit_source_position_recovers():
     assert err < 0.05, (np.asarray(res.params), float(res.losses[-1]), err)
 
 
+def test_fit_joint_source_and_materials_recovers():
+    """The full calibration problem: position AND per-band absorption
+    from one target — multi_transform per-family adam, keep_best joint
+    iterate."""
+    from audio_raytracing_tpu.models.inverse import fit_source_and_materials
+
+    true_a = np.float32([0.2, 0.3, 0.4, 0.5])
+    arrays = _scene().device_arrays()
+    truth = jnp.broadcast_to(true_a, arrays.absorption.shape)
+    target = trace_ir(
+        arrays._replace(absorption=truth), SRC, LST, cfg=CFG, dirs=DIRS,
+        max_bounces=2, soft_bins=True,
+    ).energy
+    x0 = SRC + jnp.float32([0.2, -0.12, 0.15])
+    res = fit_source_and_materials(
+        arrays, LST, target, x0, cfg=CFG, dirs=DIRS, max_bounces=2,
+    )
+    err = float(jnp.linalg.norm(res.params["pos"] - SRC))
+    assert err < 0.03, (np.asarray(res.params["pos"]), err)
+    np.testing.assert_allclose(
+        np.asarray(res.params["mat"])[0], true_a, atol=0.05
+    )
+
+
 def test_gain_invariant_fit_recovers():
     # a 13.7x-hot target (uncalibrated mic): gain_invariant=True
     # normalizes both sides, so recovery matches the calibrated fit
