@@ -7,6 +7,13 @@ the 196k scene's tri table exceeds VMEM, the resident kernel cannot load
 it), the XLA MXU path, and — at the large sizes — the BIH traversal path
 (ops/traverse.py, sub-linear broad phase).
 Prints one JSON line; headline = the fastest path on the largest scene.
+
+--open benchmarks an OPEN scene instead (open_courtyard: a subdivided
+ground plane + ~200 scattered boxes under open sky, ~49k tris): rays
+that miss everything escape and die, and the geometry is dense near the
+listener inside a huge sparse arena — the scene class the closed test
+rooms never exercise (the sg_tcap dead-end note in NEXT.md flagged it as
+unbenchmarked).
 """
 
 import dataclasses
@@ -18,6 +25,42 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def open_courtyard(n_boxes=200, k_box=4, k_ground=72, extent=40.0, seed=7):
+    """Open outdoor scene: ground grid at y=-1 plus scattered subdivided
+    boxes (box_room_subdivided reused as a box — normal orientation is
+    irrelevant to the two-sided intersectors). ~48.8k triangles at the
+    defaults; the center court is kept clear for the source/listener."""
+    from audio_raytracing_tpu.models.scene import box_room_subdivided
+
+    rng = np.random.default_rng(seed)
+    e = extent / 2.0
+    xs = np.linspace(-e, e, k_ground + 1, dtype=np.float32)
+    zs = np.linspace(-e, e, k_ground + 1, dtype=np.float32)
+    parts = []
+    for i in range(k_ground):
+        for j in range(k_ground):
+            p00 = np.float32([xs[i], -1.0, zs[j]])
+            p10 = np.float32([xs[i + 1], -1.0, zs[j]])
+            p01 = np.float32([xs[i], -1.0, zs[j + 1]])
+            p11 = np.float32([xs[i + 1], -1.0, zs[j + 1]])
+            parts.append([p00, p11, p10])
+            parts.append([p00, p01, p11])
+    ground = np.asarray(parts, np.float32)
+    boxes = []
+    for _ in range(n_boxes):
+        sx, sz = rng.uniform(1.0, 4.0, 2)
+        sy = rng.uniform(2.0, 8.0)
+        cx, cz = rng.uniform(-e + 3.0, e - 3.0, 2)
+        if abs(cx) < 4.0 and abs(cz) < 4.0:  # clear the center court
+            cx += 8.0 if cx >= 0 else -8.0
+        boxes.append(
+            box_room_subdivided(
+                size=(sx, sy, sz), center=(cx, -1.0 + sy / 2.0, cz), k=k_box
+            )
+        )
+    return np.concatenate([ground] + boxes).astype(np.float32)
 
 
 def _med(step, n=5):
@@ -53,6 +96,44 @@ def main():
     dirs_sorted = jnp.asarray(fibonacci_sphere_sorted(rays))
     lst = jnp.asarray([-1.0, 0.0, -0.5])
     srcs = [jnp.asarray([1.0 + 0.001 * i, 0.3, 0.5]) for i in range(8)]
+
+    if "--open" in sys.argv[1:]:
+        scene = Scene.from_triangles(open_courtyard(), cfg)
+        arrays = scene.device_arrays()
+        T = int(arrays.v0.shape[0])
+        row = {"triangles": int(scene.n_triangles), "padded": T}
+        osrcs = [jnp.asarray([0.001 * i, 0.5, 0.0]) for i in range(8)]
+        olst = jnp.asarray([2.0, 0.0, 1.0])
+
+        def make_step(wf):
+            def step(i):
+                ir = trace_ir_pallas(
+                    arrays, osrcs[i % 8], olst, cfg=cfg,
+                    max_bounces=bounces, dirs=dirs_sorted, fused_hist=True,
+                    flat_bands=True, sg_cull=True, group_fori=True,
+                    wavefront=wf,
+                )
+                float(jnp.sum(ir.energy))
+            return step
+
+        for wf, key in ((False, "pallas_sgcull_ms"),
+                        (True, "pallas_wavefront_ms")):
+            try:
+                print(f"[open] pallas wavefront={wf}...", file=sys.stderr,
+                      flush=True)
+                row[key] = _med(make_step(wf)) * 1e3
+            except Exception as e:  # noqa: BLE001
+                row[key.replace("_ms", "_err")] = repr(e)[:200]
+        best = min(v for key, v in row.items() if key.endswith("_ms"))
+        row["trace_ms"] = best
+        row["tests_per_sec"] = rays * bounces * T * 2 / (best / 1e3)
+        print(json.dumps({
+            "metric": "openscene_ray_triangle_tests_per_sec",
+            "value": row["tests_per_sec"],
+            "unit": "tests/s",
+            "extra": {"rays": rays, "bounces": bounces, **row},
+        }))
+        return
 
     sizes = {}
     for k in (16, 64, 128):
