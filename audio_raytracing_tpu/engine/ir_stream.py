@@ -102,33 +102,6 @@ def _respectra_speakers_hoa(hoa_irs, orientation, decoder, block: int, order: in
     return jax.vmap(one)(hoa_irs)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "n_rays", "max_bounces", "intersector", "sh_order"),
-)
-def _trace_ambs_multi_source(arrays, srcs, listener, cfg, n_rays,
-                             max_bounces, intersector, sh_order):
-    """(S, 3) source positions -> (S, C, L_ir) ambisonic IRs in ONE
-    dispatch (vmap over sources). An update() re-tracing S sources as a
-    host-side loop pays S dispatch round trips (~21-25 ms each through
-    this environment's relay); the batched trace pays one. Only for
-    homogeneous sources (no per-source directivity) on the XLA tracers —
-    update() falls back to the loop otherwise."""
-    from ..models.ir import ambisonic_ir_hoa
-
-    def one(src):
-        ir = trace_ir(
-            arrays, src, listener, cfg=cfg, n_rays=n_rays,
-            max_bounces=max_bounces, intersector=intersector,
-            sh_order=sh_order,
-        )
-        if sh_order is not None:
-            return ambisonic_ir_hoa(ir)
-        return ambisonic_ir(ir)
-
-    return jax.vmap(one)(srcs)
-
-
 @jax.jit
 def _stream_block(x, state, spectra_old, spectra_new, crossfade):
     """x: (S, n_out, B) per-source channel-duplicated dry blocks. Sums sources."""
@@ -345,24 +318,6 @@ class IRStreamRenderer:
         if retrace and traced_amb is not None:
             self._amb_cache = traced_amb
             self._trace_key = trace_key
-        elif retrace and (
-            len(self._sources) > 1
-            and self._ir_fn is None
-            and self.intersector != "pallas"
-            and all(s.get("directivity") is None for s in self._sources)
-        ):
-            # homogeneous multi-source: ONE vmapped trace dispatch instead
-            # of a host-side loop of S (each loop iteration is a full
-            # relay round trip)
-            with profiling.span("ir_retrace"):
-                srcs = jnp.asarray(
-                    np.stack([s["pos"] for s in self._sources])
-                )
-                self._amb_cache = _trace_ambs_multi_source(
-                    self._arrays, srcs, listener, cfg, self.n_rays,
-                    self.max_bounces, self.intersector, self.sh_order,
-                )
-                self._trace_key = trace_key
         elif retrace:
             with profiling.span("ir_retrace"):
                 irs = []

@@ -303,38 +303,6 @@ def test_stream_ir_fn_hybrid_matches_offline():
 
 
 @pytest.mark.slow
-def test_multi_source_batched_retrace_matches_loop():
-    """3 homogeneous sources re-trace as ONE vmapped dispatch; the cached
-    ambisonic IRs match per-source trace_ir + ambisonic_ir exactly."""
-    from audio_raytracing_tpu.models.ir import ambisonic_ir, trace_ir
-
-    scene = make_scene()
-    tone = (0.5 * np.sin(2 * np.pi * 330 * np.arange(2000) / 44100)).astype(
-        np.float32
-    )
-    poses = [[2.0, 0.0, 1.0], [-1.5, 0.5, -1.0], [0.5, -0.8, 2.0]]
-    r = IRStreamRenderer(scene, CFG)
-    for p in poses:
-        r.add_source(tone, pos=p)
-    lst = [0.2, 0.0, -0.3]
-    r.update(lst)
-    assert r.last_update_retraced
-    import jax.numpy as jnp
-
-    arrays = scene.device_arrays()
-    for i, p in enumerate(poses):
-        ir = trace_ir(
-            arrays, jnp.asarray(np.float32(p)), jnp.asarray(np.float32(lst)),
-            cfg=CFG, n_rays=CFG.rays_per_source,
-            max_bounces=CFG.max_bounces,
-        )
-        want = ambisonic_ir(ir)
-        np.testing.assert_allclose(
-            np.asarray(r._amb_cache[i]), np.asarray(want),
-            rtol=1e-5, atol=1e-8,
-        )
-
-
 def test_stream_pallas_intersector():
     """intersector='pallas' streams through the fused kernel: static-pose
     output matches the mt stream within the bf16 binner tolerance."""
