@@ -16,10 +16,14 @@ queue. Two update architectures:
   dispatch queue cost per round is ~constant in N.
 
 Run: python benchmarks/bench_serving.py [seconds=10] [max_streams=4]
-     [--batched] [--mxu]
+     [--batched] [--mxu | --kernel] [--only=N]
 --mxu runs the batched coordinator's shared-path trace through the MXU
-Woop intersector (the NEE shadow passes dominate a wide listener batch;
-Woop matmuls beat the elementwise MT path there).
+Woop intersector (measured MIXED vs mt — RESULTS.md). --kernel runs it
+through the fused Pallas kernel (a lax.scan of full traces over the
+listener batch: no shared path pass, but each trace is ~3x faster than
+the mt NEE lanes at wide batches; first run pays one Mosaic compile,
+cached persistently after). --only=N benchmarks a single stream count
+instead of the 1,2,4,...,max sweep (spares per-shape warm-up compiles).
 Prints one JSON line.
 """
 
@@ -48,16 +52,26 @@ def main():
 
     pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batched = "--batched" in sys.argv[1:]
-    isect = "mxu" if "--mxu" in sys.argv[1:] else "mt"
+    isect = "mt"
+    if "--mxu" in sys.argv[1:]:
+        isect = "mxu"
+    elif "--kernel" in sys.argv[1:]:
+        isect = "pallas"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = int(a.split("=", 1)[1])
     seconds = float(pos_args[0]) if pos_args else 10.0
     max_streams = int(pos_args[1]) if len(pos_args) > 1 else 4
+    if only is not None:
+        max_streams = only
     cfg = DEFAULT_CONFIG
     obj = Path(__file__).resolve().parent.parent / "data" / "world.obj"
     scene = (Scene.from_obj(obj, cfg) if obj.exists()
              else Scene.from_triangles(box_room(), cfg))
 
     out = {}
-    n = 1
+    n = only or 1
     while n <= max_streams:
         stats = [None] * n
         errs = [None] * n
