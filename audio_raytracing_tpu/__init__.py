@@ -73,6 +73,14 @@ def __getattr__(name):
         "run_live": ("engine.live", "run_live"),
         "IRStreamRenderer": ("engine.ir_stream", "IRStreamRenderer"),
         "BatchedAcoustics": ("engine.serving", "BatchedAcoustics"),
+        "wave_ir": ("models.wave", "wave_ir"),
+        "wave_run": ("models.wave", "wave_run"),
+        "wave_ir_energy": ("models.wave", "wave_ir_energy"),
+        "hybrid_wave_ir": ("models.wave", "hybrid_wave_ir"),
+        "voxelize_triangles": ("models.wave", "voxelize_triangles"),
+        "WaveDomain": ("models.wave", "WaveDomain"),
+        "WaveIR": ("models.wave", "WaveIR"),
+        "wave_run_sharded": ("parallel.wave_sharded", "wave_run_sharded"),
         "fit_materials": ("models.inverse", "fit_materials"),
         "fit_source_position": ("models.inverse", "fit_source_position"),
         "fit_source_and_materials": (
@@ -106,6 +114,8 @@ __all__ = [
     "reverb_params_from_ir", "fdn_gain_for_t60", "fdn_t60_of_gain",
     "rigid_transform_arrays", "AudioSink", "run_live",
     "IRStreamRenderer", "BatchedAcoustics",
+    "wave_ir", "wave_run", "wave_ir_energy", "hybrid_wave_ir",
+    "voxelize_triangles", "WaveDomain", "WaveIR", "wave_run_sharded",
     "fit_materials", "fit_source_position", "fit_source_and_materials",
     "log_energy_loss",
     "measured_ir_to_energy", "FitResult",
