@@ -1,0 +1,355 @@
+"""Fused Pallas FDTD leapfrog step — the wave solver's hot kernel.
+
+The XLA form of the leapfrog step (models/wave.py::_leapfrog_step) is
+HBM-bandwidth-bound with a minimal-traffic model of 36 B/cell/step
+(read p, vx, vy, vz, occ; write p, vx, vy, vz), but XLA's emitted code
+materializes the six shift pads and splits the step into multiple
+passes: measured ~2.2x minimal traffic at 2.1M cells decaying to ~5.6x
+at 16.8M (benchmarks/RESULTS.md "FDTD wave solver"). This kernel fuses
+the whole step into ONE pass over x-slabs held in VMEM — every state
+array is read once and written once per step, shifts along x come from
+explicit 1-plane DMA halos and shifts along y/z from in-VMEM rolls with
+edge masks, so achieved traffic is ~(36 + halo) B/cell.
+
+Domain layout (differs from models/wave.py only by padding):
+  - x (leading, untiled): 1 solid pad plane low + solid fill high so the
+    real planes tile into ``block`` x-slabs; slab DMAs read one halo
+    plane each side.
+  - y (sublane) rounded up to 8, z (lane) rounded up to 128 with solid
+    fill (occ = 0). Fill cells behave exactly like wall cells, so no
+    result changes.
+  - Boundary semantics are matched to the XLA solver exactly: a
+    "missing" low face (the zero-filled shift_up in _leapfrog_step) is
+    reproduced by masking the axis-0 face / the wrapped roll entry to
+    zero, and the high domain edge gets the air-solid wall treatment
+    via a masked o_hi — both bit-match the unpadded zero-shift
+    semantics (see test_pallas_wave.py interpret-mode equality).
+
+All masks are f32 multiplies (Mosaic cannot carry i1 vectors, CLAUDE.md).
+Scalar coefficients (k, a_w, b_w, kp) and the per-step source amplitude
+arrive via one (1, 8) SMEM row so one compiled executable serves any
+timestep / wall impedance on a given grid shape.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.wave import (
+    WaveDomain,
+    WaveIR,
+    _face_terms,
+    check_courant,
+    courant_dt,
+    source_pulse,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_block(plane_bytes: int, budget_bytes: int = 12 * 2**20) -> int:
+    """Largest power-of-two slab thickness whose scratch fits the VMEM
+    budget: 9B + 5 f32 planes resident (p/occ/vx halo slabs + vy/vz +
+    four output slabs)."""
+    b = 1
+    while (9 * (2 * b) + 5) * plane_bytes <= budget_bytes and b < 64:
+        b *= 2
+    return b
+
+
+def _roll(x, shift: int, axis: int):
+    """Circular shift; pltpu.roll only accepts non-negative shifts, and a
+    -1 roll is the same rotation as size-1."""
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _mask_ne(shape, axis: int, idx, offset=0):
+    """f32 mask: 1.0 where (iota along axis + offset) != idx."""
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, axis) + offset
+    return jnp.where(i != idx, 1.0, 0.0).astype(jnp.float32)
+
+
+def _step_kernel(
+    coef_ref,  # (1, 8) SMEM: k, a_w, b_w, kp, pulse_t
+    p_hbm, vx_hbm, vy_hbm, vz_hbm, occ_hbm,  # ANY (HBM), padded shapes
+    p_out, vx_out, vy_out, vz_out,  # ANY (HBM)
+    rec_ref,  # (1, 1) SMEM out: p at the listener after this step
+    p_s, occ_s, vx_s, vy_s, vz_s,  # VMEM scratch, slab-sized
+    pn_s, vxn_s, vyn_s, vzn_s,  # VMEM scratch, output slabs
+    zero_s,  # (1, ny, nz) VMEM scratch, stays zero: pad-plane writes
+    in_sems, out_sems, pad_sems,
+    *, B: int, n_blocks: int, src, lst, ny: int, nz: int,
+):
+    k = coef_ref[0, 0]
+    a_w = coef_ref[0, 1]
+    b_w = coef_ref[0, 2]
+    kp = coef_ref[0, 3]
+    pulse_t = coef_ref[0, 4]
+    si, sj, sk = src
+    li, lj, lk = lst
+
+    ext_shape = (B + 1, ny, nz)
+    mid_shape = (B, ny, nz)
+    # static edge masks (y/z rolls wrap; the wrapped entry is masked off)
+    m_ylast = _mask_ne(mid_shape, 1, ny - 1)
+    m_zlast = _mask_ne(mid_shape, 2, nz - 1)
+    m_y0 = _mask_ne(mid_shape, 1, 0)
+    m_z0 = _mask_ne(mid_shape, 2, 0)
+
+    nx_p = n_blocks * B + 2
+
+    def body(b, acc):
+        i0 = b * B + 1
+
+        # the x pad planes are halo-read next step but never computed:
+        # keep them zero in the (otherwise uninitialized) output buffers.
+        # p needs both ends (p halo spans [i0-1, i0+B+1)); vx only the
+        # low end (its halo spans [i0-1, i0+B)).
+        @pl.when(b == 0)
+        def _():
+            zero_s[:] = jnp.zeros_like(zero_s)
+            pads = (
+                pltpu.make_async_copy(zero_s, p_out.at[pl.ds(0, 1)], pad_sems.at[0]),
+                pltpu.make_async_copy(zero_s, vx_out.at[pl.ds(0, 1)], pad_sems.at[1]),
+                pltpu.make_async_copy(
+                    zero_s, p_out.at[pl.ds(nx_p - 1, 1)], pad_sems.at[2]
+                ),
+            )
+            for c in pads:
+                c.start()
+            for c in pads:
+                c.wait()
+
+        copies = (
+            pltpu.make_async_copy(
+                p_hbm.at[pl.ds(i0 - 1, B + 2)], p_s, in_sems.at[0]
+            ),
+            pltpu.make_async_copy(
+                occ_hbm.at[pl.ds(i0 - 1, B + 2)], occ_s, in_sems.at[1]
+            ),
+            pltpu.make_async_copy(
+                vx_hbm.at[pl.ds(i0 - 1, B + 1)], vx_s, in_sems.at[2]
+            ),
+            pltpu.make_async_copy(
+                vy_hbm.at[pl.ds(i0, B)], vy_s, in_sems.at[3]
+            ),
+            pltpu.make_async_copy(
+                vz_hbm.at[pl.ds(i0, B)], vz_s, in_sems.at[4]
+            ),
+        )
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        P = p_s[:]
+        O = occ_s[:]
+        Pm = P[1 : B + 1]
+        Om = O[1 : B + 1]
+
+        # x faces at global planes [i0-1, i0+B): halo plane low, slab high
+        a, bl, br = _face_terms(O[0 : B + 1], O[1 : B + 2], a_w, b_w, k)
+        vxe = a * vx_s[:] + bl * P[0 : B + 1] + br * P[1 : B + 2]
+        # the face at padded-x index 0 does not exist in the unpadded
+        # solver (rigid low boundary) — mask it off in block 0
+        vxe = vxe * _mask_ne(ext_shape, 0, 0, offset=i0 - 1)
+        div = vxe[1:] - vxe[:-1]
+
+        # y faces: shift via roll; domain edge (last row) is a wall
+        o_hi = _roll(Om, -1, 1) * m_ylast
+        a, bl, br = _face_terms(Om, o_hi, a_w, b_w, k)
+        vyn = a * vy_s[:] + bl * Pm + br * _roll(Pm, -1, 1)
+        div = div + (vyn - _roll(vyn, 1, 1) * m_y0)
+
+        # z faces
+        o_hi = _roll(Om, -1, 2) * m_zlast
+        a, bl, br = _face_terms(Om, o_hi, a_w, b_w, k)
+        vzn = a * vz_s[:] + bl * Pm + br * _roll(Pm, -1, 2)
+        div = div + (vzn - _roll(vzn, 1, 2) * m_z0)
+
+        pn = (Pm - kp * div) * Om
+        pn_s[:] = pn
+
+        # source injection / listener pickup: static scalar VMEM updates
+        # in the (statically known) block that holds the cell — full-field
+        # iota masks measured ~40% of the kernel's VPU time at 128^3
+        src_block, src_l = divmod(si - 1, B)
+        lst_block, lst_l = divmod(li - 1, B)
+
+        @pl.when(b == src_block)
+        def _():
+            pn_s[src_l, sj, sk] = pn_s[src_l, sj, sk] + pulse_t
+
+        acc = acc + jnp.where(
+            b == lst_block, pn_s[lst_l, lj, lk], jnp.float32(0.0)
+        )
+        vxn_s[:] = vxe[1:]
+        vyn_s[:] = vyn
+        vzn_s[:] = vzn
+        outs = (
+            pltpu.make_async_copy(pn_s, p_out.at[pl.ds(i0, B)], out_sems.at[0]),
+            pltpu.make_async_copy(vxn_s, vx_out.at[pl.ds(i0, B)], out_sems.at[1]),
+            pltpu.make_async_copy(vyn_s, vy_out.at[pl.ds(i0, B)], out_sems.at[2]),
+            pltpu.make_async_copy(vzn_s, vz_out.at[pl.ds(i0, B)], out_sems.at[3]),
+        )
+        for c in outs:
+            c.start()
+        for c in outs:
+            c.wait()
+        return acc
+
+    rec_ref[0, 0] = jax.lax.fori_loop(0, n_blocks, body, jnp.float32(0.0))
+
+
+def _pad_domain(occ: np.ndarray, block: int | None):
+    """(occ_padded, B, n_blocks, offset) — x gets 1 low pad plane + solid
+    fill to a block multiple; y/z round up to the (8, 128) tile."""
+    nx, ny, nz = occ.shape
+    ny_p = _round_up(ny, 8)
+    nz_p = _round_up(nz, 128)
+    plane_bytes = ny_p * nz_p * 4
+    B = block if block is not None else _pick_block(plane_bytes)
+    n_blocks = -(-nx // B)
+    nx_p = n_blocks * B + 2
+    occ_p = np.zeros((nx_p, ny_p, nz_p), np.float32)
+    occ_p[1 : nx + 1, :ny, :nz] = occ
+    return occ_p, B, n_blocks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "B", "n_blocks", "src", "lst", "interpret",
+    ),
+)
+def _run_scan_pallas(
+    occ_p, pulse, k, a_w, b_w, kp, *, B, n_blocks, src, lst, interpret
+):
+    """The whole simulation as one lax.scan of the fused step kernel.
+    Shapes are padded (see _pad_domain); src/lst are padded indices."""
+    shape = occ_p.shape
+    _, ny, nz = shape
+    kernel = functools.partial(
+        _step_kernel, B=B, n_blocks=n_blocks, src=src, lst=lst, ny=ny, nz=nz
+    )
+    f32 = jnp.float32
+    step_call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(shape, f32),
+            jax.ShapeDtypeStruct(shape, f32),
+            jax.ShapeDtypeStruct(shape, f32),
+            jax.ShapeDtypeStruct(shape, f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B + 2, ny, nz), f32),
+            pltpu.VMEM((B + 2, ny, nz), f32),
+            pltpu.VMEM((B + 1, ny, nz), f32),
+            pltpu.VMEM((B, ny, nz), f32),
+            pltpu.VMEM((B, ny, nz), f32),
+            pltpu.VMEM((B, ny, nz), f32),
+            pltpu.VMEM((B, ny, nz), f32),
+            pltpu.VMEM((B, ny, nz), f32),
+            pltpu.VMEM((B, ny, nz), f32),
+            pltpu.VMEM((1, ny, nz), f32),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )
+
+    def step(state, s_t):
+        p, vx, vy, vz = state
+        coef = jnp.stack([k, a_w, b_w, kp, s_t, 0.0, 0.0, 0.0]).reshape(1, 8)
+        p, vx, vy, vz, rec = step_call(coef, p, vx, vy, vz, occ_p)
+        return (p, vx, vy, vz), rec[0, 0]
+
+    zero = jnp.zeros(shape, f32)
+    return jax.lax.scan(step, (zero, zero, zero, zero), pulse)
+
+
+def wave_run_pallas(
+    domain: WaveDomain,
+    src_cell: tuple,
+    lst_cell: tuple,
+    n_steps: int,
+    c: float = 350.0,
+    alpha: float = 0.1,
+    cfl: float = 0.999,
+    fc: float | None = None,
+    pulse=None,
+    dt: float | None = None,
+    block: int | None = None,
+    interpret: bool = False,
+    return_state: bool = False,
+):
+    """models/wave.py::wave_run on the fused Pallas step kernel.
+
+    Identical update rules and boundary semantics (equality-tested in
+    interpret mode); the padded solid fill around the domain changes no
+    result. return_state returns the padded-state tuple cropped back to
+    the domain shape.
+    """
+    from ..models.wave import wall_impedance_coefficients
+
+    occ = np.asarray(domain.occ, np.float32)
+    dx = float(domain.dx)
+    if dt is None:
+        dt = courant_dt(dx, c, cfl)
+    check_courant(dt, dx, c)
+    for name, cell in (("src", src_cell), ("lst", lst_cell)):
+        if float(occ[tuple(cell)]) != 1.0:
+            raise ValueError(f"{name} cell {tuple(cell)} is not an air cell")
+    if fc is None:
+        fc = c / (16.0 * dx)
+    if pulse is None:
+        pulse, t0 = source_pulse(n_steps, dt, fc)
+    else:
+        pulse = jnp.asarray(pulse, jnp.float32)
+        t0 = float(np.argmax(np.abs(np.asarray(pulse)))) * dt
+
+    occ_p, B, n_blocks = _pad_domain(occ, block)
+    src = (int(src_cell[0]) + 1, int(src_cell[1]), int(src_cell[2]))
+    lst = (int(lst_cell[0]) + 1, int(lst_cell[1]), int(lst_cell[2]))
+    kp = c * c * dt / dx
+    k = dt / dx
+    a_w, b_w = wall_impedance_coefficients(alpha, c, dt, dx)
+    state, rec = _run_scan_pallas(
+        jnp.asarray(occ_p),
+        pulse,
+        jnp.float32(k), jnp.float32(a_w), jnp.float32(b_w), jnp.float32(kp),
+        B=B, n_blocks=n_blocks, src=src, lst=lst, interpret=interpret,
+    )
+    wir = WaveIR(pressure=rec, dt=float(dt), pulse=pulse, t0=t0)
+    if return_state:
+        nx, ny, nz = occ.shape
+        crop = tuple(s[1 : nx + 1, :ny, :nz] for s in state)
+        return wir, crop
+    return wir

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--grid", type=int, nargs=3, default=None,
                     help="single grid size to run (default: sweep)")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--pallas", action="store_true",
+                    help="run the fused Pallas step kernel "
+                    "(ops/pallas_wave.py) instead of the XLA solver")
+    ap.add_argument("--block", type=int, default=None,
+                    help="Pallas x-slab thickness (default: auto)")
     args = ap.parse_args()
 
     import jax
@@ -58,13 +63,21 @@ def main():
         lst = (shape[0] - 6, shape[1] // 2, shape[2] // 2)
         cells = int(np.prod(shape))
 
+        if args.pallas:
+            from audio_raytracing_tpu.ops.pallas_wave import wave_run_pallas
+
         def run(amp):
             # vary the pulse amplitude: the remote execution layer caches
             # byte-identical dispatches
             pulse, _ = W.source_pulse(args.steps, W.courant_dt(0.05, 350.0),
                                       350.0 / (16 * 0.05))
-            wir = W.wave_run(dom, src, lst, args.steps, c=350.0, alpha=0.2,
-                             pulse=pulse * amp)
+            if args.pallas:
+                wir = wave_run_pallas(dom, src, lst, args.steps, c=350.0,
+                                      alpha=0.2, pulse=pulse * amp,
+                                      block=args.block)
+            else:
+                wir = W.wave_run(dom, src, lst, args.steps, c=350.0,
+                                 alpha=0.2, pulse=pulse * amp)
             return float(np.asarray(wir.pressure[-1]))
 
         run(1.0)  # warmup/compile
@@ -81,6 +94,7 @@ def main():
             "unit": "cell-updates/s",
             "extra": {
                 "backend": backend,
+                "kernel": "pallas" if args.pallas else "xla",
                 "grid": list(shape),
                 "cells": cells,
                 "steps": args.steps,
