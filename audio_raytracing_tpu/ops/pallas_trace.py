@@ -238,7 +238,34 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   shadow_divfree: bool = False, winner_acc: int = 1,
                   ablate: str = "", state_io: bool = False,
                   sg_unroll: int | None = None,
-                  sg_coarse: int | None = None):
+                  sg_coarse: int | None = None,
+                  inc_origin: bool = False,
+                  tid_fold: bool = False,
+                  hist_batch: int = 1):
+    # tid_fold (resident unrolled path only): the path-pass winner fold
+    # carries (best_t, winning group id) — 2 arrays instead of
+    # 2 + n_sel — and the winner's surface attributes are fetched after
+    # the sublane sweep by ONE exact one-hot matmul over the register-
+    # resident tri table (f32 HIGHEST; the one-hot side is exactly 0/1,
+    # so the bf16x3 decomposition reproduces the f32 attribute bits).
+    # Same winner as the attribute fold (both take the first
+    # strictly-less (group, sublane)), so results are identical.
+    if tid_fold:
+        assert (fused_hist and not group_fori and not cull
+                and not mxu_xform and winner_acc == 1 and not ablate), (
+            "tid_fold supports the resident unrolled kernel")
+    # inc_origin (resident unrolled fused_hist path only): carry each
+    # triangle's TRANSFORMED origin across bounces in VMEM scratch
+    # instead of re-transforming per group body. The affine map is
+    # linear, so A(o + tb d) + b = (A o + b) + tb (A d): the 12-slot
+    # origin transform becomes one FMA on the previous bounce's stored
+    # (op, dp) pair (dp is stored when computed anyway). Exact up to fp
+    # association (the sum accumulates in a different order than the
+    # fresh transform) — differential tests compare with tolerance.
+    if inc_origin:
+        assert (fused_hist and not group_fori and not state_io
+                and not cull and not mxu_xform and winner_acc == 1
+                and not ablate), "inc_origin supports the resident kernel"
     # ablate (MEASUREMENT ONLY — results are numerically wrong): "+"-joined
     # component skips for on-hardware cost attribution of the fused kernel
     # (benchmarks/ablate_kernel.py). "no_sweep" replaces the winner-sublane
@@ -363,7 +390,11 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     elif fused_hist:
         # out_refs = (hist_out, hist_scratch): accumulate in scratch (safe
         # across sequential grid steps), write the output once at the end
-        hist_out_ref, hist_ref = out_refs
+        # (+ 6 per-row (op, dp) carry buffers when inc_origin)
+        if inc_origin:
+            hist_out_ref, hist_ref, *iop_refs = out_refs
+        else:
+            hist_out_ref, hist_ref = out_refs
         n_coarse = hist_ref.shape[0]
 
         @pl.when(pl.program_id(0) == 0)
@@ -474,19 +505,27 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             p = ok if p is None else (p & ok)
         return p
 
-    def path_pass(ox, oy, oz, dx, dy, dz, preds=None, o_cols=None):
+    def path_pass(ox, oy, oz, dx, dy, dz, preds=None, o_cols=None,
+                  r=None, tb_prev=None, store_iop=False):
         """Nearest hit + attrs for a (1, 128) ray row. Returns per-sublane
         running (best_t, n_xyz, keep) (8, 128) arrays. preds: optional
         (n_groups, 1) bool — groups with False are skipped at runtime.
         o_cols: when the whole row shares one origin (bounce 0: the source),
         its per-triangle transformed origin is precomputed in opl columns
-        o_cols..o_cols+2 — skips the 12-op origin transform per group."""
+        o_cols..o_cols+2 — skips the 12-op origin transform per group.
+        inc_origin: r is the row index into the iop carry buffers,
+        tb_prev the previous bounce's (1, 128) hit offset (None at
+        bounce 0), store_iop whether a later bounce still needs this
+        bounce's (op, dp)."""
         best_t = jnp.full(gshape, inf)
-        sel = [jnp.zeros(gshape, jnp.float32) for _ in range(3)] + [
-            jnp.ones(gshape, jnp.float32) for _ in range(n_keep)
-        ]
-        if material_scattering:
-            sel.append(jnp.zeros(gshape, jnp.float32))  # diffuse prob
+        if tid_fold:
+            sel = [jnp.zeros(gshape, jnp.float32)]  # winning group id
+        else:
+            sel = [jnp.zeros(gshape, jnp.float32) for _ in range(3)] + [
+                jnp.ones(gshape, jnp.float32) for _ in range(n_keep)
+            ]
+            if material_scattering:
+                sel.append(jnp.zeros(gshape, jnp.float32))  # diffuse prob
         if mxu_xform:
             dvec = jnp.concatenate([dx, dy, dz], axis=0)  # (3, 128)
             dp_all = [_xf(a_rows[k], dvec) for k in range(3)]
@@ -508,10 +547,20 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 a00, a01, a02 = col(0), col(1), col(2)
                 a10, a11, a12 = col(3), col(4), col(5)
                 a20, a21, a22 = col(6), col(7), col(8)
+                g0 = None if g is None else g * TRI_GROUP
                 if o_cols is not None:
                     opx = ocol(o_cols) + 0.0 * dx
                     opy = ocol(o_cols + 1) + 0.0 * dx
                     opz = ocol(o_cols + 2) + 0.0 * dx
+                elif inc_origin and tb_prev is not None:
+                    # op_b = op_{b-1} + tb_{b-1} * dp_{b-1} (linearity of
+                    # the affine map) — 3 FMAs + 6 loads for 12 slots
+                    opx = iop_refs[0][r, g0:g0 + TRI_GROUP, :] + (
+                        tb_prev * iop_refs[3][r, g0:g0 + TRI_GROUP, :])
+                    opy = iop_refs[1][r, g0:g0 + TRI_GROUP, :] + (
+                        tb_prev * iop_refs[4][r, g0:g0 + TRI_GROUP, :])
+                    opz = iop_refs[2][r, g0:g0 + TRI_GROUP, :] + (
+                        tb_prev * iop_refs[5][r, g0:g0 + TRI_GROUP, :])
                 else:
                     opx = a00 * ox + a01 * oy + a02 * oz + col(_B)
                     opy = a10 * ox + a11 * oy + a12 * oz + col(_B + 1)
@@ -519,6 +568,11 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 dpx = a00 * dx + a01 * dy + a02 * dz
                 dpy = a10 * dx + a11 * dy + a12 * dz
                 dpz = a20 * dx + a21 * dy + a22 * dz
+                if inc_origin and store_iop:
+                    for ref, val in zip(
+                        iop_refs, (opx, opy, opz, dpx, dpy, dpz)
+                    ):
+                        ref[r, g0:g0 + TRI_GROUP, :] = val
             t = -opz / dpz
             u = opx + t * dpx
             v = opy + t * dpy
@@ -532,6 +586,9 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             tc = jnp.where(ok, t, inf)
             improved = tc < best_t
             best_t = jnp.where(improved, tc, best_t)
+            if tid_fold:
+                sel[0] = jnp.where(improved, jnp.float32(g), sel[0])
+                return (best_t, sel[0])
             for c in range(3):
                 sel[c] = jnp.where(improved, col(_N + c), sel[c])
             for c in range(n_keep):
@@ -754,6 +811,8 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             path = 0.0 * dx
             alive = 1.0 + 0.0 * dx  # f32 mask (i1 carries don't legalize)
 
+        tb_prev = None
+        hist_pend = []
         for b in ((None,) if state_io else range(max_bounces)):
             if cull:
                 o_bounds = [
@@ -773,10 +832,55 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             best_t8, sel = path_pass(
                 ox, oy, oz, dx, dy, dz, preds,
                 o_cols=(3 if b == 0 else None),
+                r=r, tb_prev=tb_prev,
+                store_iop=inc_origin and b is not None
+                and b + 1 < max_bounces,
             )
             min_t = jnp.min(best_t8, axis=0, keepdims=True)  # (1, 128)
             n_sel = 3 + n_keep + (1 if material_scattering else 0)
-            if "no_sweep" in ab:
+            if tid_fold:
+                # sweep only (t, group id) to the winning sublane, then
+                # fetch the winner's attribute row with one exact one-hot
+                # matmul over the register-resident table. Misses keep
+                # tid 0 (taken stays 0): triangle 0's attrs are fetched
+                # but every consumer is already masked by alive/visible
+                # (keep is forced to 1 on miss below, exactly as the
+                # attribute fold zeroed them).
+                gwin8 = sel[0]
+                taken = 0.0 * min_t
+                tidf = 0.0 * min_t
+                for s in range(TRI_GROUP):
+                    row_min = (
+                        jax.lax.slice(best_t8, (s, 0), (s + 1, LANES))
+                        == min_t
+                    ).astype(jnp.float32)
+                    use = row_min * (1.0 - taken)
+                    tidf = tidf + use * (
+                        jax.lax.slice(gwin8, (s, 0), (s + 1, LANES))
+                        * TRI_GROUP + s
+                    )
+                    taken = jnp.maximum(taken, row_min)
+                iota_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_tris, LANES), 0
+                )  # Mosaic iota is integer-only; tid fits i32 exactly
+                oh = jnp.where(
+                    iota_t == tidf.astype(jnp.int32), 1.0, 0.0
+                )  # (T, 128)
+                attrs = jax.lax.dot_general(
+                    tri_all, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (TRI_COLS, 128)
+
+                def arow(j):
+                    return jax.lax.slice(attrs, (j, 0), (j + 1, LANES))
+
+                acc = [arow(_N), arow(_N + 1), arow(_N + 2)] + [
+                    arow(_K + c) for c in range(n_keep)
+                ]
+                if material_scattering:
+                    acc.append(arow(_SCAT))
+            elif "no_sweep" in ab:
                 # ablation: winner attrs from sublane 0 (wrong, cheap)
                 acc = [
                     jax.lax.slice(sel[c], (0, 0), (1, LANES))
@@ -805,6 +909,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             alive = alive * hitf
             t_safe = jnp.where(min_t < inf, min_t, 0.0) * alive
             tb = t_safe * cfg.backoff
+            tb_prev = tb
             vx = ox + dx * tb
             vy = oy + dy * tb
             vz = oz + dz * tb
@@ -934,11 +1039,32 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                     jax.lax.broadcasted_iota(jnp.int32, (n_coarse, LANES), 0)
                     == coarse
                 ).astype(jnp.bfloat16)  # (NC, 128 rays)
-                h = jax.lax.dot_general(
-                    a_oh, b_all, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (NC, pc*128)
-                hist_ref[...] += h
+                if hist_batch > 1 and not state_io:
+                    # batch the one-hot dots of `hist_batch` bounces into
+                    # one contraction (rays concatenate on K: H += sum
+                    # over bounces AND rays) so the (NC, pc*128) f32
+                    # accumulator is read-modified-written 1/batch as
+                    # often — the += traffic, not the MACs, is the
+                    # measured histogram cost
+                    hist_pend.append((a_oh, b_all))
+                    if len(hist_pend) == hist_batch or b + 1 == max_bounces:
+                        a_cat = jnp.concatenate(
+                            [p[0] for p in hist_pend], axis=1
+                        )
+                        b_cat = jnp.concatenate(
+                            [p[1] for p in hist_pend], axis=1
+                        )
+                        hist_ref[...] += jax.lax.dot_general(
+                            a_cat, b_cat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        hist_pend.clear()
+                else:
+                    h = jax.lax.dot_general(
+                        a_oh, b_all, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (NC, pc*128)
+                    hist_ref[...] += h
             else:
                 bins_ref[b, pl.ds(r, 1), :] = bins
                 for c in range(PAYLOAD_C):
@@ -1984,9 +2110,42 @@ def trace_contributions_pallas(
     ray_major: bool | None = None, tri_unroll: int = 8,
     ray_blocks: int = 1, winner_acc: int = 1,
     wavefront: bool | None = None, sg_unroll: int | None = None,
-    sg_coarse: int | None = None,
+    sg_coarse: int | None = None, n_true: int | None = None,
+    inc_origin: bool = False, tid_fold: bool = False,
+    hist_batch: int = 1,
 ):
     """Run the fused kernel.
+
+    hist_batch (resident fused_hist kernel): concatenate the one-hot
+    operands of N bounces along the ray (contraction) axis and update
+    the (n_coarse, pc*128) f32 accumulator once per N bounces — same
+    MACs, 1/N the accumulator read-modify-write traffic. f32-associative
+    reorder only (tolerance-level differences).
+
+    tid_fold (resident unrolled fused_hist kernel only): the path-pass
+    winner fold carries (best_t, group id) instead of (best_t, normal,
+    keep, ...) — n_sel fewer selects per group body — and winner
+    attributes are fetched post-sweep by one exact one-hot MXU matmul.
+    Identical results (same first-strictly-less winner; the one-hot side
+    of the HIGHEST dot is exactly 0/1).
+
+    inc_origin (resident unrolled fused_hist kernel only): carry
+    per-triangle transformed origins across bounces in VMEM scratch —
+    op_b = op_{b-1} + tb * dp_{b-1} by linearity of the Woop map —
+    trading the 12-slot per-group origin transform for one FMA plus the
+    (op, dp) load/store traffic. Same histogram up to fp association
+    (the incremental sum rounds differently than the fresh transform).
+
+    n_true: the scene's TRUE (unpadded) triangle count, when known
+    statically (Scene.n_triangles). SceneArrays pads T to
+    cfg.triangle_pad (=128, the MXU intersector's lane alignment) but
+    this kernel only needs T % 8: trailing all-padding groups are
+    dropped down to round_up(n_true, 8) — exact (padding triangles are
+    degenerate, sort last in build_tri_tables, and can never hit or
+    block), and worth the full pad fraction of BOTH intersection passes
+    (world.obj: 128 -> 120 tested triangles, -6.3%). Resident-unrolled
+    region only (<= 32 groups): larger scenes would disturb group_fori's
+    unroll/coarse divisibility for a < 1% win.
 
     winner_acc (tri-major unrolled path only): number of independent
     winner-accumulator chains in the path pass — contiguous group chunks,
@@ -2116,6 +2275,12 @@ def trace_contributions_pallas(
     tri, gaabb = build_tri_tables(scene_arrays)
     T = tri.shape[0]
     assert T % TRI_GROUP == 0, T
+    if n_true is not None:
+        t_trim = -(-int(n_true) // TRI_GROUP) * TRI_GROUP
+        if t_trim < T and t_trim // TRI_GROUP <= 32:
+            tri = tri[:t_trim]
+            gaabb = gaabb[: t_trim // TRI_GROUP]
+            T = t_trim
     if (stream_tris is None and fused_hist and not (cull or mxu_xform)
             and T > 98304):
         # auto-engage HBM streaming past the resident kernel's VMEM
@@ -2669,6 +2834,16 @@ def trace_contributions_pallas(
             n_bins, pc
         )
 
+    if (inc_origin or tid_fold) and not (
+        fused_hist and not group_fori and not cull and not mxu_xform
+        and winner_acc == 1 and not ablate and stream_tris is None
+        and not wavefront and not ray_major
+    ):
+        raise ValueError(
+            "inc_origin/tid_fold support the resident unrolled fused_hist "
+            "kernel only (no group_fori/cull/mxu_xform/winner_acc/ablate/"
+            "stream_tris/wavefront/ray_major)"
+        )
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
@@ -2679,6 +2854,7 @@ def trace_contributions_pallas(
         material_scattering=material_scattering,
         sg_cull=sg_cull, shadow_divfree=shadow_divfree,
         winner_acc=winner_acc, ablate=ablate, sg_unroll=sg_unroll, sg_coarse=sg_coarse,
+        inc_origin=inc_origin, tid_fold=tid_fold, hist_batch=hist_batch,
     )
     args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + sg_args + w_args
     if fused_hist:
@@ -2686,6 +2862,12 @@ def trace_contributions_pallas(
         n_bins = cfg.ir_n_bins
         assert n_bins % LANES == 0, n_bins
         n_coarse = n_bins // LANES
+        scratch = [pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)]
+        if inc_origin:
+            scratch += [
+                pltpu.VMEM((SUBLANES, T, LANES), jnp.float32)
+                for _ in range(6)
+            ]
         hist = pl.pallas_call(
             kernel,
             grid=(rows // SUBLANES,),
@@ -2695,7 +2877,7 @@ def trace_contributions_pallas(
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((n_coarse, pc * LANES), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(*args)
         # H[coarse, c*128 + fine] -> (n_bins, C)
@@ -2735,7 +2917,8 @@ def trace_contributions_pallas(
                      "src_directivity", "scattering", "material_scattering",
                      "sg_cull", "row_unroll", "shadow_divfree",
                      "stream_tris", "ray_major", "tri_unroll", "ray_blocks",
-                     "wavefront", "sg_unroll", "sg_coarse"),
+                     "wavefront", "sg_unroll", "sg_coarse", "n_true",
+                     "inc_origin", "tid_fold", "hist_batch"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -2768,6 +2951,10 @@ def trace_ir_pallas(
     wavefront: bool | None = None,
     sg_unroll: int | None = None,
     sg_coarse: int | None = None,
+    n_true: int | None = None,
+    inc_origin: bool = False,
+    tid_fold: bool = False,
+    hist_batch: int = 1,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
 
@@ -2826,7 +3013,9 @@ def trace_ir_pallas(
             shadow_divfree=shadow_divfree, stream_tris=stream_tris,
             ray_major=ray_major, tri_unroll=tri_unroll,
             ray_blocks=ray_blocks, wavefront=wavefront,
-            sg_unroll=sg_unroll, sg_coarse=sg_coarse,
+            sg_unroll=sg_unroll, sg_coarse=sg_coarse, n_true=n_true,
+            inc_origin=inc_origin, tid_fold=tid_fold,
+            hist_batch=hist_batch,
         )
     else:
         if wavefront:
@@ -2839,6 +3028,7 @@ def trace_ir_pallas(
             scattering=scattering, material_scattering=material_scattering,
             rng_seed=rng_seed, sg_cull=sg_cull, row_unroll=row_unroll,
             shadow_divfree=shadow_divfree, sg_coarse=sg_coarse,
+            n_true=n_true,
         )
         seg = bin_segment(payload, bins, cfg.ir_n_bins)  # (n_bins, 7)
     if flat_bands:
@@ -2868,7 +3058,8 @@ def trace_ir_pallas(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
                      "interpret", "fused_hist", "cull", "flat_bands",
-                     "src_directivity", "wavefront"),
+                     "src_directivity", "wavefront", "n_true",
+                     "inc_origin", "hist_batch"),
 )
 def trace_irs_pallas_multi(
     scene_arrays,
@@ -2886,6 +3077,9 @@ def trace_irs_pallas_multi(
     src_directivity=None,
     src_axes=None,
     wavefront: bool | None = None,
+    n_true: int | None = None,
+    inc_origin: bool = False,
+    hist_batch: int = 1,
 ):
     """All sources' IRs in one compiled program (BASELINE config 5 on a
     single chip): lax.scan over sources around the fused kernel, so the
@@ -2921,7 +3115,8 @@ def trace_irs_pallas_multi(
             fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
             src_directivity=src_directivity,
             src_axis=None if src_directivity is None else inp[1],
-            wavefront=wavefront,
+            wavefront=wavefront, n_true=n_true,
+            inc_origin=inc_origin, hist_batch=hist_batch,
         )
         return None, ir
 
@@ -2933,7 +3128,8 @@ def trace_irs_pallas_multi(
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
-                     "interpret", "fused_hist", "flat_bands", "wavefront"),
+                     "interpret", "fused_hist", "flat_bands", "wavefront",
+                     "n_true"),
 )
 def trace_irs_pallas_multi_listener(
     scene_arrays,
@@ -2948,6 +3144,7 @@ def trace_irs_pallas_multi_listener(
     fused_hist: bool = True,
     flat_bands: bool = False,
     wavefront: bool | None = None,
+    n_true: int | None = None,
 ):
     """All listeners' IRs from one source in one compiled program: lax.scan
     over listeners around the fused kernel (the kernel compiles once; the
@@ -2966,7 +3163,7 @@ def trace_irs_pallas_multi_listener(
             scene_arrays, source, lst, cfg=cfg, max_bounces=max_bounces,
             dirs=dirs, include_direct=include_direct, interpret=interpret,
             fused_hist=fused_hist, flat_bands=flat_bands,
-            wavefront=wavefront,
+            wavefront=wavefront, n_true=n_true,
         )
         return None, ir
 

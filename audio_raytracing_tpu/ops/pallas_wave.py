@@ -180,18 +180,29 @@ def _step_kernel(
         pn = (Pm - kp * div) * Om
         pn_s[:] = pn
 
-        # source injection / listener pickup: static scalar VMEM updates
-        # in the (statically known) block that holds the cell — full-field
-        # iota masks measured ~40% of the kernel's VPU time at 128^3
+        # source injection / listener pickup in the (statically known)
+        # block that holds the cell. Mosaic cannot store/load scalars
+        # to/from VMEM, so both touch one (ny, nz) plane with an iota
+        # mask — full-FIELD masks measured ~40% of the kernel's VPU time
+        # at 128^3; one plane per step is noise.
         src_block, src_l = divmod(si - 1, B)
         lst_block, lst_l = divmod(li - 1, B)
 
+        def _plane_mask(j, k):
+            return jnp.where(
+                (jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0) == j)
+                & (jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1) == k),
+                jnp.float32(1.0), jnp.float32(0.0),
+            )
+
         @pl.when(b == src_block)
         def _():
-            pn_s[src_l, sj, sk] = pn_s[src_l, sj, sk] + pulse_t
+            pn_s[src_l] = pn_s[src_l] + pulse_t * _plane_mask(sj, sk)
 
         acc = acc + jnp.where(
-            b == lst_block, pn_s[lst_l, lj, lk], jnp.float32(0.0)
+            b == lst_block,
+            jnp.sum(pn_s[lst_l] * _plane_mask(lj, lk)),
+            jnp.float32(0.0),
         )
         vxn_s[:] = vxe[1:]
         vyn_s[:] = vyn

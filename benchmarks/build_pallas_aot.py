@@ -81,12 +81,18 @@ def main():
     cfg, arrays, dirs = bench_inputs()
     src = jnp.asarray([1.0, 0.3, 0.5])
     lst = jnp.asarray([-1.0, 0.0, -0.5])
-    t0 = time.perf_counter()
     # flat_bands: world.obj's default material is band-uniform (0.1 across
-    # bands), so the payload-4 fast path is exact for the bench scene
+    # bands), so the payload-4 fast path is exact for the bench scene.
+    # r3 measured adds (benchmarks/trim_ab.py, same-run deltas at 2^20 x
+    # 8): n_true=114 drops the 8 padding triangles from both passes
+    # (-3.9 ms), inc_origin carries transformed origins across bounces
+    # (-2.3 ms), hist_batch=4 quarters the histogram accumulator
+    # read-modify-write (-0.6 ms) — single dispatch 64.0 -> 56.8 ms wall.
+    FAST = dict(n_true=114, inc_origin=True, hist_batch=4)
+    t0 = time.perf_counter()
     compiled = trace_ir_pallas.lower(
         arrays, src, lst, cfg=cfg, max_bounces=BENCH_BOUNCES, dirs=dirs,
-        fused_hist=True, flat_bands=True,
+        fused_hist=True, flat_bands=True, **FAST,
     ).compile()
     print(f"compiled single in {time.perf_counter() - t0:.1f} s")
     payload, in_tree, out_tree = se.serialize(compiled)
@@ -100,7 +106,7 @@ def main():
     t0 = time.perf_counter()
     compiled_m = trace_irs_pallas_multi.lower(
         arrays, srcs, lst, cfg=cfg, max_bounces=BENCH_BOUNCES, dirs=dirs,
-        fused_hist=True, flat_bands=True,
+        fused_hist=True, flat_bands=True, **FAST,
     ).compile()
     print(f"compiled multi in {time.perf_counter() - t0:.1f} s")
     payload_m, in_tree_m, out_tree_m = se.serialize(compiled_m)
