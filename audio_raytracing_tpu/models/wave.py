@@ -123,10 +123,14 @@ def source_pulse(n_steps: int, dt: float, fc: float):
     return jnp.asarray(s.astype(np.float32)), float(t0)
 
 
-def _triangle_surface_points(tris: np.ndarray, spacing: float) -> np.ndarray:
+def _triangle_surface_points(
+    tris: np.ndarray, spacing: float, return_ids: bool = False
+):
     """Sample points covering each triangle at ~``spacing`` resolution
     (barycentric grid incl. edges/vertices), for conservative voxel
-    rasterization. Vectorized over triangles sharing a subdivision level."""
+    rasterization. Vectorized over triangles sharing a subdivision level.
+    return_ids additionally yields each point's source-triangle index
+    (the voxel->material map rides the rasterization for free)."""
     tris = np.asarray(tris, np.float64)
     a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
     edge = np.maximum(
@@ -135,6 +139,7 @@ def _triangle_surface_points(tris: np.ndarray, spacing: float) -> np.ndarray:
     )
     n_sub = np.maximum(1, np.ceil(edge / spacing).astype(np.int64))
     out = []
+    ids = []
     for n in np.unique(n_sub):
         sel = n_sub == n
         i, j = np.meshgrid(np.arange(n + 1), np.arange(n + 1), indexing="ij")
@@ -147,7 +152,12 @@ def _triangle_surface_points(tris: np.ndarray, spacing: float) -> np.ndarray:
             + c[sel][:, None, :] * v
         )
         out.append(pts.reshape(-1, 3))
-    return np.concatenate(out, axis=0)
+        if return_ids:
+            ids.append(np.repeat(np.nonzero(sel)[0], int(keep.sum())))
+    pts = np.concatenate(out, axis=0)
+    if return_ids:
+        return pts, np.concatenate(ids, axis=0)
+    return pts
 
 
 def voxelize_triangles(
@@ -155,7 +165,8 @@ def voxelize_triangles(
     dx: float,
     pad_cells: int = 2,
     bounds: tuple | None = None,
-) -> WaveDomain:
+    return_tri_ids: bool = False,
+):
     """Rasterize a triangle soup into a solid-voxel occupancy mask.
 
     Every voxel whose cube is touched by a triangle (conservatively, via
@@ -164,6 +175,13 @@ def voxelize_triangles(
     domain is the mesh's AABB expanded by ``pad_cells`` cells (those
     outer cells are air but sealed off by the shell; the outermost
     domain boundary is rigid regardless).
+
+    return_tri_ids: also return an (Nx, Ny, Nz) int32 map of each solid
+    voxel's owning triangle (-1 for air / untouched solids) — the
+    voxel->material assignment for per-face wall admittance
+    (``material_alpha_cells``). Where several triangles touch one voxel
+    the LAST rasterized point wins (deterministic; material boundaries
+    move by at most one voxel, below the solver's geometric resolution).
     """
     tris = np.asarray(tris, np.float64).reshape(-1, 3, 3)
     if bounds is None:
@@ -173,11 +191,40 @@ def voxelize_triangles(
         lo, hi = (np.asarray(b, np.float64) for b in bounds)
     shape = np.maximum(1, np.ceil((hi - lo) / dx).astype(np.int64)) + 1
     occ = np.ones(tuple(shape), np.float32)
-    pts = _triangle_surface_points(tris, 0.5 * dx)
+    pts_ids = _triangle_surface_points(tris, 0.5 * dx, return_ids=return_tri_ids)
+    pts = pts_ids[0] if return_tri_ids else pts_ids
     idx = np.round((pts - lo[None]) / dx).astype(np.int64)
     idx = np.clip(idx, 0, shape[None] - 1)
     occ[idx[:, 0], idx[:, 1], idx[:, 2]] = 0.0
-    return WaveDomain(occ=occ, dx=float(dx), origin=tuple(lo))
+    dom = WaveDomain(occ=occ, dx=float(dx), origin=tuple(lo))
+    if return_tri_ids:
+        tid = np.full(tuple(shape), -1, np.int32)
+        tid[idx[:, 0], idx[:, 1], idx[:, 2]] = pts_ids[1].astype(np.int32)
+        return dom, tid
+    return dom
+
+
+def material_alpha_cells(
+    tri_ids: np.ndarray,
+    absorption: np.ndarray,
+    band: int | None = None,
+    default: float = 0.1,
+) -> np.ndarray:
+    """Per-cell wall energy absorption from the voxel->triangle map.
+
+    tri_ids: (Nx, Ny, Nz) int32 from ``voxelize_triangles(...,
+    return_tri_ids=True)``. absorption: (T, n_bands). band: which band's
+    alpha to take (None = mean over bands, for a single broadband
+    solve). Cells not owned by a triangle get ``default``. Generalizes
+    the single absorption law of the reference
+    (sound_system.zig:229-238) to per-surface materials on the wave
+    path, matching what every ray family already honors."""
+    ab = np.asarray(absorption, np.float64)
+    per_tri = ab.mean(axis=1) if band is None else ab[:, int(band)]
+    out = np.full(tri_ids.shape, float(default), np.float32)
+    owned = tri_ids >= 0
+    out[owned] = per_tri[tri_ids[owned]].astype(np.float32)
+    return out
 
 
 def _face_terms(occ, m_hi, a_w: float, b_w: float, k: float):
@@ -202,6 +249,37 @@ def _face_terms(occ, m_hi, a_w: float, b_w: float, k: float):
     bl = k * both + b_w * (occ - both)
     br = -k * both - b_w * (m_hi - both)
     return a, bl, br
+
+
+def _face_terms_var(occ, m_hi, aw, aw_hi, bw, bw_hi, k):
+    """Per-face coefficients with PER-CELL impedance fields (aw, bw):
+    the wall side of an air-solid face supplies its own coefficients —
+    (occ - both) = 1 means lo air / hi solid, so the face takes the HI
+    cell's (aw_hi, bw_hi); (m_hi - both) = 1 takes the LO cell's.
+    Reduces exactly to ``_face_terms`` for spatially-constant fields."""
+    both = occ * m_hi
+    lo_air = occ - both  # hi cell is the wall
+    hi_air = m_hi - both  # lo cell is the wall
+    a = both + lo_air * aw_hi + hi_air * aw
+    bl = k * both + bw_hi * lo_air
+    br = -k * both - bw * hi_air
+    return a, bl, br
+
+
+def wall_impedance_field(alpha, c: float, dt: float, dx: float):
+    """Vectorized ``wall_impedance_coefficients``: per-cell (a_w, b_w)
+    f32 fields from a per-cell energy-absorption field (numpy, host-side
+    once per run). alpha <= 0 cells are rigid (0, 0)."""
+    alpha = np.clip(np.asarray(alpha, np.float64), 0.0, 1.0)
+    k = dt / dx
+    r = np.sqrt(np.maximum(1.0 - alpha, 0.0))
+    live = (alpha > 0.0) & (r < 1.0 - 1e-12)
+    r_safe = np.where(live, r, 0.0)
+    zeta = (1.0 + r_safe) / np.maximum(1.0 - r_safe, 1e-30)
+    g = zeta * c * dt / dx
+    a_w = np.where(live, (1.0 - g) / (1.0 + g), 0.0)
+    b_w = np.where(live, 2.0 * k / (1.0 + g), 0.0)
+    return a_w.astype(np.float32), b_w.astype(np.float32)
 
 
 def _shift_down_zero(x, axis: int):
@@ -245,10 +323,24 @@ def wall_impedance_coefficients(alpha: float, c: float, dt: float, dx: float):
 
 def _leapfrog_step(p, vx, vy, vz, occ, k, a_w, b_w, kp):
     """One leapfrog step (velocity half-step then pressure step), all
-    fused elementwise stencils. Returns updated (p, vx, vy, vz)."""
+    fused elementwise stencils. Returns updated (p, vx, vy, vz).
+
+    a_w/b_w may be scalars (one impedance everywhere — reference-law
+    parity) or per-cell fields (per-face material admittance; each
+    air-solid face takes its wall cell's coefficients). The zero-filled
+    field shift makes beyond-domain faces rigid in field mode — the
+    voxelized shell seals the domain before that boundary ever sees
+    air, so the choice is unobservable in practice."""
 
     def upd(v, axis):
-        a, bl, br = _face_terms(occ, _shift_down_zero(occ, axis), a_w, b_w, k)
+        occ_hi = _shift_down_zero(occ, axis)
+        if jnp.ndim(a_w) == 0:
+            a, bl, br = _face_terms(occ, occ_hi, a_w, b_w, k)
+        else:
+            a, bl, br = _face_terms_var(
+                occ, occ_hi, a_w, _shift_down_zero(a_w, axis),
+                b_w, _shift_down_zero(b_w, axis), k,
+            )
         return a * v + bl * p + br * _shift_down_zero(p, axis)
 
     vx = upd(vx, 0)
@@ -295,11 +387,16 @@ def wave_run(
     pulse=None,
     dt: float | None = None,
     return_state: bool = False,
+    alpha_cell=None,
 ):
     """Run the FDTD simulation and record pressure at the listener cell.
 
     src_cell / lst_cell: integer grid indices (see WaveDomain.cell_of);
     both must be air cells. alpha: wall energy absorption (0 = rigid).
+    alpha_cell: optional (Nx, Ny, Nz) PER-CELL absorption field (from
+    ``material_alpha_cells``) — each air-solid face then uses its wall
+    cell's impedance instead of the global alpha, making the wave model
+    honor per-surface materials like every ray family does.
     fc: source-pulse spectral peak (defaults to c/(16 dx), half the
     ~8-points-per-wavelength usable band edge). Returns a WaveIR (and
     the final (p, vx, vy, vz) state when return_state=True, for the
@@ -321,12 +418,17 @@ def wave_run(
         t0 = float(np.argmax(np.abs(np.asarray(pulse)))) * dt
     kp = c * c * dt / dx
     k = dt / dx
-    a_w, b_w = wall_impedance_coefficients(alpha, c, dt, dx)
+    if alpha_cell is not None:
+        aw_np, bw_np = wall_impedance_field(alpha_cell, c, dt, dx)
+        a_w, b_w = jnp.asarray(aw_np), jnp.asarray(bw_np)
+    else:
+        aws, bws = wall_impedance_coefficients(alpha, c, dt, dx)
+        a_w, b_w = jnp.float32(aws), jnp.float32(bws)
     si, sj, sk = (int(i) for i in src_cell)
     li, lj, lk = (int(i) for i in lst_cell)
     state, rec = _run_scan(
         occ, pulse,
-        jnp.float32(k), jnp.float32(a_w), jnp.float32(b_w), jnp.float32(kp),
+        jnp.float32(k), a_w, b_w, jnp.float32(kp),
         si=si, sj=sj, sk=sk, li=li, lj=lj, lk=lk,
     )
     wir = WaveIR(pressure=rec, dt=float(dt), pulse=pulse, t0=t0)
@@ -346,14 +448,15 @@ def field_energy(state, c: float = 350.0) -> jnp.ndarray:
     )
 
 
-def _scene_triangles(scene_or_tris) -> tuple[np.ndarray, float | None]:
-    """(triangles (T,3,3), mean absorption or None) from a Scene, a
-    SceneArrays pytree, or a raw (T,3,3) array."""
+def _scene_triangles(scene_or_tris) -> tuple[np.ndarray, np.ndarray | None]:
+    """(triangles (T,3,3), per-triangle absorption (T, n_bands) or None)
+    from a Scene, a SceneArrays pytree, or a raw (T,3,3) array."""
     from .scene import Scene, SceneArrays
 
     if isinstance(scene_or_tris, Scene):
         ab = np.asarray(scene_or_tris.absorption, np.float64)
-        return np.asarray(scene_or_tris.triangles), float(ab.mean())
+        tris = np.asarray(scene_or_tris.triangles)
+        return tris, ab[: tris.shape[0]]
     if isinstance(scene_or_tris, SceneArrays):
         v0 = np.asarray(scene_or_tris.v0, np.float64)
         v1 = np.asarray(scene_or_tris.v1, np.float64)
@@ -362,7 +465,7 @@ def _scene_triangles(scene_or_tris) -> tuple[np.ndarray, float | None]:
         real = area > 1e-12  # padding triangles are degenerate
         tris = np.stack([v0[real], v1[real], v2[real]], axis=1)
         ab = np.asarray(scene_or_tris.absorption, np.float64)[real]
-        return tris, float(ab.mean())
+        return tris, ab
     return np.asarray(scene_or_tris, np.float64).reshape(-1, 3, 3), None
 
 
@@ -377,6 +480,8 @@ def wave_ir(
     fc: float | None = None,
     pad_cells: int = 2,
     cfl: float = 0.999,
+    materials: bool = False,
+    band: int | None = None,
 ) -> WaveIR:
     """High-level wave-based IR: voxelize the scene, run the FDTD solver,
     return the band-limited pressure response at the listener.
@@ -384,11 +489,30 @@ def wave_ir(
     The usable bandwidth is ~c/(8 dx) Hz (8 points per wavelength);
     dx = 0.08 m covers the engine's two lowest physical bands
     (AIR_BAND_HZ 64/313.5 Hz, models/ir.py). alpha defaults to the
-    scene's mean absorption (or 0.1 for raw triangle input)."""
-    tris, mean_ab = _scene_triangles(scene_or_tris)
+    scene's mean absorption (or 0.1 for raw triangle input).
+
+    materials=True: per-face wall admittance — every solid voxel takes
+    its rasterizing triangle's absorption (``band``'s value, or the
+    band mean when band is None) instead of one global alpha. Requires
+    a Scene/SceneArrays input (raw triangles carry no materials)."""
+    tris, tri_ab = _scene_triangles(scene_or_tris)
     if alpha is None:
-        alpha = mean_ab if mean_ab is not None else 0.1
-    domain = voxelize_triangles(tris, dx, pad_cells=pad_cells)
+        alpha = float(tri_ab.mean()) if tri_ab is not None else 0.1
+    alpha_cell = None
+    if materials:
+        if tri_ab is None:
+            raise ValueError(
+                "materials=True needs a Scene/SceneArrays input (raw "
+                "triangles carry no per-surface absorption)"
+            )
+        domain, tid = voxelize_triangles(
+            tris, dx, pad_cells=pad_cells, return_tri_ids=True
+        )
+        alpha_cell = material_alpha_cells(
+            tid, tri_ab, band=band, default=float(alpha)
+        )
+    else:
+        domain = voxelize_triangles(tris, dx, pad_cells=pad_cells)
     c = float(cfg.speed_of_sound)
     dt = courant_dt(domain.dx, c, cfl)
     n_steps = int(math.ceil(duration / dt))
@@ -402,6 +526,7 @@ def wave_ir(
         cfl=cfl,
         fc=fc,
         dt=dt,
+        alpha_cell=alpha_cell,
     )
 
 
@@ -439,6 +564,7 @@ def hybrid_wave_ir(
     crossover_band: int = 1,
     wave: WaveIR | None = None,
     wave_kwargs: dict | None = None,
+    wave_materials: bool = False,
     **trace_kwargs,
 ):
     """Wave/ray hybrid impulse response: FDTD physics for the bands below
@@ -451,27 +577,50 @@ def hybrid_wave_ir(
     traced ImpulseResponse row-wise. dir_sum/sh_moments stay the
     tracer's: the wave field carries no arrival directions, and the
     low-frequency bed is the least directional part of the mix.
-    Returns (ImpulseResponse, WaveIR)."""
+    Returns (ImpulseResponse, WaveIR).
+
+    wave_materials=True: one wave solve PER crossover band with
+    per-face admittance from the scene's per-surface absorption at that
+    band (``wave_ir(materials=True, band=b)``) — the wave bands then
+    honor the same material map as the ray bands, instead of one scalar
+    alpha across all walls. The returned WaveIR is band 0's."""
     from .ir import ImpulseResponse, trace_ir
 
     ray = trace_ir(arrays, source, listener, cfg=cfg, **trace_kwargs)
-    if wave is None:
-        wave = wave_ir(arrays, source, listener, cfg=cfg, **(wave_kwargs or {}))
-    e_wave = wave_ir_energy(wave, cfg=cfg)
     n_bins = ray.energy.shape[1]
-    e_wave = (
-        e_wave[:, :n_bins]
-        if e_wave.shape[1] >= n_bins
-        else jnp.pad(e_wave, ((0, 0), (0, n_bins - e_wave.shape[1])))
-    )
+
+    def _fit(e):
+        return (
+            e[:, :n_bins]
+            if e.shape[1] >= n_bins
+            else jnp.pad(e, ((0, 0), (0, n_bins - e.shape[1])))
+        )
+
+    if wave is not None:
+        e_all = _fit(wave_ir_energy(wave, cfg=cfg))
+        e_of = lambda b: e_all[b]  # noqa: E731
+    elif wave_materials:
+        waves = [
+            wave_ir(arrays, source, listener, cfg=cfg, materials=True,
+                    band=b, **(wave_kwargs or {}))
+            for b in range(int(crossover_band))
+        ]
+        e_per = [_fit(wave_ir_energy(w, cfg=cfg)) for w in waves]
+        e_of = lambda b: e_per[b][b]  # noqa: E731
+        wave = waves[0]
+    else:
+        wave = wave_ir(arrays, source, listener, cfg=cfg, **(wave_kwargs or {}))
+        e_all = _fit(wave_ir_energy(wave, cfg=cfg))
+        e_of = lambda b: e_all[b]  # noqa: E731
     d = float(np.linalg.norm(np.asarray(source) - np.asarray(listener)))
     k0 = int(round(d / cfg.speed_of_sound * cfg.sample_rate))
     half = max(int(round(wave.t0 * cfg.sample_rate)), 8)
     w_lo, w_hi = max(0, k0 - half), min(n_bins, k0 + half + 1)
     energy = ray.energy
     for b in range(int(crossover_band)):
+        e_b = e_of(b)
         ray_win = jnp.sum(ray.energy[b, w_lo:w_hi])
-        wav_win = jnp.sum(e_wave[b, w_lo:w_hi])
+        wav_win = jnp.sum(e_b[w_lo:w_hi])
         scale = jnp.where(wav_win > 0, ray_win / jnp.maximum(wav_win, 1e-30), 0.0)
-        energy = energy.at[b].set(e_wave[b] * scale)
+        energy = energy.at[b].set(e_b * scale)
     return ImpulseResponse(energy, ray.dir_sum, ray.sh_moments), wave

@@ -58,7 +58,15 @@ def test_pallas_wave_exact_tile_dims_and_ragged_blocks():
 
 
 def test_pick_block_respects_vmem_budget():
-    # 256-ish plane (256 KB): B=4 -> (9*4+5)*256KB = 10.5 MB <= 12 MB
-    assert _pick_block(256 * 1024) == 4
+    # 256-ish plane (256 KB): B=1 -> 2*(9*2+6)*256KB = 12 MB > 6 MB stops
+    # the doubling at 1 (the r2 estimate ignored the ~8-10 slab-sized
+    # body temporaries; the model now doubles the declared scratch)
+    assert _pick_block(256 * 1024) == 1
     # tiny plane: capped at 64
     assert _pick_block(1024) == 64
+    # grid-pipelined model: (30*B + 12) planes vs 10 MB
+    from audio_raytracing_tpu.ops.pallas_wave import _pick_block_grid
+
+    assert _pick_block_grid(256 * 1024) == 1
+    assert _pick_block_grid(64 * 1024) == 4
+    assert _pick_block_grid(64) == 128
