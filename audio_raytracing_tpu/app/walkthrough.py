@@ -158,6 +158,174 @@ def spinning_panel_track(cfg: Config, period: float = 3.0):
     return scene, scene_track
 
 
+class ScriptedKeys:
+    """Deterministic key-event source: a list of (t_seconds, event_dict)
+    replayed by poll(t). The automated-test twin of TTYKeys — both feed
+    the SAME Input.accumulate/decay path (input.zig:38-118 semantics)
+    through the same interactive_path, so the test drives exactly the
+    code the live TTY does."""
+
+    def __init__(self, events):
+        self.events = sorted(events, key=lambda e: e[0])
+        self.i = 0
+
+    def poll(self, t: float) -> list:
+        out = []
+        while self.i < len(self.events) and self.events[self.i][0] <= t:
+            out.append(self.events[self.i][1])
+            self.i += 1
+        return out
+
+    def close(self) -> None:
+        pass
+
+
+class TTYKeys:
+    """Raw-TTY key-event source: stdin in cbreak/non-blocking mode,
+    WASD/arrows mapped to key_down events. Terminals deliver only key
+    PRESSES (plus auto-repeat) — a key counts as held until
+    ``release_after`` seconds pass without a repeat byte, at which point
+    a synthetic key_up is emitted. That timeout must sit above the
+    terminal's auto-repeat gap (~0.03-0.5 s initial delay), so releases
+    lag by up to release_after; the standard TTY-game compromise where
+    the reference has real SDL KEYUP events (main.zig:452-512)."""
+
+    #: escape-sequence suffix -> logical code (arrow keys)
+    ARROWS = {"A": "up_arrow", "B": "down_arrow", "C": "right_arrow",
+              "D": "left_arrow"}
+
+    def __init__(self, fd=None, release_after: float = 0.5):
+        import sys as _sys
+
+        self.fd = _sys.stdin.fileno() if fd is None else fd
+        self.release_after = float(release_after)
+        self._held: dict[str, float] = {}
+        self._saved = None
+        self._buf = b""
+
+    def __enter__(self):
+        import os
+        import termios
+        import tty
+
+        self._saved = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        os.set_blocking(self.fd, False)
+        return self
+
+    def __exit__(self, *exc):
+        import termios
+
+        if self._saved is not None:
+            termios.tcsetattr(self.fd, termios.TCSADRAIN, self._saved)
+        return False
+
+    def _read_codes(self) -> list:
+        import os
+
+        try:
+            data = os.read(self.fd, 64)
+        except BlockingIOError:
+            data = b""
+        self._buf += data
+        codes = []
+        while self._buf:
+            if self._buf[:1] == b"\x1b":
+                if len(self._buf) < 3:
+                    break  # partial escape sequence
+                if self._buf[1:2] == b"[" and chr(self._buf[2]) in self.ARROWS:
+                    codes.append(self.ARROWS[chr(self._buf[2])])
+                self._buf = self._buf[3:]
+            else:
+                ch = self._buf[:1].decode("latin1").lower()
+                if ch.strip():
+                    codes.append(ch)
+                self._buf = self._buf[1:]
+        return codes
+
+    def poll(self, t: float) -> list:
+        events = []
+        for code in self._read_codes():
+            if code not in self._held:
+                events.append({"type": "key_down", "code": code})
+            self._held[code] = t
+        for code, last in list(self._held.items()):
+            if t - last > self.release_after:
+                del self._held[code]
+                events.append({"type": "key_up", "code": code})
+        return events
+
+    def close(self) -> None:
+        self.__exit__()
+
+
+def default_bindings(inp):
+    """WASD + arrows + q/e onto the reference's movement actions."""
+    from .input import GameInput
+
+    for code, action in (
+        ("w", GameInput.FORWARD), ("up_arrow", GameInput.FORWARD),
+        ("s", GameInput.BACKWARD), ("down_arrow", GameInput.BACKWARD),
+        ("a", GameInput.LEFT), ("left_arrow", GameInput.LEFT),
+        ("d", GameInput.RIGHT), ("right_arrow", GameInput.RIGHT),
+        ("e", GameInput.UP), ("q", GameInput.DOWN),
+    ):
+        inp.bind_key(code, action)
+    return inp
+
+
+def interactive_path(
+    keys,
+    inp=None,
+    speed: float = 1.5,
+    turn_rate: float = 1.8,
+    start_pos=(0.0, 0.0, 0.0),
+    start_yaw: float = 0.0,
+    bounds=((-3.0, -1.2, -2.5), (3.0, 1.2, 2.5)),
+):
+    """A ``path(t) -> (pos, yaw)`` driven by a key-event source through
+    the ported Input layer: each call polls the source, accumulates
+    events, integrates held movement keys over the elapsed time, clears
+    the per-tick edges (accumulate/decay exactly as the reference's
+    fixed-timestep loop does, main.zig:452-512), and clips the listener
+    to ``bounds``. W/S move along the gaze (sin yaw, 0, cos yaw) —
+    matching circle_path's yaw convention — A/D turn, Q/E fly."""
+    from .input import GameInput, Input
+
+    if inp is None:
+        inp = default_bindings(Input())
+    state = {"pos": np.asarray(start_pos, np.float64).copy(),
+             "yaw": float(start_yaw), "t": 0.0}
+    lo = np.asarray(bounds[0], np.float64)
+    hi = np.asarray(bounds[1], np.float64)
+
+    def held(action) -> float:
+        return 1.0 if inp.peek(action).held else 0.0
+
+    def path(t: float):
+        for ev in keys.poll(t):
+            inp.accumulate(ev)
+        dt = max(0.0, t - state["t"])
+        state["t"] = t
+        state["yaw"] += turn_rate * dt * (
+            held(GameInput.LEFT) - held(GameInput.RIGHT)
+        )
+        fwd = held(GameInput.FORWARD) - held(GameInput.BACKWARD)
+        up = held(GameInput.UP) - held(GameInput.DOWN)
+        gaze = np.array(
+            [math.sin(state["yaw"]), 0.0, math.cos(state["yaw"])]
+        )
+        state["pos"] = np.clip(
+            state["pos"] + speed * dt * (fwd * gaze + up * np.array([0.0, 1.0, 0.0])),
+            lo, hi,
+        )
+        inp.decay()
+        return state["pos"].astype(np.float32).copy(), state["yaw"]
+
+    path.state = state  # test introspection
+    return path
+
+
 def run_walkthrough(
     seconds: float,
     scene: Scene | None = None,
@@ -276,6 +444,7 @@ def main():
     renderer = None
     scene_track = None
     updates_per_second = 10.0
+    interactive = "--interactive" in sys.argv[1:]
     cfg = DEFAULT_CONFIG
     for a in sys.argv[1:]:
         if a.startswith("--scene="):
@@ -304,11 +473,28 @@ def main():
             # 0.97x). 3 Hz leaves the queue mostly free (--rate overrides)
             if updates_per_second > 3.0:
                 updates_per_second = 3.0
-    with open(out_path, "wb") as f:
-        stats = run_walkthrough(seconds, scene=scene, cfg=cfg, fd=f.fileno(),
-                                renderer=renderer, scene_track=scene_track,
-                                updates_per_second=updates_per_second,
-                                async_updates="--async" in sys.argv[1:])
+    if interactive:
+        # live keyboard-driven listener (r2 VERDICT missing item 1 /
+        # next item 7): TTY keys -> Input.accumulate/decay -> camera,
+        # while the native sink plays and poses stream re-traces.
+        # async updates keep the traces off the producer's budget.
+        print("interactive walkthrough: W/S move, A/D turn, Q/E fly, "
+              f"{seconds:.0f} s (Ctrl-C stops)")
+        with TTYKeys() as keys, open(out_path, "wb") as f:
+            stats = run_walkthrough(
+                seconds, scene=scene, cfg=cfg, fd=f.fileno(),
+                renderer=renderer, scene_track=scene_track,
+                updates_per_second=updates_per_second,
+                async_updates=True,
+                path=interactive_path(keys),
+            )
+    else:
+        with open(out_path, "wb") as f:
+            stats = run_walkthrough(
+                seconds, scene=scene, cfg=cfg, fd=f.fileno(),
+                renderer=renderer, scene_track=scene_track,
+                updates_per_second=updates_per_second,
+                async_updates="--async" in sys.argv[1:])
     print(f"walkthrough: {stats['blocks_played']} blocks, "
           f"{stats['underruns']} underruns, "
           f"{stats['updates']} acoustic updates ({stats['retraces']} re-traced), "

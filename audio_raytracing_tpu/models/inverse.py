@@ -221,9 +221,18 @@ def fit_materials(
     max_bounces: int | None = None,
     dirs=None,
     raw_init=None,
+    loss_eps: float | None = None,
     **trace_kw,
 ) -> FitResult:
     """Fit per-band surface absorption to a target energy histogram.
+
+    loss_eps: optional absolute floor for log_energy_loss. Against NOISY
+    targets, set it to (a few times) the noise's mean bin energy: bins
+    below the floor then stop contributing gradient, so the fit ignores
+    the noise floor instead of lowering absorption to "explain" it —
+    measured on the 6x3x5 box at 20 dB energy SNR, the highest band
+    (true alpha 0.7, fastest-decaying tail) recovers 0.30 without the
+    floor and ~0.65 with it (tests/test_inverse.py's noise envelope).
 
     target_energy: (n_bands, n_bins) — a traced IR's energy whose
     materials you want to recover, or a real measurement through
@@ -278,7 +287,8 @@ def fit_materials(
             **trace_kw,
         )
         return log_energy_loss(
-            ir.energy, target, smooth=smooth, gain_invariant=gain_invariant
+            ir.energy, target, smooth=smooth, eps=loss_eps,
+            gain_invariant=gain_invariant,
         )
 
     raw, losses = run_fit(loss_fn, raw0, n_steps, lr=lr)

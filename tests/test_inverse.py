@@ -223,3 +223,98 @@ def test_measured_ir_band_mapping():
     c3 = float((e[3] * np.arange(4096)).sum() / e[3].sum())
     assert abs(c3 - 500.0) < 2.0, c3
     assert e.shape == (4, CFG.ir_n_bins)
+
+
+def _snr_noise(target, snr_db, seed=0):
+    """Additive nonnegative noise at a given energy SNR: |N(0, s)| with s
+    set so sum(noise) / sum(target) matches the SNR — the energy-domain
+    analogue of measurement noise on a recorded IR (energy histograms
+    are nonnegative, so the corruption must be too)."""
+    rng = np.random.default_rng(seed)
+    t = np.asarray(target)
+    n = np.abs(rng.standard_normal(t.shape)).astype(np.float32)
+    scale = t.sum() / n.sum() * 10.0 ** (-snr_db / 10.0)
+    return jnp.asarray(t + scale * n)
+
+
+def test_fit_materials_noise_robustness():
+    """r2 VERDICT item 8: recovery under additive target noise at
+    measured-IR SNRs, and its measured FAILURE ENVELOPE on the 6x3x5 box
+    (256 rays, 3 bounces, true alpha [0.15, 0.3, 0.5, 0.7]):
+
+    * 30 dB energy SNR, defaults: every band within 0.05.
+    * 20 dB, defaults: bands 0-2 within 0.08 but the HIGHEST band
+      collapses to ~0.30 — its tail decays fastest, so the noise floor
+      dominates its late bins and the fit LOWERS absorption to produce
+      matching late energy. Systematic, seed-stable (0.299/0.320 across
+      seeds), not divergence.
+    * Mitigation (loss_eps at ~3x the noise's mean bin energy — known
+      from the measurement's silence floor): 20 dB recovers every band
+      within 0.08 again; at 10 dB bands 0-2 hold within 0.09 and the
+      highest band degrades gracefully to ~0.45.
+    """
+    true_a = np.float32([0.15, 0.3, 0.5, 0.7])
+    arrays = _scene().device_arrays()
+    truth = jnp.broadcast_to(true_a, arrays.absorption.shape)
+    clean = trace_ir(
+        arrays._replace(absorption=truth), SRC, LST, cfg=CFG, dirs=DIRS,
+        max_bounces=3,
+    ).energy
+    # 30 dB, defaults: full recovery
+    res = fit_materials(
+        arrays, SRC, LST, _snr_noise(clean, 30.0), cfg=CFG,
+        dirs=DIRS, max_bounces=3, n_steps=150, lr=0.3,
+    )
+    np.testing.assert_allclose(np.asarray(res.params)[0], true_a, atol=0.05)
+    # 20 dB, defaults: the high-band collapse (the documented envelope)
+    res = fit_materials(
+        arrays, SRC, LST, _snr_noise(clean, 20.0), cfg=CFG,
+        dirs=DIRS, max_bounces=3, n_steps=150, lr=0.3,
+    )
+    f20 = np.asarray(res.params)[0]
+    np.testing.assert_allclose(f20[:3], true_a[:3], atol=0.08)
+    assert f20[3] < 0.45  # collapsed, systematically LOW — the envelope
+    # 20 dB with the noise-floor eps: recovery restored
+    t = np.asarray(clean)
+    scale = t.sum() / np.abs(
+        np.random.default_rng(0).standard_normal(t.shape)
+    ).sum() * 10.0 ** (-20.0 / 10.0)
+    floor = 3.0 * scale * np.sqrt(2.0 / np.pi)
+    res = fit_materials(
+        arrays, SRC, LST, _snr_noise(clean, 20.0), cfg=CFG,
+        dirs=DIRS, max_bounces=3, n_steps=150, lr=0.3,
+        loss_eps=float(floor),
+    )
+    np.testing.assert_allclose(np.asarray(res.params)[0], true_a, atol=0.08)
+
+
+def test_fit_source_position_noise_robustness():
+    """Source localization failure envelope (measured): under 15 dB
+    additive target noise the position lands ~0.10 m off (clean recovery
+    is ~5 mm — noise biases the late-energy matching, not the arrival
+    timing); under wrong-scattering MODEL mismatch (target traced with
+    30% diffuse bounces, fit assumes specular) it lands ~0.21 m off —
+    mismatched reflection structure shifts the loss basin itself, the
+    dominant failure mode. Both degrade gracefully, no divergence."""
+    arrays = _scene().device_arrays()
+    clean = trace_ir(
+        arrays, SRC, LST, cfg=CFG, dirs=DIRS, max_bounces=2, soft_bins=True
+    ).energy
+    x0 = SRC + jnp.float32([0.25, -0.15, 0.2])
+    res = fit_source_position(
+        arrays, LST, _snr_noise(clean, 15.0), x0, cfg=CFG, dirs=DIRS,
+        max_bounces=2, n_steps=250, lr=0.03,
+    )
+    err = float(jnp.linalg.norm(res.params - SRC))
+    assert err < 0.12, err  # measured 0.102 m at this SNR/seed
+
+    mismatched = trace_ir(
+        arrays, SRC, LST, cfg=CFG, dirs=DIRS, max_bounces=2,
+        soft_bins=True, scattering=0.3, scattering_rng="hash",
+    ).energy
+    res2 = fit_source_position(
+        arrays, LST, mismatched, x0, cfg=CFG, dirs=DIRS,
+        max_bounces=2, n_steps=250, lr=0.03,
+    )
+    err2 = float(jnp.linalg.norm(res2.params - SRC))
+    assert err2 < 0.25, err2  # measured 0.21 m at 30% mismatch

@@ -137,3 +137,72 @@ def test_spinning_panel_occludes():
     e_blocked = float(jnp.sum(direct_ir(track(0.0), src, lst, cfg=CFG).energy))
     e_open = float(jnp.sum(direct_ir(track(1.0), src, lst, cfg=CFG).energy))
     assert e_open > 10.0 * max(e_blocked, 1e-12), (e_open, e_blocked)
+
+
+def test_interactive_path_scripted_keys():
+    """interactive_path integrates held keys exactly (forward 0.5 s at
+    speed 2 = 1 m along the gaze; turn changes heading; edges decay),
+    fed by ScriptedKeys through the same Input.accumulate/decay path the
+    live TTY uses."""
+    from audio_raytracing_tpu.app.walkthrough import (
+        ScriptedKeys, interactive_path,
+    )
+
+    keys = ScriptedKeys([
+        (0.00, {"type": "key_down", "code": "w"}),
+        (0.50, {"type": "key_up", "code": "w"}),
+        (0.50, {"type": "key_down", "code": "a"}),
+        (1.00, {"type": "key_up", "code": "a"}),
+        (1.00, {"type": "key_down", "code": "e"}),
+        (1.25, {"type": "key_up", "code": "e"}),
+    ])
+    path = interactive_path(keys, speed=2.0, turn_rate=1.0,
+                            bounds=((-10, -10, -10), (10, 10, 10)))
+    # sample densely so held windows integrate; events apply at poll time
+    pos = yaw = None
+    for k in range(126):
+        pos, yaw = path(k * 0.01)
+    # forward burst: +z gaze at yaw 0 -> z ~ 2.0*0.5 = 1.0
+    assert abs(pos[2] - 1.0) < 0.05, pos
+    assert abs(pos[0]) < 1e-6  # no strafe before the turn
+    # turn burst: yaw ~ +0.5 rad (A turns left/positive)
+    assert abs(yaw - 0.5) < 0.05, yaw
+    # fly burst: +y ~ 2.0*0.25 = 0.5
+    assert abs(pos[1] - 0.5) < 0.05, pos
+
+
+def test_interactive_walkthrough_scripted_stream():
+    """VERDICT r2 item 7's done-criterion: keys move the listener WHILE
+    the full live pipeline (trace -> pose cache -> partitioned conv ->
+    sink) streams — a scripted key stream through the exact interactive
+    code path, asserting movement-driven re-traces and on-budget audio."""
+    from audio_raytracing_tpu.app.walkthrough import (
+        ScriptedKeys, interactive_path,
+    )
+
+    scene = Scene.from_triangles(
+        box_room(size=(8.0, 3.0, 6.0)), CFG,
+        absorption=np.full(12, 0.3, np.float32),
+    )
+    n_blocks = 32
+    dur = n_blocks * CFG.block_size / CFG.sample_rate  # ~93 ms
+    keys = ScriptedKeys([
+        (0.000, {"type": "key_down", "code": "w"}),
+        (0.040, {"type": "key_up", "code": "w"}),
+        (0.040, {"type": "key_down", "code": "d"}),
+    ])
+    path = interactive_path(keys, speed=20.0, turn_rate=8.0,
+                            bounds=((-3.5, -1.2, -2.5), (3.5, 1.2, 2.5)))
+    stats = run_walkthrough(
+        dur, scene=scene, cfg=CFG, n_rays=2048, max_bounces=4,
+        chunk_blocks=4, ring_blocks=n_blocks + 8,
+        updates_per_second=80.0, path=path,
+    )
+    assert stats["frames_written"] == n_blocks * CFG.block_size
+    assert stats["underruns"] <= max(3, stats["blocks"] // 20)
+    # the forward key really moved the listener (re-traces) and the turn
+    # key really turned it (rotation-only updates, no re-trace)
+    assert stats["retraces"] >= 1
+    assert stats["updates"] > stats["retraces"]
+    assert path.state["pos"][2] > 0.2  # net forward motion happened
+    assert path.state["yaw"] < -0.1  # D turned right (negative yaw)
