@@ -388,8 +388,16 @@ def wave_run(
     dt: float | None = None,
     return_state: bool = False,
     alpha_cell=None,
+    kernel: str = "auto",
 ):
     """Run the FDTD simulation and record pressure at the listener cell.
+
+    kernel: "xla" (the fused-elementwise lax.scan solver), "pallas" (the
+    grid-pipelined slab kernel, ops/pallas_wave.py), or "auto" — pallas
+    only where it measured faster than XLA (>= ~12M cells on the v5e:
+    1.11x at 256^3; it LOSES below — 0.85x at 128^3 — see
+    benchmarks/RESULTS.md r3) and only for capabilities it supports
+    (scalar alpha, no return_state, TPU backend).
 
     src_cell / lst_cell: integer grid indices (see WaveDomain.cell_of);
     both must be air cells. alpha: wall energy absorption (0 = rigid).
@@ -401,6 +409,29 @@ def wave_run(
     ~8-points-per-wavelength usable band edge). Returns a WaveIR (and
     the final (p, vx, vy, vz) state when return_state=True, for the
     energy-conservation diagnostics)."""
+    if kernel not in ("auto", "xla", "pallas"):
+        raise ValueError(f"kernel must be auto/xla/pallas, got {kernel!r}")
+    use_pallas = kernel == "pallas"
+    if kernel == "auto":
+        cells = int(np.prod(np.asarray(domain.occ).shape))
+        use_pallas = (
+            cells >= 12_000_000
+            and alpha_cell is None
+            and not return_state
+            and jax.default_backend() == "tpu"
+        )
+    if use_pallas:
+        if alpha_cell is not None or return_state:
+            raise ValueError(
+                "kernel='pallas' supports scalar alpha without "
+                "return_state; use kernel='xla' for those"
+            )
+        from ..ops.pallas_wave import wave_run_pallas
+
+        return wave_run_pallas(
+            domain, src_cell, lst_cell, n_steps, c=c, alpha=alpha,
+            cfl=cfl, fc=fc, pulse=pulse, dt=dt,
+        )
     occ = jnp.asarray(domain.occ, jnp.float32)
     dx = float(domain.dx)
     if dt is None:
