@@ -161,7 +161,7 @@ class BatchedAcoustics:
         n_bounce, config = self.max_bounces, cfg
         amb_of = jax.vmap(lambda e, d: ambisonic_ir(ImpulseResponse(e, d)))
 
-        if intersector == "pallas":
+        if intersector in ("pallas", "pallas_nee"):
             if mesh is not None:
                 raise ValueError(
                     "pallas + mesh batched serving is not implemented; "
@@ -173,15 +173,28 @@ class BatchedAcoustics:
                     "multi-listener kernel scan"
                 )
             from ..models.ir import fibonacci_sphere_sorted
-            from ..ops.pallas_trace import trace_irs_pallas_multi_listener
+            from ..ops.pallas_trace import (
+                trace_irs_pallas_multi_listener,
+                trace_irs_pallas_multi_listener_nee,
+            )
 
             dirs = jnp.asarray(fibonacci_sphere_sorted(self.n_rays))
             kw = dict(pallas_kw or {})
+            # "pallas_nee": multi-listener NEE IN-KERNEL — one path pass
+            # per listener chunk, VMEM-resident shadow/emission/binning
+            # per listener (the r2 16-stream bottleneck was the XLA NEE
+            # lanes' (L, R, T) HBM temporaries; the per-listener kernel
+            # scan instead re-ran the path pass L times)
+            trace_ml = (
+                trace_irs_pallas_multi_listener_nee
+                if intersector == "pallas_nee"
+                else trace_irs_pallas_multi_listener
+            )
 
             def _trace_all(arrays, srcs, listeners):
                 ambs = []
                 for i in range(n_src):
-                    ir = trace_irs_pallas_multi_listener(
+                    ir = trace_ml(
                         arrays, srcs[i], listeners, cfg=config,
                         max_bounces=n_bounce, dirs=dirs, **kw,
                     )

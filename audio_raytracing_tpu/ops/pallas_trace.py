@@ -241,7 +241,23 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   sg_coarse: int | None = None,
                   inc_origin: bool = False,
                   tid_fold: bool = False,
-                  hist_batch: int = 1):
+                  hist_batch: int = 1,
+                  n_listeners: int = 1):
+    # n_listeners > 1 (resident unrolled fused_hist kernel): multi-
+    # listener next-event estimation IN-KERNEL — the path pass runs
+    # once and the shadow/emission/histogram stages loop over C
+    # listeners (positions in an SMEM (C, 4) table, per-listener
+    # precomputed transformed origins in extra opl columns, per-listener
+    # histogram slices in one (C*n_coarse, pc*128) accumulator). This is
+    # the serving round's shape: the XLA shared-path tracer pays (L, R,
+    # T) HBM temporaries per NEE lane, the per-listener kernel scan
+    # re-runs the path pass L times; this runs it once and keeps the L
+    # shadow sweeps VMEM-resident (r2 VERDICT item 4).
+    if n_listeners > 1:
+        assert (fused_hist and not group_fori and not state_io
+                and not cull and not mxu_xform and winner_acc == 1
+                and not ablate and not tid_fold), (
+            "multi-listener NEE supports the resident unrolled kernel")
     # tid_fold (resident unrolled path only): the path-pass winner fold
     # carries (best_t, winning group id) — 2 arrays instead of
     # 2 + n_sel — and the winner's surface attributes are fetched after
@@ -353,6 +369,10 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     # amplitude; per-band air absorption is reconstructed from the bin
     # index outside the kernel, shrinking the binned payload from 7 to 4
     n_keep = 1 if (fused_hist and flat_bands) else N_BANDS
+    # multi-listener NEE: the (C, 4) listener-position SMEM table is the
+    # FIRST extra ref
+    if n_listeners > 1:
+        lref, refs = refs[0], refs[1:]
     # sg_cull (group_fori only): an SMEM (n_super, 8) supergroup-AABB
     # table precedes the other extra refs; each fori iteration's
     # fori_unroll-group block is skipped via lax.cond when the row's
@@ -395,7 +415,9 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             hist_out_ref, hist_ref, *iop_refs = out_refs
         else:
             hist_out_ref, hist_ref = out_refs
-        n_coarse = hist_ref.shape[0]
+        # multi-listener: the accumulator stacks C per-listener
+        # histograms — n_coarse is the PER-LISTENER row count
+        n_coarse = hist_ref.shape[0] // n_listeners
 
         @pl.when(pl.program_id(0) == 0)
         def _zero_hist():
@@ -671,9 +693,11 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 )
         return carry[0], list(carry[1:])
 
-    def shadow_pass(wx, wy, wz, preds=None):
+    def shadow_pass(wx, wy, wz, preds=None, o_base=0):
         """Listener->vertex segment test for a (1, 128) row. Constant
-        (precomputed) transformed origins; t <= 1 crosses. preds: optional
+        (precomputed) transformed origins at opl columns o_base..o_base+2
+        (0 = the single listener; multi-listener NEE passes each
+        listener's column base); t <= 1 crosses. preds: optional
         (n_groups, 1) runtime group skip.
 
         Returns a (1, 128) blocked mask — or, with transmission, a list of
@@ -693,9 +717,9 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 dpx = a00 * wx + a01 * wy + a02 * wz
                 dpy = a10 * wx + a11 * wy + a12 * wz
                 dpz = a20 * wx + a21 * wy + a22 * wz
-            opx = ocol(0) + 0.0 * wx
-            opy = ocol(1) + 0.0 * wx
-            opz = ocol(2) + 0.0 * wx
+            opx = ocol(o_base) + 0.0 * wx
+            opy = ocol(o_base + 1) + 0.0 * wx
+            opz = ocol(o_base + 2) + 0.0 * wx
             if shadow_divfree:
                 # division-free segment test (r2 VERDICT experiment 2a):
                 # unlike the path pass, the shadow test never needs t
@@ -812,7 +836,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             alive = 1.0 + 0.0 * dx  # f32 mask (i1 carries don't legalize)
 
         tb_prev = None
-        hist_pend = []
+        hist_pend = {}  # per-listener pending one-hot dot operands
         for b in ((None,) if state_io else range(max_bounces)):
             if cull:
                 o_bounds = [
@@ -922,153 +946,183 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 kc = jnp.where(min_t < inf, keep[c], 1.0)
                 amp[c] = amp[c] * jnp.where(alive > 0, kc, 1.0)
 
-            wx = vx - lx
-            wy = vy - ly
-            wz = vz - lz
-            if cull:
-                # segment t in [0, 1] from the listener point: reachable
-                # positions are [l + min(0, w_min), l + max(0, w_max)]
-                l_pt = (lx, ly, lz)
-                w_bounds = [
-                    (jnp.min(wx), jnp.max(wx)),
-                    (jnp.min(wy), jnp.max(wy)),
-                    (jnp.min(wz), jnp.max(wz)),
-                ]
-                o_b = [(l_pt[k], l_pt[k]) for k in range(3)]
-                r_lo = [jnp.minimum(w_bounds[k][0], 0.0) for k in range(3)]
-                r_hi = [jnp.maximum(w_bounds[k][1], 0.0) for k in range(3)]
-                sh_preds = bundle_preds(o_b, r_lo, r_hi)
-            else:
-                sh_preds = None
-            if "no_shadow" in ab:
-                sh_out = 0.0 * min_t  # ablation: every hit point visible
-            else:
-                sh_out = shadow_pass(wx, wy, wz, sh_preds)
-            if transmission:
-                # all alive rays emit; opaque crossings carry exp(-34.5)
-                # ~ 1e-15 amplitude (energy ~1e-30: nothing audible)
-                t_amp = [jnp.exp(t) for t in sh_out]
-                visible = alive > 0
-            else:
-                visible = (alive > 0) & (sh_out < 0.5)
+            # --- next-event estimation (per listener) --------------------
+            # C = 1 keeps the historical single-listener lowering (o_base
+            # 0, full-histogram accumulate); C > 1 loops the shadow/
+            # emission/binning stages over the SMEM listener table with
+            # per-listener opl columns and histogram slices — the path
+            # pass above ran ONCE for all of them.
+            def nee_one(lx_c, ly_c, lz_c, o_base_c, l_row):
+                wx = vx - lx_c
+                wy = vy - ly_c
+                wz = vz - lz_c
+                if cull:
+                    # segment t in [0, 1] from the listener point:
+                    # reachable is [l + min(0, w_min), l + max(0, w_max)]
+                    l_pt = (lx_c, ly_c, lz_c)
+                    w_bounds = [
+                        (jnp.min(wx), jnp.max(wx)),
+                        (jnp.min(wy), jnp.max(wy)),
+                        (jnp.min(wz), jnp.max(wz)),
+                    ]
+                    o_b = [(l_pt[k], l_pt[k]) for k in range(3)]
+                    r_lo = [jnp.minimum(w_bounds[k][0], 0.0) for k in range(3)]
+                    r_hi = [jnp.maximum(w_bounds[k][1], 0.0) for k in range(3)]
+                    sh_preds = bundle_preds(o_b, r_lo, r_hi)
+                else:
+                    sh_preds = None
+                if "no_shadow" in ab:
+                    sh_out = 0.0 * min_t  # ablation: every hit visible
+                else:
+                    sh_out = shadow_pass(wx, wy, wz, sh_preds,
+                                         o_base=o_base_c)
+                if transmission:
+                    # all alive rays emit; opaque crossings carry
+                    # exp(-34.5) ~ 1e-15 amplitude (energy ~1e-30)
+                    t_amp = [jnp.exp(t) for t in sh_out]
+                    visible = alive > 0
+                else:
+                    visible = (alive > 0) & (sh_out < 0.5)
 
-            if "no_emit" in ab:
-                # ablation: skip the listener-leg emission math; a bare
-                # amplitude still feeds the binning so downstream stages
-                # stay live
-                visf = visible.astype(jnp.float32)
-                e_base = amp[0] * amp[0] * inv_n * visf
-                es = [e_base] * n_keep if (fused_hist and flat_bands) else [
-                    e_base
-                ] * N_BANDS
-                e_dir = e_base
-                d_total = path
-                inv_dl = 1.0 + 0.0 * wx
-            else:
-                dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
-                inv_dl = 1.0 / jnp.maximum(dl, 1e-20)
-                wox, woy, woz = -wx * inv_dl, -wy * inv_dl, -wz * inv_dl
-                hx, hy, hz = wox - dx, woy - dy, woz - dz
-                ih = jax.lax.rsqrt(
-                    jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20)
-                )
-                ndw = nx * wox + ny * woy + nz * woz
-                ndh = (nx * hx + ny * hy + nz * hz) * ih
-                lam = jnp.abs(ndw) + spec_pow(jnp.maximum(ndh, 0.0))
-                d_total = path + dl
-                scale = lam / (d_total + 1.0)
-                visf = visible.astype(jnp.float32)
-                if fused_hist and flat_bands:
-                    # one amplitude, air absorption reconstructed from the
-                    # bin index outside the kernel (trace_ir_pallas);
-                    # direction weighted by the flat energy (rescaled
-                    # outside to match)
-                    a0 = amp[0] * scale
-                    if transmission:  # band-uniform tau required (caller)
-                        a0 = a0 * t_amp[0]
-                    e_base = a0 * a0 * inv_n * visf
-                    es = [e_base]
+                if "no_emit" in ab:
+                    # ablation: skip the listener-leg emission math; a
+                    # bare amplitude still feeds the binning so
+                    # downstream stages stay live
+                    visf = visible.astype(jnp.float32)
+                    e_base = amp[0] * amp[0] * inv_n * visf
+                    es = [e_base] * n_keep if (
+                        fused_hist and flat_bands
+                    ) else [e_base] * N_BANDS
                     e_dir = e_base
+                    d_total = path
+                    inv_dl = 1.0 + 0.0 * wx
                 else:
-                    es = []
-                    for c in range(N_BANDS):
-                        aab = aab_of(d_total, c)
-                        ac = amp[c] * scale * aab
-                        if transmission:
-                            ac = ac * t_amp[c]
-                        es.append(ac * ac * inv_n * visf)
-                    e_dir = (es[0] + es[1] + es[2] + es[3]) * (1.0 / N_BANDS)
-            bins = jnp.clip(d_total * spm_bps + 0.5, 0.0, n_bins - 1.0)
-            bins = jnp.where(visible, bins, n_bins).astype(jnp.int32)
-
-            chans = es + [
-                wx * inv_dl * e_dir,
-                wy * inv_dl * e_dir,
-                wz * inv_dl * e_dir,
-            ]
-            # dead/occluded rays can carry inf through the masked math
-            # (inf * 0 = NaN); a select passes clean zeros regardless
-            chans = [jnp.where(visible, c, 0.0) for c in chans]
-            if "no_hist" in ab:
-                # ablation: consume bins + every channel with one cheap
-                # (1, 128) accumulate instead of the one-hot MXU binning
-                acc1 = bins.astype(jnp.float32) * 1e-9
-                for c in chans:
-                    acc1 = acc1 + c
-                hist_ref[pl.ds(0, 1), pl.ds(0, LANES)] += acc1
-            elif fused_hist:
-                # in-kernel two-level one-hot binning on the MXU:
-                # H[coarse, c*128 + fine] += payload_c, all channels stacked
-                # into ONE dot_general. Occluded/dead lanes carry zeroed
-                # payloads, so a lane landing anywhere (incl. the sentinel
-                # bin n_bins) adds zeros. bf16 inputs (f32 MXU accumulate):
-                # ~4e-3 relative rounding, below the Monte-Carlo noise.
-                pc = len(chans)
-                coarse = bins // LANES  # (1, 128)
-                fine = bins - coarse * LANES
-                f_oh = (
-                    jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-                    == fine
-                ).astype(jnp.bfloat16)  # (128 fine, 128 rays)
-                b_all = jnp.concatenate(
-                    [f_oh * chans[c].astype(jnp.bfloat16) for c in range(pc)],
-                    axis=0,
-                )  # (pc*128, 128 rays)
-
-                a_oh = (
-                    jax.lax.broadcasted_iota(jnp.int32, (n_coarse, LANES), 0)
-                    == coarse
-                ).astype(jnp.bfloat16)  # (NC, 128 rays)
-                if hist_batch > 1 and not state_io:
-                    # batch the one-hot dots of `hist_batch` bounces into
-                    # one contraction (rays concatenate on K: H += sum
-                    # over bounces AND rays) so the (NC, pc*128) f32
-                    # accumulator is read-modified-written 1/batch as
-                    # often — the += traffic, not the MACs, is the
-                    # measured histogram cost
-                    hist_pend.append((a_oh, b_all))
-                    if len(hist_pend) == hist_batch or b + 1 == max_bounces:
-                        a_cat = jnp.concatenate(
-                            [p[0] for p in hist_pend], axis=1
+                    dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+                    inv_dl = 1.0 / jnp.maximum(dl, 1e-20)
+                    wox, woy, woz = -wx * inv_dl, -wy * inv_dl, -wz * inv_dl
+                    hx, hy, hz = wox - dx, woy - dy, woz - dz
+                    ih = jax.lax.rsqrt(
+                        jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20)
+                    )
+                    ndw = nx * wox + ny * woy + nz * woz
+                    ndh = (nx * hx + ny * hy + nz * hz) * ih
+                    lam = jnp.abs(ndw) + spec_pow(jnp.maximum(ndh, 0.0))
+                    d_total = path + dl
+                    scale = lam / (d_total + 1.0)
+                    visf = visible.astype(jnp.float32)
+                    if fused_hist and flat_bands:
+                        # one amplitude; air absorption reconstructed
+                        # from the bin index outside the kernel
+                        a0 = amp[0] * scale
+                        if transmission:  # band-uniform tau (caller)
+                            a0 = a0 * t_amp[0]
+                        e_base = a0 * a0 * inv_n * visf
+                        es = [e_base]
+                        e_dir = e_base
+                    else:
+                        es = []
+                        for c in range(N_BANDS):
+                            aab = aab_of(d_total, c)
+                            ac = amp[c] * scale * aab
+                            if transmission:
+                                ac = ac * t_amp[c]
+                            es.append(ac * ac * inv_n * visf)
+                        e_dir = (es[0] + es[1] + es[2] + es[3]) * (
+                            1.0 / N_BANDS
                         )
-                        b_cat = jnp.concatenate(
-                            [p[1] for p in hist_pend], axis=1
-                        )
-                        hist_ref[...] += jax.lax.dot_general(
-                            a_cat, b_cat, (((1,), (1,)), ((), ())),
+                bins = jnp.clip(d_total * spm_bps + 0.5, 0.0, n_bins - 1.0)
+                bins = jnp.where(visible, bins, n_bins).astype(jnp.int32)
+
+                chans = es + [
+                    wx * inv_dl * e_dir,
+                    wy * inv_dl * e_dir,
+                    wz * inv_dl * e_dir,
+                ]
+                # dead/occluded rays can carry inf through the masked
+                # math (inf * 0 = NaN); a select passes clean zeros
+                chans = [jnp.where(visible, c, 0.0) for c in chans]
+                if "no_hist" in ab:
+                    # ablation: consume bins + channels with one cheap
+                    # (1, 128) accumulate instead of the one-hot binning
+                    acc1 = bins.astype(jnp.float32) * 1e-9
+                    for c in chans:
+                        acc1 = acc1 + c
+                    hist_ref[pl.ds(0, 1), pl.ds(0, LANES)] += acc1
+                elif fused_hist:
+                    # in-kernel two-level one-hot binning on the MXU:
+                    # H[coarse, c*128 + fine] += payload_c, all channels
+                    # stacked into ONE dot_general. Occluded/dead lanes
+                    # carry zeroed payloads, so a lane landing anywhere
+                    # (incl. the sentinel bin n_bins) adds zeros. bf16
+                    # inputs (f32 MXU accumulate): ~4e-3 relative
+                    # rounding, below the Monte-Carlo noise.
+                    pc = len(chans)
+                    coarse = bins // LANES  # (1, 128)
+                    fine = bins - coarse * LANES
+                    f_oh = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (LANES, LANES), 0
+                        ) == fine
+                    ).astype(jnp.bfloat16)  # (128 fine, 128 rays)
+                    b_all = jnp.concatenate(
+                        [f_oh * chans[c].astype(jnp.bfloat16)
+                         for c in range(pc)],
+                        axis=0,
+                    )  # (pc*128, 128 rays)
+
+                    a_oh = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (n_coarse, LANES), 0
+                        ) == coarse
+                    ).astype(jnp.bfloat16)  # (NC, 128 rays)
+                    r0 = l_row * n_coarse
+
+                    def _acc(h):
+                        if n_listeners > 1:
+                            hist_ref[r0:r0 + n_coarse, :] += h
+                        else:
+                            hist_ref[...] += h
+
+                    if hist_batch > 1 and not state_io:
+                        # batch the one-hot dots of `hist_batch` bounces
+                        # into one contraction (rays concatenate on K:
+                        # H += sum over bounces AND rays) so the
+                        # (NC, pc*128) f32 accumulator is read-modified-
+                        # written 1/batch as often — the += traffic, not
+                        # the MACs, is the measured histogram cost
+                        pend = hist_pend.setdefault(l_row, [])
+                        pend.append((a_oh, b_all))
+                        if len(pend) == hist_batch or b + 1 == max_bounces:
+                            a_cat = jnp.concatenate(
+                                [p[0] for p in pend], axis=1
+                            )
+                            b_cat = jnp.concatenate(
+                                [p[1] for p in pend], axis=1
+                            )
+                            _acc(jax.lax.dot_general(
+                                a_cat, b_cat, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ))
+                            pend.clear()
+                    else:
+                        h = jax.lax.dot_general(
+                            a_oh, b_all, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                        )
-                        hist_pend.clear()
+                        )  # (NC, pc*128)
+                        _acc(h)
                 else:
-                    h = jax.lax.dot_general(
-                        a_oh, b_all, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (NC, pc*128)
-                    hist_ref[...] += h
+                    bins_ref[b, pl.ds(r, 1), :] = bins
+                    for c in range(PAYLOAD_C):
+                        payload_ref[b, c, pl.ds(r, 1), :] = chans[c]
+
+            if n_listeners > 1:
+                for li_ in range(n_listeners):
+                    nee_one(
+                        lref[li_, 0], lref[li_, 1], lref[li_, 2],
+                        0 if li_ == 0 else 6 + 3 * (li_ - 1), li_,
+                    )
             else:
-                bins_ref[b, pl.ds(r, 1), :] = bins
-                for c in range(PAYLOAD_C):
-                    payload_ref[b, c, pl.ds(r, 1), :] = chans[c]
+                nee_one(lx, ly, lz, 0, 0)
 
             if state_io or b + 1 < max_bounces:
                 two_ndd = 2.0 * (nx * dx + ny * dy + nz * dz)
@@ -2112,9 +2166,18 @@ def trace_contributions_pallas(
     wavefront: bool | None = None, sg_unroll: int | None = None,
     sg_coarse: int | None = None, n_true: int | None = None,
     inc_origin: bool = False, tid_fold: bool = False,
-    hist_batch: int = 1,
+    hist_batch: int = 1, listeners=None,
 ):
     """Run the fused kernel.
+
+    listeners: optional (C, 3) — multi-listener NEE in ONE kernel: the
+    path pass runs once and the shadow/emission/binning stages loop over
+    the C listeners in-kernel (SMEM positions, per-listener precomputed
+    shadow origins, per-listener histogram slices). `listener` is then
+    ignored. Returns (C, n_bins, pc). Resident unrolled fused_hist
+    kernel only. VMEM grows by C histogram accumulators (C * n_coarse *
+    pc * 512 B) — chunk large listener batches with
+    trace_irs_pallas_multi_listener_nee.
 
     hist_batch (resident fused_hist kernel): concatenate the one-hot
     operands of N bounces along the ray (contraction) axis and update
@@ -2289,15 +2352,32 @@ def trace_contributions_pallas(
         # tris, 4096 beyond (786k driven at 2.69 s / 7.7e10 tests/s).
         stream_tris = 8192 if T <= (1 << 18) else 4096
     # constant-origin transformed origins per triangle: A @ p + b for the
-    # listener (shadow pass, cols 0:3) and the source (bounce 0, cols 3:6)
+    # listener (shadow pass, cols 0:3) and the source (bounce 0, cols
+    # 3:6); multi-listener NEE appends listener c >= 1 at cols 6 + 3(c-1)
     a_mat = tri[:, _A : _A + 9].reshape(T, 3, 3)
-    pts = jnp.stack(
-        [jnp.asarray(listener, jnp.float32), jnp.asarray(source, jnp.float32)]
-    )  # (2, 3)
+    n_listeners = 1
+    if listeners is not None:
+        listeners = jnp.asarray(listeners, jnp.float32).reshape(-1, 3)
+        n_listeners = int(listeners.shape[0])
+        listener = listeners[0]
+    if n_listeners > 1:
+        pts = jnp.concatenate(
+            [listeners[:1], jnp.asarray(source, jnp.float32)[None],
+             listeners[1:]], axis=0,
+        )  # (C + 1, 3)
+    else:
+        pts = jnp.stack(
+            [jnp.asarray(listener, jnp.float32),
+             jnp.asarray(source, jnp.float32)]
+        )  # (2, 3)
     op2 = jnp.einsum(
         "tij,pj->tpi", a_mat, pts, precision=jax.lax.Precision.HIGHEST,
-    ) + tri[:, None, _B : _B + 3]  # (T, 2, 3)
-    opl = jnp.pad(op2.reshape(T, 6), ((0, 0), (0, 2)))  # (T, 8)
+    ) + tri[:, None, _B : _B + 3]  # (T, P, 3)
+    opl_w = -(-(3 * pts.shape[0]) // 8) * 8
+    opl = jnp.pad(
+        op2.reshape(T, 3 * pts.shape[0]),
+        ((0, 0), (0, opl_w - 3 * pts.shape[0])),
+    )  # (T, opl_w)
 
     src = jnp.asarray(source, jnp.float32)
     lst = jnp.asarray(listener, jnp.float32)
@@ -2398,7 +2478,7 @@ def trace_contributions_pallas(
         pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, TRI_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, opl_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T // TRI_GROUP, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     if group_fori is None:
@@ -2834,16 +2914,18 @@ def trace_contributions_pallas(
             n_bins, pc
         )
 
-    if (inc_origin or tid_fold) and not (
+    if (inc_origin or tid_fold or n_listeners > 1) and not (
         fused_hist and not group_fori and not cull and not mxu_xform
         and winner_acc == 1 and not ablate and stream_tris is None
         and not wavefront and not ray_major
     ):
         raise ValueError(
-            "inc_origin/tid_fold support the resident unrolled fused_hist "
-            "kernel only (no group_fori/cull/mxu_xform/winner_acc/ablate/"
-            "stream_tris/wavefront/ray_major)"
+            "inc_origin/tid_fold/listeners support the resident unrolled "
+            "fused_hist kernel only (no group_fori/cull/mxu_xform/"
+            "winner_acc/ablate/stream_tris/wavefront/ray_major)"
         )
+    if n_listeners > 1 and tid_fold:
+        raise ValueError("listeners excludes the tid_fold experiment")
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
@@ -2855,14 +2937,21 @@ def trace_contributions_pallas(
         sg_cull=sg_cull, shadow_divfree=shadow_divfree,
         winner_acc=winner_acc, ablate=ablate, sg_unroll=sg_unroll, sg_coarse=sg_coarse,
         inc_origin=inc_origin, tid_fold=tid_fold, hist_batch=hist_batch,
+        n_listeners=n_listeners,
     )
-    args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + sg_args + w_args
+    l_args = ()
+    if n_listeners > 1:
+        # (C, 4) SMEM listener-position table — the FIRST extra ref
+        l_args = (jnp.pad(listeners, ((0, 0), (0, 1))),)
+        in_specs.insert(7, pl.BlockSpec(memory_space=pltpu.SMEM))
+    args = (scalars, dxyz[0], dxyz[1], dxyz[2], tri, opl, gaabb) + l_args + sg_args + w_args
     if fused_hist:
         pc = PAYLOAD_C_FLAT if flat_bands else PAYLOAD_C
         n_bins = cfg.ir_n_bins
         assert n_bins % LANES == 0, n_bins
         n_coarse = n_bins // LANES
-        scratch = [pltpu.VMEM((n_coarse, pc * LANES), jnp.float32)]
+        hist_rows = n_listeners * n_coarse
+        scratch = [pltpu.VMEM((hist_rows, pc * LANES), jnp.float32)]
         if inc_origin:
             scratch += [
                 pltpu.VMEM((SUBLANES, T, LANES), jnp.float32)
@@ -2873,14 +2962,19 @@ def trace_contributions_pallas(
             grid=(rows // SUBLANES,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (n_coarse, pc * LANES), lambda i: (0, 0),
+                (hist_rows, pc * LANES), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((n_coarse, pc * LANES), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((hist_rows, pc * LANES), jnp.float32),
             scratch_shapes=scratch,
             interpret=interpret,
         )(*args)
-        # H[coarse, c*128 + fine] -> (n_bins, C)
+        # H[coarse, c*128 + fine] -> (n_bins, C) (leading listener axis
+        # in multi-listener mode)
+        if n_listeners > 1:
+            return hist.reshape(
+                n_listeners, n_coarse, pc, LANES
+            ).transpose(0, 1, 3, 2).reshape(n_listeners, n_bins, pc)
         return hist.reshape(n_coarse, pc, LANES).transpose(0, 2, 1).reshape(
             n_bins, pc
         )
@@ -3107,6 +3201,50 @@ def trace_irs_pallas_multi(
             (sources.shape[0], 3),
         )
 
+    # fast path for the fused-histogram kernel: the scan body is the
+    # KERNEL ONLY — flat-band reconstruction, the direct-path IR, and
+    # the payload transpose run ONCE, batched over all S sources, after
+    # the scan (they were measured as per-step glue diluting the r3
+    # kernel gains: the kernel got ~3.5 ms/trace faster single-dispatch
+    # but only ~2.0 in the scan). Non-fused/experimental modes keep the
+    # per-source trace_ir_pallas body.
+    fast = (
+        fused_hist and not cull and src_directivity is None
+        and not wavefront
+    )
+    if fast:
+        from ..models.ir import _air_amplitude, direct_ir
+
+        def one(_, src):
+            seg = trace_contributions_pallas(
+                scene_arrays, src, listener, dirs, cfg=cfg,
+                max_bounces=max_bounces, interpret=interpret,
+                fused_hist=True, flat_bands=flat_bands, n_true=n_true,
+                inc_origin=inc_origin, hist_batch=hist_batch,
+            )
+            return None, seg
+
+        _, segs = jax.lax.scan(one, None, sources)  # (S, n_bins, pc)
+        if flat_bands:
+            d_bin = jnp.arange(cfg.ir_n_bins, dtype=jnp.float32) / (
+                cfg.samples_per_meter * cfg.ir_bins_per_sample
+            )
+            aab2 = _air_amplitude(d_bin, cfg) ** 2  # (n_bins, n_bands)
+            energy = (segs[:, :, :1] * aab2[None]).transpose(0, 2, 1)
+            dir_sum = (
+                segs[:, :, 1:] * jnp.mean(aab2, axis=1)[None, :, None]
+            ).transpose(0, 2, 1)
+        else:
+            energy = segs[:, :, :N_BANDS].transpose(0, 2, 1)
+            dir_sum = segs[:, :, N_BANDS:].transpose(0, 2, 1)
+        if include_direct:
+            d = jax.vmap(
+                lambda s: direct_ir(scene_arrays, s, listener, cfg=cfg)
+            )(sources)
+            energy = energy + d.energy
+            dir_sum = dir_sum + d.dir_sum
+        return ImpulseResponse(energy=energy, dir_sum=dir_sum)
+
     def one(_, inp):
         src = inp[0] if src_directivity is not None else inp
         ir = trace_ir_pallas(
@@ -3169,6 +3307,96 @@ def trace_irs_pallas_multi_listener(
 
     _, irs = jax.lax.scan(one, None, jnp.asarray(listeners, jnp.float32))
     return ImpulseResponse(energy=irs.energy, dir_sum=irs.dir_sum)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
+                     "interpret", "flat_bands", "listener_chunk", "n_true",
+                     "inc_origin", "hist_batch"),
+)
+def trace_irs_pallas_multi_listener_nee(
+    scene_arrays,
+    source,
+    listeners,
+    cfg: Config = DEFAULT_CONFIG,
+    n_rays: int | None = None,
+    max_bounces: int | None = None,
+    dirs=None,
+    include_direct: bool = True,
+    interpret: bool = False,
+    flat_bands: bool = False,
+    listener_chunk: int = 4,
+    n_true: int | None = None,
+    inc_origin: bool = False,
+    hist_batch: int = 1,
+):
+    """All listeners' IRs with IN-KERNEL multi-listener NEE: the fused
+    kernel's path pass runs once per chunk of ``listener_chunk``
+    listeners while the shadow/emission/binning stages loop over the
+    chunk inside the kernel (VMEM-resident — no (L, R, T) HBM
+    temporaries like models.ir.trace_ir_multi_listener's vmapped NEE,
+    no L repeated path passes like trace_irs_pallas_multi_listener's
+    scan). listeners: (L, 3), padded up to a chunk multiple internally.
+    Returns stacked ImpulseResponse (L, n_bands/3, n_bins).
+
+    listener_chunk bounds the kernel's VMEM: each chunk listener adds
+    one (n_bins/128, pc*128) f32 histogram accumulator (512 KB at
+    n_bins=32768 flat) plus a shadow/emission stage per (row, bounce).
+    """
+    from ..models.ir import (
+        ImpulseResponse,
+        _air_amplitude,
+        direct_ir,
+        fibonacci_sphere_sorted,
+    )
+
+    n_rays = n_rays or cfg.rays_per_source
+    if dirs is None:
+        dirs = jnp.asarray(fibonacci_sphere_sorted(n_rays))
+    listeners = jnp.asarray(listeners, jnp.float32).reshape(-1, 3)
+    L = int(listeners.shape[0])
+    C = max(1, min(int(listener_chunk), L))
+    n_chunks = -(-L // C)
+    pad = n_chunks * C - L
+    lst_p = (
+        jnp.concatenate(
+            [listeners, jnp.broadcast_to(listeners[-1:], (pad, 3))]
+        )
+        if pad
+        else listeners
+    )
+    segs = []
+    for k in range(n_chunks):
+        chunk = lst_p[k * C : (k + 1) * C]
+        seg = trace_contributions_pallas(
+            scene_arrays, source, chunk[0], dirs, cfg=cfg,
+            max_bounces=max_bounces, interpret=interpret, fused_hist=True,
+            flat_bands=flat_bands, n_true=n_true, inc_origin=inc_origin,
+            hist_batch=hist_batch,
+            listeners=chunk if C > 1 else None,
+        )
+        segs.append(seg if C > 1 else seg[None])
+    seg = jnp.concatenate(segs, axis=0)[:L]  # (L, n_bins, pc)
+    if flat_bands:
+        d_bin = jnp.arange(cfg.ir_n_bins, dtype=jnp.float32) / (
+            cfg.samples_per_meter * cfg.ir_bins_per_sample
+        )
+        aab2 = _air_amplitude(d_bin, cfg) ** 2  # (n_bins, n_bands)
+        energy = (seg[:, :, :1] * aab2[None]).transpose(0, 2, 1)
+        dir_sum = (
+            seg[:, :, 1:] * jnp.mean(aab2, axis=1)[None, :, None]
+        ).transpose(0, 2, 1)
+    else:
+        energy = seg[:, :, :N_BANDS].transpose(0, 2, 1)
+        dir_sum = seg[:, :, N_BANDS:].transpose(0, 2, 1)
+    if include_direct:
+        d = jax.vmap(
+            lambda l: direct_ir(scene_arrays, source, l, cfg=cfg)
+        )(listeners)
+        energy = energy + d.energy
+        dir_sum = dir_sum + d.dir_sum
+    return ImpulseResponse(energy=energy, dir_sum=dir_sum)
 
 
 def trace_ir_pallas_ensemble(

@@ -16,7 +16,12 @@ queue. Two update architectures:
   dispatch queue cost per round is ~constant in N.
 
 Run: python benchmarks/bench_serving.py [seconds=10] [max_streams=4]
-     [--batched] [--mxu | --kernel] [--only=N]
+     [--batched] [--mxu | --kernel | --nee] [--only=N]
+--nee runs the batched trace through the in-kernel multi-listener NEE
+(trace_irs_pallas_multi_listener_nee: ONE path pass per 4-listener
+chunk, VMEM-resident per-listener shadow/emission/binning — neither the
+XLA route's (L, R, T) HBM temporaries nor the --kernel scan's L
+repeated path passes).
 --mxu runs the batched coordinator's shared-path trace through the MXU
 Woop intersector (measured MIXED vs mt — RESULTS.md). --kernel runs it
 through the fused Pallas kernel (a lax.scan of full traces over the
@@ -57,6 +62,10 @@ def main():
         isect = "mxu"
     elif "--kernel" in sys.argv[1:]:
         isect = "pallas"
+    elif "--nee" in sys.argv[1:]:
+        # in-kernel multi-listener NEE: one path pass per 4-listener
+        # chunk, VMEM-resident shadow/emit/binning per listener
+        isect = "pallas_nee"
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):

@@ -309,3 +309,41 @@ def test_run_walkthrough_accepts_batched_handle():
     assert stats["frames_written"] == n_blocks * CFG.block_size
     assert stats["updates"] >= 1
     assert stats["retraces"] >= 1
+
+
+def test_batched_serving_pallas_nee_route():
+    """intersector='pallas_nee' (interpret mode on CPU): the in-kernel
+    multi-listener NEE — one path pass per listener chunk — feeds the
+    same spectra as solo pallas streams, across a chunk boundary
+    (3 streams, chunk 2)."""
+    scene = make_scene()
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=1024, max_bounces=2,
+        intersector="pallas_nee",
+        pallas_kw={"interpret": True, "listener_chunk": 2},
+        coalesce_s=0.0,
+    )
+    poses3 = POSES + [(np.float32([1.2, 0.3, -0.8]), 1.1)]
+    renderers, handles = [], []
+    for _ in range(3):
+        r = IRStreamRenderer(scene, CFG, n_rays=1024, max_bounces=2,
+                             intersector="pallas", pallas_interpret=True)
+        r.add_source(tone(), pos=SRC)
+        handles.append(coord.stream(r))
+        renderers.append(r)
+    coord.warmup(poses3)
+    for h, (pos, yaw) in zip(handles, poses3):
+        h.request(pos, yaw=yaw)
+    coord._round()
+    for r, (pos, yaw) in zip(renderers, poses3):
+        solo = IRStreamRenderer(scene, CFG, n_rays=1024, max_bounces=2,
+                                intersector="pallas", pallas_interpret=True)
+        solo.add_source(tone(), pos=SRC)
+        solo.update(pos, yaw=yaw)
+        for got, want in zip(r._spectra, solo._spectra):
+            # the vmapped direct_ir rounds one element differently from
+            # the scalar path (f32 association): rtol 2e-4
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-4, atol=5e-7
+            )
