@@ -69,7 +69,6 @@ def main():
         "kernel": lambda lst: trace_irs_pallas_multi_listener(
             arrays, src + 0.0001 * next(it), lst, cfg=cfg,
             max_bounces=bounces, dirs=dirs, flat_bands=True, n_true=114,
-            inc_origin=True,
         ),
         "nee": lambda lst: trace_irs_pallas_multi_listener_nee(
             arrays, src + 0.0001 * next(it), lst, cfg=cfg,
