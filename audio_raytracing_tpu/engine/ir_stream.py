@@ -115,17 +115,39 @@ def _stream_block(x, state, spectra_old, spectra_new, crossfade):
     return jnp.sum(y, axis=0).T, new_state  # (B, n_out)
 
 
-@jax.jit
-def _stream_blocks(xs, state, spectra_old, spectra_new, crossfade_first):
-    """K blocks in ONE dispatch: lax.scan of _stream_block over the chunk
-    (the crossfade, if pending, applies to the first block only — same
-    semantics as K sequential render_block calls). Matters through the
-    remote relay, where every dispatch costs a ~25-40 ms round trip: the
-    per-block live-serving path was relay-bound at 64 dispatches per
-    64-block chunk (measured realtime_factor 0.08 in the walkthrough);
-    one scanned dispatch per chunk makes the stream real-time-capable.
-    xs: (K, S, n_out, B) -> ((K, B, n_out), new_state)."""
-    fades = jnp.zeros(xs.shape[0], bool).at[0].set(crossfade_first)
+@partial(jax.jit, static_argnames=("K", "B", "n_out"))
+def _stream_blocks(dry, src_len, src_loop, cursor, state,
+                   spectra_old, spectra_new, crossfade_first,
+                   K: int, B: int, n_out: int):
+    """K blocks in ONE dispatch: device-side chunk assembly + a
+    lax.scan of _stream_block over the chunk (the crossfade, if
+    pending, applies to the first block only — same semantics as K
+    sequential render_block calls). Matters twice through the remote
+    relay: (a) the per-block live path was relay-bound at 64 dispatches
+    per 64-block chunk (measured realtime_factor 0.08 in the
+    walkthrough) — one scanned dispatch fixes that; (b) the chunk's dry
+    blocks used to be assembled on the HOST (numpy fancy-indexed
+    loop-wrap per source, reshape/transpose, an eager n_out-broadcast
+    dispatch, a (S, K*B)-float transfer) — measurable per-chunk CPU
+    that serializes under the GIL when 16 concurrent serving streams
+    render on a 1-core host (benchmarks/bench_serving.py). Now a chunk
+    is described by ONE int32 cursor: per-source gather, loop
+    wrap/one-shot zero-pad, and channel broadcast all run inside this
+    dispatch. Bit-identical to the host assembly (same indices, same
+    f32 values; int32 cursor bounds a stream at 2^31 samples ~ 13.5 h).
+
+    dry (S, N) padded per-source samples * gain; src_len (S,) int32
+    per-source true lengths; src_loop (S,) bool -> (ys (K, B, n_out),
+    new_state)."""
+    pos = cursor + jnp.arange(K * B, dtype=jnp.int32)  # (K*B,)
+    idx = pos[None, :] % src_len[:, None]  # (S, K*B) in-range gather
+    vals = jnp.take_along_axis(dry, idx, axis=1)
+    live = src_loop[:, None] | (pos[None, :] < src_len[:, None])
+    blocks = jnp.where(live, vals, jnp.float32(0.0))
+    S = dry.shape[0]
+    xs = blocks.reshape(S, K, B).transpose(1, 0, 2)[:, :, None, :]
+    xs = jnp.broadcast_to(xs, (K, S, n_out, B))
+    fades = jnp.zeros(K, bool).at[0].set(crossfade_first)
 
     def body(st, inp):
         x, fade = inp
@@ -241,14 +263,22 @@ class IRStreamRenderer:
             }
         )
         n = max(len(s["samples"]) for s in self._sources)
-        # host-side arena: block slicing happens on the host (a device
-        # round trip per 2.9 ms block would dwarf the convolution)
         self._dry = np.stack(
             [
                 np.pad(s["samples"] * s["gain"], (0, n - len(s["samples"])))
                 for s in self._sources
             ]
         ).astype(np.float32)
+        # device arena: render chunks gather their dry blocks ON DEVICE
+        # from an int32 cursor (_stream_blocks) — one transfer here, no
+        # per-chunk host assembly (the 16-stream serving host is 1-core)
+        self._dry_dev = jnp.asarray(self._dry)
+        self._src_len_dev = jnp.asarray(
+            [len(s["samples"]) for s in self._sources], jnp.int32
+        )
+        self._src_loop_dev = jnp.asarray(
+            [s["loop"] for s in self._sources], bool
+        )
         self._spectra = None  # force re-trace
         self._amb_cache = None
         self._trace_key = None
@@ -438,56 +468,23 @@ class IRStreamRenderer:
         """One 128-sample block — (B, 2) stereo, or (B, n_spk) feeds when
         constructed with speaker_dirs; crossfades on the first block after
         an update()."""
-        if self._spectra is None:
-            raise RuntimeError("call update() once before rendering")
-        cfg = self.cfg
-        B = cfg.block_size
-        S = self._dry.shape[0]
-        pos = self._cursor + np.arange(B)
-        blocks = np.zeros((S, B), np.float32)
-        for i, s in enumerate(self._sources):
-            m = len(s["samples"])  # wrap at each source's OWN length
-            if s["loop"]:
-                blocks[i] = self._dry[i, pos % m]
-            else:
-                valid = pos < m
-                blocks[i, valid] = self._dry[i, pos[valid]]
-        x = jnp.asarray(blocks)[:, None, :].repeat(self.n_out, axis=1)  # (S, n_out, B)
-        with profiling.span("ir_stream_block"):
-            y, self._conv_state = _stream_block(
-                x, self._conv_state, self._spectra_prev, self._spectra,
-                jnp.asarray(self._pending_fade),
-            )
-        self._pending_fade = False
-        self._cursor += B
-        return np.asarray(y)
+        return self.render(self.cfg.block_size)
 
     def render(self, n_samples: int) -> np.ndarray:
-        """ceil(n/B) blocks in ONE device dispatch (_stream_blocks scan);
-        bit-identical to repeated render_block calls."""
+        """ceil(n/B) blocks in ONE device dispatch (_stream_blocks:
+        cursor-driven on-device chunk assembly + convolution scan);
+        bit-identical to repeated single-block calls."""
         if self._spectra is None:
             raise RuntimeError("call update() once before rendering")
-        cfg = self.cfg
-        B = cfg.block_size
+        B = self.cfg.block_size
         K = -(-n_samples // B)
-        S = self._dry.shape[0]
-        pos = self._cursor + np.arange(K * B)
-        blocks = np.zeros((S, K * B), np.float32)
-        for i, s in enumerate(self._sources):
-            m = len(s["samples"])
-            if s["loop"]:
-                blocks[i] = self._dry[i, pos % m]
-            else:
-                valid = pos < m
-                blocks[i, valid] = self._dry[i, pos[valid]]
-        # (S, K*B) -> (K, S, n_out, B)
-        xs = jnp.asarray(
-            blocks.reshape(S, K, B).transpose(1, 0, 2)
-        )[:, :, None, :].repeat(self.n_out, axis=2)
         with profiling.span("ir_stream_chunk"):
             ys, self._conv_state = _stream_blocks(
-                xs, self._conv_state, self._spectra_prev, self._spectra,
-                jnp.asarray(self._pending_fade),
+                self._dry_dev, self._src_len_dev, self._src_loop_dev,
+                np.int32(self._cursor), self._conv_state,
+                self._spectra_prev, self._spectra,
+                np.bool_(self._pending_fade),
+                K=K, B=B, n_out=self.n_out,
             )
         self._pending_fade = False
         self._cursor += K * B

@@ -53,7 +53,7 @@ from ..models.ir import (
     trace_ir_multi_listener,
 )
 from ..utils import quat
-from .ir_stream import _respectra
+from .ir_stream import _respectra, _respectra_speakers
 
 
 class _StreamHandle:
@@ -70,6 +70,7 @@ class _StreamHandle:
         self.lock = threading.Lock()  # spectra swap vs stream read
         self._pose = None  # (pos f32[3], yaw, pitch) — last requested
         self._dirty = False
+        self._pending = None  # mailbox: (pos, yaw, pitch, amb, spectra)
         self.updates = 0
         self.retraces = 0
 
@@ -79,8 +80,39 @@ class _StreamHandle:
         self._dirty = True
         self.coord._evt.set()
 
+    def _publish(self, pos, yaw, pitch, amb, spectra) -> None:
+        """Hand a finished round result to the stream WITHOUT blocking on
+        its lock. The stream's render thread holds `lock` for the whole
+        chunk dispatch (tens of ms through a relay); a round that waited
+        on N of those in sequence serialized the whole cohort (measured
+        ~444 ms/round at 16 streams — the r3 cadence ceiling). Mailbox
+        semantics instead (the reference's triple-buffer idea,
+        main.zig:518-521 / native/mailbox.cpp): overwrite the single
+        pending slot (freshest wins), adopt NOW if the stream is idle,
+        else let its next render() adopt at the block boundary."""
+        self._pending = (pos, yaw, pitch, amb, spectra)
+        if self.lock.acquire(blocking=False):
+            try:
+                self._adopt_locked()
+            finally:
+                self.lock.release()
+
+    def _adopt_locked(self) -> None:
+        """Apply the pending update (caller holds `lock`). Pure
+        bookkeeping + reference swaps — microseconds; the device work
+        (trace + respectra) already happened on the round thread."""
+        p = self._pending
+        if p is None:
+            return
+        self._pending = None
+        pos, yaw, pitch, amb, spectra = p
+        self.r.apply_traced(pos, yaw, pitch, amb, spectra)
+        self.updates += 1
+        self.retraces += bool(self.r.last_update_retraced)
+
     def render(self, n: int) -> np.ndarray:
         with self.lock:
+            self._adopt_locked()
             return self.r.render(n)
 
     def __enter__(self):
@@ -113,7 +145,8 @@ class BatchedAcoustics:
                  max_bounces: int | None = None, intersector: str = "mt",
                  src_directivities=None, coalesce_s: float = 0.02,
                  mesh=None, pallas_kw=None,
-                 batch_respectra: bool | None = None):
+                 batch_respectra: bool | None = None,
+                 round_interval_s: float = 0.2):
         """intersector: "mt"/"mxu" use the shared-path XLA tracer (one path
         pass + L NEE lanes — the cheapest round); "pallas" scans the fused
         kernel over the listener batch (ops/pallas_trace.py::
@@ -132,7 +165,18 @@ class BatchedAcoustics:
         dispatches were the measured next bottleneck after the batched
         trace). None = auto: on when every stream is plain binaural
         stereo sharing one HRTF; True asserts that; False keeps
-        per-stream update() respectras."""
+        per-stream update() respectras.
+
+        round_interval_s: minimum wall time between acoustic rounds. The
+        device is SHARED with every stream's per-chunk render dispatch;
+        an unpaced loop re-traces the moment the previous round's
+        dispatches drain (streams request poses every frame, so the
+        event is always set) and starves the audio renders — measured at
+        16 streams: 7.4 rounds/s drove every stream to 0.72x realtime,
+        ~2000 underruns each. 0.2 s = the ~5 Hz acoustic cadence the
+        solo walkthrough measures (and well under the reference's
+        per-frame intent, main.zig:518-521 — acoustics there also run
+        at game-loop rate, not audio rate)."""
         self.cfg = cfg
         self._arrays = scene_arrays
         self._srcs = jnp.asarray(
@@ -149,6 +193,7 @@ class BatchedAcoustics:
         # window batch into a single round (streams request at the block
         # cadence, so a few ms catches a whole cohort)
         self.coalesce_s = coalesce_s
+        self.round_interval_s = round_interval_s
         self._handles: list[_StreamHandle] = []
         self._evt = threading.Event()
         self._stop_evt = threading.Event()
@@ -358,32 +403,41 @@ class BatchedAcoustics:
         if self._respectra_cohort != len(handles):
             self._setup_respectra()
         if self._respectra_all is not None:
-            # 2 dispatches per round total: per-stream updates below are
+            # 2 dispatches per round total: per-stream adoption below is
             # pure bookkeeping + an atomic swap
             re, im = self._respectra_all(amb, self._orients(handles))
             for i, h in enumerate(handles):
                 if not dirty[i]:
                     continue
                 pos, yaw, pitch = h._pose
-                h.r.apply_traced(pos, yaw, pitch, amb[i], (re[i], im[i]),
-                                 swap_lock=h.lock)
-                h.updates += 1
-                h.retraces += bool(h.r.last_update_retraced)
+                h._publish(pos, yaw, pitch, amb[i], (re[i], im[i]))
         else:
             for i, h in enumerate(handles):
                 if not dirty[i]:
                     continue
                 pos, yaw, pitch = h._pose
-                h.r.update(pos, yaw=yaw, pitch=pitch, swap_lock=h.lock,
-                           traced_amb=amb[i])
-                h.updates += 1
-                h.retraces += bool(h.r.last_update_retraced)
+                # respectra on THIS thread (a device dispatch — never on
+                # the audio thread), swap deferred through the mailbox
+                orient = jnp.asarray(quat.quat_from_roll_pitch_yaw(
+                    np.float32(pitch), np.float32(yaw), np.float32(0.0)
+                ))
+                if h.r._decoder is not None:
+                    spectra = _respectra_speakers(
+                        amb[i], orient, h.r._decoder, self.cfg.block_size
+                    )
+                else:
+                    spectra = _respectra(
+                        amb[i], orient, h.r.hrtf_l, h.r.hrtf_r,
+                        self.cfg.block_size,
+                    )
+                h._publish(pos, yaw, pitch, amb[i], spectra)
         self.rounds += 1
 
     def _loop(self) -> None:
         while not self._stop_evt.is_set():
             if not self._evt.wait(timeout=0.02):
                 continue
+            t0 = time.monotonic()  # pace from cycle start, coalesce included
             if self.coalesce_s:
                 time.sleep(self.coalesce_s)
             self._evt.clear()
@@ -392,6 +446,11 @@ class BatchedAcoustics:
             except Exception as e:  # noqa: BLE001 — surface, don't hang streams
                 self.error = e
                 return
+            # pace: leave the device to the streams' render dispatches
+            # until the next acoustic deadline (see round_interval_s)
+            spare = self.round_interval_s - (time.monotonic() - t0)
+            if spare > 0:
+                self._stop_evt.wait(timeout=spare)
 
     def __enter__(self):
         self._stop_evt.clear()

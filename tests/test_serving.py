@@ -291,6 +291,9 @@ def test_run_walkthrough_accepts_batched_handle():
         scene.device_arrays(), [np.zeros(3, np.float32)], cfg=CFG,
         n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
         coalesce_s=0.0,
+        # a 93 ms walkthrough fits one round under the default 0.2 s
+        # serving pace — unpace so a MOVED pose's retrace lands in-run
+        round_interval_s=0.0,
     )
     r = IRStreamRenderer(scene, CFG)
     h = coord.stream(r)
