@@ -115,6 +115,13 @@ class _StreamHandle:
             self._adopt_locked()
             return self.r.render(n)
 
+    def close(self) -> None:
+        """Leave the cohort: the coordinator stops tracing this stream's
+        listener lane. The renderer keeps working solo (its spectra stay
+        whatever the last round published). With a capacity coordinator
+        the freed lane is reusable by a later stream() with NO recompile."""
+        self.coord._remove(self)
+
     def __enter__(self):
         return self
 
@@ -137,7 +144,9 @@ class BatchedAcoustics:
     Register every stream before warmup(): the batched trace executable is
     compiled for the (L, 3) listener batch; registering later recompiles
     on the next round (correct, but a mid-stream stall through a
-    compile-relay environment).
+    compile-relay environment). For serving workloads where tenants come
+    and go, pass capacity=N instead — the lane shape is fixed at N, and
+    stream()/handle.close() on a live coordinator are recompile-free.
     """
 
     def __init__(self, scene_arrays, source_positions,
@@ -146,7 +155,8 @@ class BatchedAcoustics:
                  src_directivities=None, coalesce_s: float = 0.02,
                  mesh=None, pallas_kw=None,
                  batch_respectra: bool | None = None,
-                 round_interval_s: float = 0.2):
+                 round_interval_s: float = 0.2,
+                 capacity: int | None = None):
         """intersector: "mt"/"mxu" use the shared-path XLA tracer (one path
         pass + L NEE lanes — the cheapest round); "pallas" scans the fused
         kernel over the listener batch (ops/pallas_trace.py::
@@ -176,7 +186,17 @@ class BatchedAcoustics:
         ~2000 underruns each. 0.2 s = the ~5 Hz acoustic cadence the
         solo walkthrough measures (and well under the reference's
         per-frame intent, main.zig:518-521 — acoustics there also run
-        at game-loop rate, not audio rate)."""
+        at game-loop rate, not audio rate).
+
+        capacity: fix the traced listener-batch shape at `capacity`
+        lanes so streams can join (stream()) and leave (handle.close())
+        a RUNNING coordinator with no recompile — production serving
+        can't stall every tenant for a mid-stream executable build
+        whenever one connects. Fewer live streams than capacity ride as
+        padding lanes (the first live pose repeated; their results are
+        discarded). None (default) = the exact-cohort behavior:
+        cheapest trace, but a later stream() recompiles on the next
+        round."""
         self.cfg = cfg
         self._arrays = scene_arrays
         self._srcs = jnp.asarray(
@@ -194,6 +214,9 @@ class BatchedAcoustics:
         # cadence, so a few ms catches a whole cohort)
         self.coalesce_s = coalesce_s
         self.round_interval_s = round_interval_s
+        if capacity is not None and capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.capacity = capacity
         self._handles: list[_StreamHandle] = []
         self._evt = threading.Event()
         self._stop_evt = threading.Event()
@@ -202,6 +225,7 @@ class BatchedAcoustics:
         self.error = None
         self._batch_respectra_opt = batch_respectra
         self._respectra_all = None
+        self._respectra_hrtf = None  # (hl, hr) the vmap jit captured
         self._respectra_cohort = -1  # stream count the vmap was built for
         n_bounce, config = self.max_bounces, cfg
         amb_of = jax.vmap(lambda e, d: ambisonic_ir(ImpulseResponse(e, d)))
@@ -289,7 +313,15 @@ class BatchedAcoustics:
     # -- streams -------------------------------------------------------------
 
     def stream(self, renderer) -> _StreamHandle:
-        """Register an IRStreamRenderer; returns its request/render facade."""
+        """Register an IRStreamRenderer; returns its request/render facade.
+        With capacity= this is safe on a LIVE coordinator (the lane shape
+        is fixed, no recompile); without, prefer registering before
+        warmup()."""
+        if self.capacity is not None and len(self._handles) >= self.capacity:
+            raise ValueError(
+                f"coordinator is at capacity ({self.capacity}); close() a "
+                "stream first or raise capacity"
+            )
         if renderer.sh_order is not None:
             raise ValueError(
                 "batched serving traces first-order ambisonic IRs; "
@@ -310,6 +342,12 @@ class BatchedAcoustics:
         self._handles.append(h)
         return h
 
+    def _remove(self, handle: _StreamHandle) -> None:
+        try:
+            self._handles.remove(handle)
+        except ValueError:
+            pass  # already closed
+
     def set_scene_arrays(self, arrays) -> None:
         """Swap the shared device geometry (e.g. rigid_transform_arrays
         output) — every stream's pose cache invalidates, so the next round
@@ -326,6 +364,7 @@ class BatchedAcoustics:
         """Build (or decline) the cohort-wide vmapped respectra for the
         current stream set; re-run whenever the cohort changes."""
         self._respectra_cohort = len(self._handles)
+        prev = self._respectra_all
         self._respectra_all = None
         if self._batch_respectra_opt is False or not self._handles:
             return
@@ -348,11 +387,43 @@ class BatchedAcoustics:
                 )
             return
         hl, hr, block = rs[0].hrtf_l, rs[0].hrtf_r, self.cfg.block_size
+        if (prev is not None and self._respectra_hrtf is not None
+                and self._respectra_hrtf[0].shape == hl.shape
+                and bool(jnp.all(self._respectra_hrtf[0] == hl))
+                and bool(jnp.all(self._respectra_hrtf[1] == hr))):
+            # cohort changed but the HRTF didn't: keep the SAME jit
+            # object (a fresh jax.jit has an empty cache — with
+            # capacity the shapes are stable and this keeps join/leave
+            # recompile-free)
+            self._respectra_all = prev
+            return
+        self._respectra_hrtf = (hl, hr)
         self._respectra_all = jax.jit(
             lambda ambs, orients: jax.vmap(
                 lambda a, o: _respectra(a, o, hl, hr, block)
             )(ambs, orients)
         )
+
+    def _listener_batch(self, handles) -> jnp.ndarray:
+        """(L, 3) listener positions; with capacity, padded to the fixed
+        (capacity, 3) lane shape (first live pose repeated — the pad
+        lanes' results are discarded)."""
+        lst = np.stack([h._pose[0] for h in handles])
+        if self.capacity is not None and len(handles) < self.capacity:
+            pad = np.broadcast_to(
+                lst[0], (self.capacity - len(handles), 3)
+            )
+            lst = np.concatenate([lst, pad], axis=0)
+        return jnp.asarray(lst)
+
+    def _orient_batch(self, handles) -> jnp.ndarray:
+        o = np.asarray(self._orients(handles))
+        if self.capacity is not None and len(handles) < self.capacity:
+            pad = np.broadcast_to(
+                o[0], (self.capacity - len(handles), 4)
+            )
+            o = np.concatenate([o, pad], axis=0)
+        return jnp.asarray(o)
 
     @staticmethod
     def _orients(handles):
@@ -375,18 +446,26 @@ class BatchedAcoustics:
             pitch = float(p[2]) if len(p) > 2 else 0.0
             h._pose = (np.asarray(pos, np.float32), float(yaw), pitch)
         amb = self._trace_all(
-            self._arrays, self._srcs,
-            jnp.asarray(np.stack([h._pose[0] for h in self._handles])),
+            self._arrays, self._srcs, self._listener_batch(self._handles)
         )
         float(jnp.sum(amb))  # host transfer: force the compile + execute
         self._setup_respectra()
         if self._respectra_all is not None:
-            re, _ = self._respectra_all(amb, self._orients(self._handles))
+            re, _ = self._respectra_all(
+                amb, self._orient_batch(self._handles)
+            )
             float(jnp.sum(re))
 
     def _round(self) -> None:
         handles = list(self._handles)
-        if not handles or any(h._pose is None for h in handles):
+        if self.capacity is not None:
+            # dynamic cohort: a just-joined stream without a pose yet
+            # must not stall the others — it joins the round after its
+            # first request()
+            handles = [h for h in handles if h._pose is not None]
+            if not handles:
+                return
+        elif not handles or any(h._pose is None for h in handles):
             return  # nothing to do until every stream has a pose
         dirty = []
         for h in handles:
@@ -398,14 +477,15 @@ class BatchedAcoustics:
         # whether one stream moved or all did (clean streams ride their
         # unchanged pose; their lanes are the cheap NEE part of the trace,
         # and their update() below is a pose-cache no-op)
-        listeners = jnp.asarray(np.stack([h._pose[0] for h in handles]))
-        amb = self._trace_all(self._arrays, self._srcs, listeners)
-        if self._respectra_cohort != len(handles):
+        amb = self._trace_all(
+            self._arrays, self._srcs, self._listener_batch(handles)
+        )
+        if self._respectra_cohort != len(self._handles):
             self._setup_respectra()
         if self._respectra_all is not None:
             # 2 dispatches per round total: per-stream adoption below is
             # pure bookkeeping + an atomic swap
-            re, im = self._respectra_all(amb, self._orients(handles))
+            re, im = self._respectra_all(amb, self._orient_batch(handles))
             for i, h in enumerate(handles):
                 if not dirty[i]:
                     continue

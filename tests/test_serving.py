@@ -350,3 +350,75 @@ def test_batched_serving_pallas_nee_route():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=2e-4, atol=5e-7
             )
+
+
+def test_capacity_join_leave_without_recompile():
+    """capacity= fixes the traced lane shape: streams join and leave a
+    live coordinator with NO recompile of the batched trace or the
+    cohort respectra (production tenants must not stall each other on
+    executable builds)."""
+    import pytest
+
+    scene = make_scene()
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        coalesce_s=0.0, capacity=4,
+    )
+    renderers, handles = [], []
+    for _ in range(2):
+        r = IRStreamRenderer(scene, CFG)
+        r.add_source(tone(), pos=SRC)
+        handles.append(coord.stream(r))
+        renderers.append(r)
+    coord.warmup(POSES)
+    assert coord._trace_all._cache_size() == 1
+    for h, (pos, yaw) in zip(handles, POSES):
+        h.request(pos, yaw=yaw)
+    coord._round()
+    assert all(h.updates == 1 for h in handles)
+
+    # join a third stream MID-FLIGHT: no pose yet -> it must not stall
+    # the cohort's next round
+    r3 = IRStreamRenderer(scene, CFG)
+    r3.add_source(tone(), pos=SRC)
+    h3 = coord.stream(r3)
+    handles[0].request(POSES[0][0], yaw=POSES[0][1] + 0.2)
+    coord._round()
+    assert handles[0].updates == 2 and h3.updates == 0
+
+    # ... and after its first request it rides the SAME executables
+    pos3, yaw3 = np.float32([0.8, 0.2, -1.2]), 1.1
+    h3.request(pos3, yaw=yaw3)
+    coord._round()
+    assert h3.updates == 1 and h3.retraces == 1
+    assert coord._trace_all._cache_size() == 1
+    if coord._respectra_all is not None:
+        assert coord._respectra_all._cache_size() == 1
+
+    # the joined stream's acoustics match a solo renderer at its pose
+    solo = IRStreamRenderer(scene, CFG)
+    solo.add_source(tone(), pos=SRC)
+    solo.update(pos3, yaw=yaw3)
+    for got, want in zip(r3._spectra, solo._spectra):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6
+        )
+
+    # leave: the freed lane is reusable, rounds keep going, still no
+    # recompile
+    handles[0].close()
+    handles[0].close()  # idempotent
+    h3.request(pos3, yaw=yaw3 + 0.1)
+    coord._round()
+    assert coord._trace_all._cache_size() == 1
+
+    # capacity is enforced
+    for _ in range(2):
+        r = IRStreamRenderer(scene, CFG)
+        r.add_source(tone(), pos=SRC)
+        coord.stream(r)
+    r = IRStreamRenderer(scene, CFG)
+    r.add_source(tone(), pos=SRC)
+    with pytest.raises(ValueError, match="capacity"):
+        coord.stream(r)
