@@ -71,12 +71,24 @@ def _roofline(rate, n_tris):
         return {}
     roof = json.loads(p.read_text())
     tests = rate * n_tris * 2
+    # absolute algorithmic ceiling for the strict workload (RESULTS.md
+    # "The strict 1e9 target: measured ceiling synthesis"): the measured
+    # bare path-test inner-loop rate over the per-bounce-step test count —
+    # 120 sublane-padded triangles in the path pass plus the same set in
+    # the listener shadow pass at its cheaper ~0.73-path-equivalent op mix.
+    tested_tris = 120  # n_true=114 rounded up to the 8-sublane group
+    shadow_mix = 0.73
+    ceiling = roof["isect_tests_per_sec_peak"] / (
+        tested_tris * (1.0 + shadow_mix)
+    )
     out = {
         "vpu_fma_ops_per_sec_peak": roof["vpu_fma_ops_per_sec"],
         "isect_inner_loop_tests_per_sec_peak": roof["isect_tests_per_sec_peak"],
         "kernel_pct_of_inner_loop_peak": 100.0 * tests / roof[
             "isect_tests_per_sec_peak"
         ],
+        "strict_ceiling_bounce_per_sec": ceiling,
+        "pct_of_strict_ceiling": 100.0 * rate / ceiling,
     }
     # measured in-situ floor (benchmarks/ablate_kernel.py): the kernel with
     # every non-intersection stage ablated — the path pass + reflection in
