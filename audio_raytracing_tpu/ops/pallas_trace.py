@@ -240,6 +240,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   sg_unroll: int | None = None,
                   sg_coarse: int | None = None,
                   inc_origin: bool = False,
+                  shadow_carry: bool = False,
                   tid_fold: bool = False,
                   hist_batch: int = 1,
                   n_listeners: int = 1):
@@ -282,6 +283,24 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         assert (fused_hist and not group_fori and not state_io
                 and not cull and not mxu_xform and winner_acc == 1
                 and not ablate), "inc_origin supports the resident kernel"
+    # shadow_carry (requires inc_origin): the listener shadow pass reuses
+    # the path pass's stored per-triangle (transformed origin, transformed
+    # direction) carries instead of re-transforming the shadow direction
+    # per triangle. The shadow segment runs listener -> hit vertex with
+    # the listener's precomputed transformed origin opl; its transformed
+    # DIRECTION for triangle j is
+    #   M_j (v - l) = (M_j o_b + c_j + tb * M_j d_b) - (M_j l + c_j)
+    #               = (iop_j - opl_j) + tb * idp_j
+    # (v = o_b + tb d_b is exactly how nee_one builds the vertex), i.e.
+    # one SUB + one FMA per component from 6 stored values — replacing the
+    # 9-FMA/9-load per-group direction transform. Exact up to fp
+    # association (like inc_origin itself); the final bounce falls back to
+    # the classic transform (its (op, dp) is not stored — storing it would
+    # cost 6 stores/group for one bounce, more than the transform saves).
+    if shadow_carry:
+        assert inc_origin and not shadow_divfree and not transmission, (
+            "shadow_carry rides inc_origin's (op, dp) carries; divfree/"
+            "transmission shadow variants keep the classic transform")
     # ablate (MEASUREMENT ONLY — results are numerically wrong): "+"-joined
     # component skips for on-hardware cost attribution of the fused kernel
     # (benchmarks/ablate_kernel.py). "no_sweep" replaces the winner-sublane
@@ -693,12 +712,19 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 )
         return carry[0], list(carry[1:])
 
-    def shadow_pass(wx, wy, wz, preds=None, o_base=0):
+    def shadow_pass(wx, wy, wz, preds=None, o_base=0, tb=None, r=None,
+                    use_carry=False):
         """Listener->vertex segment test for a (1, 128) row. Constant
         (precomputed) transformed origins at opl columns o_base..o_base+2
         (0 = the single listener; multi-listener NEE passes each
         listener's column base); t <= 1 crosses. preds: optional
         (n_groups, 1) runtime group skip.
+
+        use_carry (shadow_carry bounces): build the transformed direction
+        from the path pass's stored (iop, idp) carries — (iop - opl) +
+        tb * idp — instead of the 9-FMA transform of w (see the
+        shadow_carry note at the top). tb is the bounce's (1, 128) hit
+        offset, r the row index into the carry buffers.
 
         Returns a (1, 128) blocked mask — or, with transmission, a list of
         n_keep (1, 128) crossing log-amplitude sums (exp'd by the
@@ -710,6 +736,17 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
         def group_body(col, ocol, carry, g=None):
             if mxu_xform:
                 dpx, dpy, dpz = (gslice(dp_all[k], g) for k in range(3))
+            elif use_carry:
+                g0 = g * TRI_GROUP
+                olx = ocol(o_base)
+                oly = ocol(o_base + 1)
+                olz = ocol(o_base + 2)
+                dpx = (iop_refs[0][r, g0:g0 + TRI_GROUP, :] - olx) + (
+                    tb * iop_refs[3][r, g0:g0 + TRI_GROUP, :])
+                dpy = (iop_refs[1][r, g0:g0 + TRI_GROUP, :] - oly) + (
+                    tb * iop_refs[4][r, g0:g0 + TRI_GROUP, :])
+                dpz = (iop_refs[2][r, g0:g0 + TRI_GROUP, :] - olz) + (
+                    tb * iop_refs[5][r, g0:g0 + TRI_GROUP, :])
             else:
                 a00, a01, a02 = col(0), col(1), col(2)
                 a10, a11, a12 = col(3), col(4), col(5)
@@ -974,8 +1011,16 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 if "no_shadow" in ab:
                     sh_out = 0.0 * min_t  # ablation: every hit visible
                 else:
-                    sh_out = shadow_pass(wx, wy, wz, sh_preds,
-                                         o_base=o_base_c)
+                    # shadow_carry: this bounce's (iop, idp) are in the
+                    # carry buffers only when the path pass stored them
+                    # (every bounce but the last — the store_iop
+                    # condition); the final bounce keeps the classic
+                    # transform
+                    sh_out = shadow_pass(
+                        wx, wy, wz, sh_preds, o_base=o_base_c, tb=tb, r=r,
+                        use_carry=(shadow_carry and b is not None
+                                   and b + 1 < max_bounces),
+                    )
                 if transmission:
                     # all alive rays emit; opaque crossings carry
                     # exp(-34.5) ~ 1e-15 amplitude (energy ~1e-30)
@@ -2165,7 +2210,8 @@ def trace_contributions_pallas(
     ray_blocks: int = 1, winner_acc: int = 1,
     wavefront: bool | None = None, sg_unroll: int | None = None,
     sg_coarse: int | None = None, n_true: int | None = None,
-    inc_origin: bool = False, tid_fold: bool = False,
+    inc_origin: bool = False, shadow_carry: bool = False,
+    tid_fold: bool = False,
     hist_batch: int = 1, listeners=None,
 ):
     """Run the fused kernel.
@@ -2198,6 +2244,13 @@ def trace_contributions_pallas(
     trading the 12-slot per-group origin transform for one FMA plus the
     (op, dp) load/store traffic. Same histogram up to fp association
     (the incremental sum rounds differently than the fresh transform).
+
+    shadow_carry (requires inc_origin): the listener shadow pass builds
+    its per-triangle transformed direction from the path pass's stored
+    (op, dp) carries — M(v - l) = (iop - opl) + tb * idp — instead of
+    the 9-FMA/9-load transform of w per group (final bounce keeps the
+    classic transform: its carries are not stored). Same fp-association
+    caveat as inc_origin.
 
     n_true: the scene's TRUE (unpadded) triangle count, when known
     statically (Scene.n_triangles). SceneArrays pads T to
@@ -2926,6 +2979,11 @@ def trace_contributions_pallas(
         )
     if n_listeners > 1 and tid_fold:
         raise ValueError("listeners excludes the tid_fold experiment")
+    if shadow_carry and not inc_origin:
+        raise ValueError(
+            "shadow_carry rides inc_origin's (op, dp) carry buffers — "
+            "pass inc_origin=True"
+        )
     kernel = partial(
         _trace_kernel, n_tris=T, max_bounces=max_bounces, cfg=cfg,
         fused_hist=fused_hist, cull=cull, flat_bands=flat_bands,
@@ -2936,7 +2994,8 @@ def trace_contributions_pallas(
         material_scattering=material_scattering,
         sg_cull=sg_cull, shadow_divfree=shadow_divfree,
         winner_acc=winner_acc, ablate=ablate, sg_unroll=sg_unroll, sg_coarse=sg_coarse,
-        inc_origin=inc_origin, tid_fold=tid_fold, hist_batch=hist_batch,
+        inc_origin=inc_origin, shadow_carry=shadow_carry,
+        tid_fold=tid_fold, hist_batch=hist_batch,
         n_listeners=n_listeners,
     )
     l_args = ()
@@ -3012,7 +3071,8 @@ def trace_contributions_pallas(
                      "sg_cull", "row_unroll", "shadow_divfree",
                      "stream_tris", "ray_major", "tri_unroll", "ray_blocks",
                      "wavefront", "sg_unroll", "sg_coarse", "n_true",
-                     "inc_origin", "tid_fold", "hist_batch"),
+                     "inc_origin", "shadow_carry", "tid_fold",
+                     "hist_batch"),
 )
 def trace_ir_pallas(
     scene_arrays,
@@ -3047,6 +3107,7 @@ def trace_ir_pallas(
     sg_coarse: int | None = None,
     n_true: int | None = None,
     inc_origin: bool = False,
+    shadow_carry: bool = False,
     tid_fold: bool = False,
     hist_batch: int = 1,
 ):
@@ -3108,7 +3169,8 @@ def trace_ir_pallas(
             ray_major=ray_major, tri_unroll=tri_unroll,
             ray_blocks=ray_blocks, wavefront=wavefront,
             sg_unroll=sg_unroll, sg_coarse=sg_coarse, n_true=n_true,
-            inc_origin=inc_origin, tid_fold=tid_fold,
+            inc_origin=inc_origin, shadow_carry=shadow_carry,
+            tid_fold=tid_fold,
             hist_batch=hist_batch,
         )
     else:
@@ -3153,7 +3215,7 @@ def trace_ir_pallas(
     static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
                      "interpret", "fused_hist", "cull", "flat_bands",
                      "src_directivity", "wavefront", "n_true",
-                     "inc_origin", "hist_batch"),
+                     "inc_origin", "shadow_carry", "hist_batch"),
 )
 def trace_irs_pallas_multi(
     scene_arrays,
@@ -3173,6 +3235,7 @@ def trace_irs_pallas_multi(
     wavefront: bool | None = None,
     n_true: int | None = None,
     inc_origin: bool = False,
+    shadow_carry: bool = False,
     hist_batch: int = 1,
 ):
     """All sources' IRs in one compiled program (BASELINE config 5 on a
@@ -3220,7 +3283,8 @@ def trace_irs_pallas_multi(
                 scene_arrays, src, listener, dirs, cfg=cfg,
                 max_bounces=max_bounces, interpret=interpret,
                 fused_hist=True, flat_bands=flat_bands, n_true=n_true,
-                inc_origin=inc_origin, hist_batch=hist_batch,
+                inc_origin=inc_origin, shadow_carry=shadow_carry,
+                hist_batch=hist_batch,
             )
             return None, seg
 
@@ -3254,7 +3318,8 @@ def trace_irs_pallas_multi(
             src_directivity=src_directivity,
             src_axis=None if src_directivity is None else inp[1],
             wavefront=wavefront, n_true=n_true,
-            inc_origin=inc_origin, hist_batch=hist_batch,
+            inc_origin=inc_origin, shadow_carry=shadow_carry,
+            hist_batch=hist_batch,
         )
         return None, ir
 
@@ -3313,7 +3378,7 @@ def trace_irs_pallas_multi_listener(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
                      "interpret", "flat_bands", "listener_chunk", "n_true",
-                     "inc_origin", "hist_batch"),
+                     "inc_origin", "shadow_carry", "hist_batch"),
 )
 def trace_irs_pallas_multi_listener_nee(
     scene_arrays,
@@ -3329,6 +3394,7 @@ def trace_irs_pallas_multi_listener_nee(
     listener_chunk: int = 4,
     n_true: int | None = None,
     inc_origin: bool = False,
+    shadow_carry: bool = False,
     hist_batch: int = 1,
 ):
     """All listeners' IRs with IN-KERNEL multi-listener NEE: the fused
@@ -3373,7 +3439,7 @@ def trace_irs_pallas_multi_listener_nee(
             scene_arrays, source, chunk[0], dirs, cfg=cfg,
             max_bounces=max_bounces, interpret=interpret, fused_hist=True,
             flat_bands=flat_bands, n_true=n_true, inc_origin=inc_origin,
-            hist_batch=hist_batch,
+            shadow_carry=shadow_carry, hist_batch=hist_batch,
             listeners=chunk if C > 1 else None,
         )
         segs.append(seg if C > 1 else seg[None])

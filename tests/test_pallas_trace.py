@@ -699,3 +699,76 @@ def test_sg_coarse_bit_identical():
     x = trace_ir(arrays, src, lst, cfg=cfg, max_bounces=2, dirs=dirs)
     ex = np.asarray(x.energy)
     assert np.abs(off - ex).sum() / np.abs(ex).sum() < 2e-3
+
+
+def test_pallas_bench_trim_flags_match_baseline(scene):
+    """The AOT bench configuration's adopted trims (n_true padding drop,
+    inc_origin carried transformed origins, hist_batch'd one-hot dots,
+    shadow_carry reusing the (op, dp) carries for the shadow transform —
+    benchmarks/build_pallas_aot.py FAST) against the plain fused kernel.
+    n_true/hist_batch are exact-by-construction; inc_origin/shadow_carry
+    re-associate the same arithmetic, so the bound is fp-association
+    noise, far below the Monte-Carlo noise the histogram tolerates."""
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    kw = dict(cfg=CFG, max_bounces=3, dirs=dirs, interpret=True,
+              fused_hist=True, flat_bands=True)
+    a = trace_ir_pallas(scene.device_arrays(), src, lst, **kw)
+    b = trace_ir_pallas(
+        scene.device_arrays(), src, lst, **kw,
+        n_true=scene.n_triangles, inc_origin=True, hist_batch=4,
+        shadow_carry=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.energy), np.asarray(a.energy), rtol=1e-3, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(b.energy.sum()), float(a.energy.sum()), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.dir_sum), np.asarray(a.dir_sum), rtol=1e-3, atol=1e-8
+    )
+
+
+def test_shadow_carry_requires_inc_origin(scene):
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    with pytest.raises(ValueError, match="shadow_carry"):
+        trace_ir_pallas(
+            scene.device_arrays(), src, lst, cfg=CFG, max_bounces=2,
+            dirs=dirs, interpret=True, fused_hist=True, flat_bands=True,
+            shadow_carry=True,
+        )
+
+
+def test_multi_listener_nee_shadow_carry(scene):
+    """The in-kernel multi-listener NEE route with the shadow_carry trim:
+    each listener's shadow transform rebuilds from the SAME (op, dp)
+    carries with its own opl columns — per-listener results must match
+    the single-listener kernel (fp-association tolerance)."""
+    from audio_raytracing_tpu.ops.pallas_trace import (
+        trace_irs_pallas_multi_listener_nee,
+    )
+
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lsts = jnp.asarray([[-1.0, -0.5, -1.0], [0.5, 0.0, 1.5],
+                        [2.0, 1.0, -1.5]])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    irs = trace_irs_pallas_multi_listener_nee(
+        scene.device_arrays(), src, lsts, cfg=CFG, max_bounces=2, dirs=dirs,
+        interpret=True, flat_bands=True, listener_chunk=2,
+        n_true=scene.n_triangles, inc_origin=True, shadow_carry=True,
+        hist_batch=2,
+    )
+    assert irs.energy.shape == (3, 4, CFG.ir_n_bins)
+    for i in range(3):
+        want = trace_ir_pallas(
+            scene.device_arrays(), src, lsts[i], cfg=CFG, max_bounces=2,
+            dirs=dirs, interpret=True, fused_hist=True, flat_bands=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(irs.energy[i]), np.asarray(want.energy), rtol=1e-3,
+            atol=1e-8,
+        )
