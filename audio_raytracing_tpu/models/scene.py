@@ -132,6 +132,10 @@ class Scene:
         if absorption is None:
             absorption = np.full((t_true, cfg.n_bands), 0.1, dtype=np.float32)
         absorption = np.asarray(absorption, dtype=np.float32)
+        if absorption.ndim == 0:  # one scalar for every surface and band
+            absorption = np.full(
+                (t_true, cfg.n_bands), float(absorption), np.float32
+            )
         if absorption.ndim == 1:
             absorption = np.repeat(absorption[:, None], cfg.n_bands, axis=1)
         if scattering is None:
@@ -188,6 +192,18 @@ class Scene:
     ) -> "Scene":
         mesh = load_obj(path)
         return cls.from_mesh(mesh, cfg, absorption, materials)
+
+    @classmethod
+    def from_gltf(
+        cls, path, cfg: Config = DEFAULT_CONFIG, absorption=None,
+        materials=None,
+    ) -> "Scene":
+        """Scene from a glTF 2.0 / GLB file (utils/gltf.py flattens the
+        node hierarchy into the same soup Scene.from_obj builds; glTF
+        material names map through `materials` exactly like usemtl)."""
+        from ..utils.gltf import load_gltf
+
+        return cls.from_mesh(load_gltf(path), cfg, absorption, materials)
 
     @classmethod
     def from_mesh(
