@@ -1,0 +1,152 @@
+"""Network serving (engine/netserve.py): TCP clients steering batched
+listener lanes, loopback end to end on the CPU backend."""
+
+import dataclasses
+import json
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from audio_raytracing_tpu.config import DEFAULT_CONFIG
+from audio_raytracing_tpu.engine.netserve import (
+    AcousticNetClient, AcousticServer,
+)
+from audio_raytracing_tpu.models.scene import Scene, box_room
+
+CFG = dataclasses.replace(
+    DEFAULT_CONFIG, ir_length=2048, rays_per_source=512, max_bounces=3
+)
+SRC = np.float32([1.0, 0.5, 0.5])
+
+
+def tone():
+    return (
+        0.5 * np.sin(2 * np.pi * 440 * np.arange(4000) / 44100)
+    ).astype(np.float32)
+
+
+def make_server(**kw):
+    scene = Scene.from_triangles(
+        box_room(size=(6.0, 3.0, 5.0)), CFG,
+        absorption=np.full(12, 0.3, np.float32),
+    )
+    kw.setdefault("pace", False)
+    kw.setdefault("capacity", 2)
+    kw.setdefault("round_interval_s", 0.02)
+    return AcousticServer(
+        scene, [(tone(), SRC)], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces, **kw,
+    )
+
+
+def test_single_client_stream():
+    with make_server() as srv:
+        with AcousticNetClient(srv.host, srv.port) as c:
+            assert c.hello["sample_rate"] == CFG.sample_rate
+            assert c.hello["channels"] == 2
+            assert c.hello["format"] == "s16le"
+            c.send_pose([-1.0, 0.0, -1.0], yaw=0.4)
+            y = c.read(8192)
+        assert y.shape == (8192, 2)
+        assert float(np.abs(y).max()) > 1e-4  # audible
+        # binaural: channels must differ for an off-axis listener
+        assert float(np.abs(y[:, 0] - y[:, 1]).max()) > 1e-5
+    assert srv.served == 1
+
+
+def test_frames_are_sequenced():
+    with make_server() as srv:
+        with AcousticNetClient(srv.host, srv.port) as c:
+            c.send_pose([0.5, 0.0, 0.5])
+            seqs = [c.read_frame()[0] for _ in range(5)]
+        assert seqs == list(range(seqs[0], seqs[0] + 5))
+
+
+def test_two_clients_hear_different_poses():
+    with make_server() as srv:
+        with AcousticNetClient(srv.host, srv.port) as a, \
+                AcousticNetClient(srv.host, srv.port) as b:
+            a.send_pose([-1.5, 0.0, -1.5])  # far from the source
+            b.send_pose([0.8, 0.4, 0.4])    # next to it
+            ya = a.read(8192)
+            yb = b.read(8192)
+        ra = float(np.sqrt(np.mean(ya**2)))
+        rb = float(np.sqrt(np.mean(yb**2)))
+        assert ra > 1e-6 and rb > 1e-6
+        # the near listener is clearly louder (direct path ~5x shorter)
+        assert rb > 1.5 * ra
+    assert srv.served == 2
+
+
+def test_capacity_rejection_and_lane_reuse():
+    with make_server(capacity=1) as srv:
+        c1 = AcousticNetClient(srv.host, srv.port)
+        c1.send_pose([0.5, 0.0, 0.5])
+        c1.read(256)  # lane is live
+        # second client is refused with an error line (not a frame)
+        c2 = AcousticNetClient(srv.host, srv.port)
+        c2.send_pose([0.0, 0.0, 0.0])
+        err = json.loads(c2._read_line())
+        assert "capacity" in err.get("error", "")
+        c2.close()
+        c1.close()
+        # the lane frees: a new client succeeds with no recompile
+        deadline = time.time() + 5.0
+        while True:
+            c3 = AcousticNetClient(srv.host, srv.port)
+            c3.send_pose([0.5, 0.0, 0.5])
+            first = c3._read_line()
+            if b'"error"' not in first:
+                # first line was a frame header already? no — frames are
+                # binary; push it back for read()
+                c3._buf = first + b"\n" + c3._buf
+                y = c3.read(256)
+                assert y.shape[0] == 256
+                c3.close()
+                break
+            c3.close()
+            assert time.time() < deadline, "lane never freed"
+            time.sleep(0.05)
+
+
+def test_paced_mode_respects_clock():
+    """pace=True: the server never sends more than (elapsed + lead)
+    seconds of audio. The schedule starts at the server's t0 (>= our
+    pose-send time), so total audio received by wall time T is bounded
+    by (T - t_send) + lead regardless of establishment catch-up."""
+    with make_server(pace=True, lead_s=0.1, chunk_s=0.05) as srv:
+        with AcousticNetClient(srv.host, srv.port) as c:
+            t_send = time.time()
+            c.send_pose([0.5, 0.0, 0.5])
+            c.read(int(1.2 * CFG.sample_rate))
+            dt = time.time() - t_send
+        # 1.2 s of audio needs >= 1.2 - 0.1 lead of wall time; allow
+        # generous slack for loaded CI hosts' clock granularity
+        assert dt > 0.8
+
+
+def test_client_disconnect_releases_lane():
+    with make_server(capacity=2) as srv:
+        c = AcousticNetClient(srv.host, srv.port)
+        c.send_pose([0.5, 0.0, 0.5])
+        c.read(256)
+        c.close()
+        deadline = time.time() + 5.0
+        while len(srv.coord._handles) > 0:
+            assert time.time() < deadline, "handle never released"
+            time.sleep(0.02)
+
+
+def test_rejects_poseless_first_message():
+    with make_server() as srv:
+        s = socket.create_connection((srv.host, srv.port), timeout=10)
+        f = s.makefile("rb")
+        f.readline()  # hello
+        s.sendall(b'{"yaw": 1.0}\n')
+        # server drops the connection without granting a lane
+        rest = f.read()
+        assert rest == b""
+        s.close()
+        assert srv.served == 0
