@@ -413,12 +413,18 @@ def wave_run(
         raise ValueError(f"kernel must be auto/xla/pallas, got {kernel!r}")
     use_pallas = kernel == "pallas"
     if kernel == "auto":
-        cells = int(np.prod(np.asarray(domain.occ).shape))
+        from ..ops.pallas_wave import grid_kernel_feasible
+
+        shape = np.asarray(domain.occ).shape
+        cells = int(np.prod(shape))
         use_pallas = (
             cells >= 12_000_000
             and alpha_cell is None
             and not return_state
             and jax.default_backend() == "tpu"
+            # huge y/z planes exceed Mosaic's scoped VMEM even at slab
+            # thickness 1 (e.g. 400^3) — stay on the XLA solver there
+            and grid_kernel_feasible(shape)
         )
     if use_pallas:
         if alpha_cell is not None or return_state:

@@ -82,6 +82,24 @@ def _pick_block_grid(plane_bytes: int, budget_bytes: int = 10 * 2**20) -> int:
     return b
 
 
+# Mosaic's scoped-VMEM limit is 16 MB; at B=1 the grid kernel's measured
+# footprint is ~27 padded planes (the 400^3 compile reported 21.88M
+# scoped at plane=819 KB -> 26.7 planes), so planes past ~16M/27 cannot
+# compile AT ANY slab thickness. 320^3 (plane 491 KB -> ~13M) is the
+# largest bench grid that fits; 400^3 (819 KB) does not.
+_GRID_KERNEL_MAX_PLANE_BYTES = (16 * 2**20) // 27
+
+
+def grid_kernel_feasible(shape) -> bool:
+    """Can the grid-pipelined kernel compile for this domain shape?
+    False when one (ny_pad, nz_pad) f32 plane is too large for the
+    scoped-VMEM budget even at slab thickness 1 — wave_run's auto mode
+    then stays on the XLA solver instead of dying in Mosaic."""
+    _, ny, nz = shape
+    plane_bytes = _round_up(ny, 8) * _round_up(nz, 128) * 4
+    return plane_bytes <= _GRID_KERNEL_MAX_PLANE_BYTES
+
+
 def _roll(x, shift: int, axis: int):
     """Circular shift; pltpu.roll only accepts non-negative shifts, and a
     -1 roll is the same rotation as size-1."""
@@ -550,6 +568,14 @@ def wave_run_pallas(
     kp = c * c * dt / dx
     k = dt / dx
     a_w, b_w = wall_impedance_coefficients(alpha, c, dt, dx)
+    if mode == "grid" and not grid_kernel_feasible(occ.shape):
+        raise ValueError(
+            f"grid kernel cannot compile for domain {occ.shape}: one "
+            "padded (ny, nz) f32 plane exceeds Mosaic's scoped-VMEM "
+            "budget even at slab thickness 1 "
+            f"(max ~{_GRID_KERNEL_MAX_PLANE_BYTES // 1024} KB/plane); "
+            "use the XLA solver (models/wave.py::wave_run(kernel='xla'))"
+        )
     if mode == "grid":
         occ_p, B, n_blocks = _pad_domain_grid(occ, block)
         x_off = B

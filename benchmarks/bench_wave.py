@@ -76,8 +76,12 @@ def main():
                                       alpha=0.2, pulse=pulse * amp,
                                       block=args.block)
             else:
+                # kernel="xla" (not "auto"): this path benchmarks the XLA
+                # solver specifically — auto would silently re-route big
+                # grids to the pallas kernel and mislabel the result
                 wir = W.wave_run(dom, src, lst, args.steps, c=350.0,
-                                 alpha=0.2, pulse=pulse * amp)
+                                 alpha=0.2, pulse=pulse * amp,
+                                 kernel="xla")
             return float(np.asarray(wir.pressure[-1]))
 
         run(1.0)  # warmup/compile
