@@ -29,6 +29,17 @@ slow client only stalls ITS socket (its writer thread blocks on send;
 every other stream keeps rendering). pace=False streams as fast as the
 socket drains — for tests and offline pulls.
 
+Dead peers are EVICTED, not waited on: each client socket carries an
+OS-level send timeout (SO_SNDTIMEO, `send_timeout_s`), so a connected
+peer that stops reading — a wedged client, a half-dead NAT mapping —
+blocks its writer for at most that long before the lane is closed and
+reclaimed for the next tenant. The reference frees finished voices
+every audio callback (sound_system.zig:164-171); this is the same
+hygiene at the network boundary. A merely SLOW reader is safe: pacing
+keeps the server <= lead_s ahead of real time, so the socket buffers
+only fill (and the timeout only starts counting) once the peer has
+stopped draining entirely.
+
 Capacity lanes (engine/serving.py capacity=) keep joins/leaves
 recompile-free: a connecting client must never stall every other
 tenant for an XLA executable build.
@@ -60,6 +71,11 @@ class AcousticServer:
     capacity: max concurrent clients (fixed listener-lane shape — live
     joins never recompile). chunk_s: seconds of audio per render
     dispatch/frame; lead_s: jitter-buffer lead the pacing allows.
+    send_timeout_s: evict a peer whose socket stops draining for this
+    long (None/0 disables — a wedged peer then holds its lane forever).
+    sndbuf: kernel send-buffer bytes per client socket (None = OS
+    default); smaller values tighten how much undrained audio a dead
+    peer can hide before the send timeout starts counting.
     """
 
     def __init__(self, scene, sources, cfg: Config = DEFAULT_CONFIG,
@@ -67,7 +83,9 @@ class AcousticServer:
                  n_rays: int = 1 << 15, max_bounces: int = 6,
                  intersector: str = "mt", capacity: int = 8,
                  chunk_s: float = 0.1, lead_s: float = 0.25,
-                 pace: bool = True, round_interval_s: float = 0.2):
+                 pace: bool = True, round_interval_s: float = 0.2,
+                 send_timeout_s: float | None = 5.0,
+                 sndbuf: int | None = None):
         self.scene = scene
         self.cfg = cfg
         self.n_rays = n_rays
@@ -77,6 +95,8 @@ class AcousticServer:
         )
         self.lead_s = float(lead_s)
         self.pace = bool(pace)
+        self.send_timeout_s = send_timeout_s
+        self.sndbuf = sndbuf
         self._sources = [
             s if isinstance(s, dict) else {"samples": s[0], "pos": s[1]}
             for s in sources
@@ -167,6 +187,23 @@ class AcousticServer:
             except OSError:
                 return  # listener closed
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            if self.sndbuf:
+                conn.setsockopt(
+                    socket.SOL_SOCKET, socket.SO_SNDBUF, int(self.sndbuf)
+                )
+            if self.send_timeout_s:
+                # OS-level SEND timeout only: the reader side (pose
+                # lines) stays fully blocking — a quiet-but-listening
+                # client is never evicted, a non-draining one is.
+                # sendall raises (BlockingIOError/TimeoutError, both
+                # OSError) once the buffer stays full this long, which
+                # unwinds _serve_client and frees the lane.
+                sec = int(self.send_timeout_s)
+                usec = int((self.send_timeout_s - sec) * 1e6)
+                conn.setsockopt(
+                    socket.SOL_SOCKET, socket.SO_SNDTIMEO,
+                    struct.pack("@ll", sec, usec),
+                )
             with self._lock:
                 self._clients.add(conn)
             t = threading.Thread(

@@ -139,6 +139,51 @@ def test_client_disconnect_releases_lane():
             time.sleep(0.02)
 
 
+def test_dead_peer_is_evicted_and_lane_reclaimed():
+    """A connected-but-never-reading peer (wedged client, half-dead NAT
+    mapping) must not hold its capacity lane forever: SO_SNDTIMEO unwinds
+    the writer once the socket stops draining, the lane frees, and other
+    streams keep flowing throughout."""
+    with make_server(capacity=2, send_timeout_s=0.5, sndbuf=8192) as srv:
+        # healthy tenant on lane 1, actively draining
+        good = AcousticNetClient(srv.host, srv.port)
+        good.send_pose([0.5, 0.0, 0.5])
+        good.read(256)
+        # dead peer on lane 2: handshakes, commits a pose, never reads.
+        # Tiny recv buffer so the unpaced server fills the pipe fast.
+        dead = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        dead.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        dead.settimeout(10)
+        dead.connect((srv.host, srv.port))
+        f = dead.makefile("rb")
+        f.readline()  # hello
+        dead.sendall(b'{"pose": [-1.0, 0.0, -1.0]}\n')
+        deadline = time.time() + 20.0
+        while len(srv.coord._handles) > 1:
+            assert time.time() < deadline, "dead peer never evicted"
+            time.sleep(0.05)
+        # the healthy stream was never disturbed
+        y = good.read(1024)
+        assert y.shape == (1024, 2)
+        good.close()
+        dead.close()
+        # the reclaimed lane serves a new client (retry across the
+        # close/free race, as in the lane-reuse test above)
+        deadline = time.time() + 5.0
+        while True:
+            c = AcousticNetClient(srv.host, srv.port)
+            c.send_pose([0.5, 0.0, 0.5])
+            first = c._read_line()
+            if b'"error"' not in first:
+                c._buf = first + b"\n" + c._buf
+                assert c.read(256).shape[0] == 256
+                c.close()
+                break
+            c.close()
+            assert time.time() < deadline, "evicted lane never freed"
+            time.sleep(0.05)
+
+
 def test_rejects_poseless_first_message():
     with make_server() as srv:
         s = socket.create_connection((srv.host, srv.port), timeout=10)
