@@ -26,6 +26,14 @@ class GameInput(enum.Enum):
     BACKWARD = "backward"
     UP = "up"
     DOWN = "down"
+    # TTY extension beyond the reference enum (input.zig:8-18): the
+    # reference's pitch axis is continuous mouse delta (main.zig:996-1000),
+    # which raw terminals lack — these discrete look actions carry the
+    # arrow-key fallback; real pointer input still flows through
+    # mouse_motion events when the terminal reports it (app/walkthrough.py
+    # TTYKeys mouse=True).
+    LOOK_UP = "look_up"
+    LOOK_DOWN = "look_down"
 
 
 @dataclass

@@ -188,20 +188,35 @@ class TTYKeys:
     a synthetic key_up is emitted. That timeout must sit above the
     terminal's auto-repeat gap (~0.03-0.5 s initial delay), so releases
     lag by up to release_after; the standard TTY-game compromise where
-    the reference has real SDL KEYUP events (main.zig:452-512)."""
+    the reference has real SDL KEYUP events (main.zig:452-512).
+
+    mouse=True additionally enables xterm any-motion pointer reporting
+    (modes 1003+1006) and parses the SGR reports into the same
+    mouse_motion / mouse_down / mouse_up event dicts SDL would deliver
+    (input.zig:63-77): pointer motion becomes a relative look delta
+    (cell-granular — a cell is ~8-16 px, so callers scale sensitivity
+    up), giving the reference's mouse-look pitch axis
+    (main.zig:992-1000) over a plain terminal."""
 
     #: escape-sequence suffix -> logical code (arrow keys)
     ARROWS = {"A": "up_arrow", "B": "down_arrow", "C": "right_arrow",
               "D": "left_arrow"}
+    _MOUSE_ON = b"\x1b[?1003h\x1b[?1006h"
+    _MOUSE_OFF = b"\x1b[?1003l\x1b[?1006l"
 
-    def __init__(self, fd=None, release_after: float = 0.5):
+    def __init__(self, fd=None, release_after: float = 0.5,
+                 mouse: bool = False, out_fd=None):
         import sys as _sys
 
         self.fd = _sys.stdin.fileno() if fd is None else fd
+        self.out_fd = _sys.stdout.fileno() if out_fd is None else out_fd
         self.release_after = float(release_after)
+        self.mouse = bool(mouse)
         self._held: dict[str, float] = {}
         self._saved = None
         self._buf = b""
+        self._mouse_events: list[dict] = []
+        self._mouse_pos = None  # last reported (col, row)
 
     def __enter__(self):
         import os
@@ -211,26 +226,70 @@ class TTYKeys:
         self._saved = termios.tcgetattr(self.fd)
         tty.setcbreak(self.fd)
         os.set_blocking(self.fd, False)
+        if self.mouse:
+            os.write(self.out_fd, self._MOUSE_ON)
         return self
 
     def __exit__(self, *exc):
+        import os
         import termios
 
+        if self.mouse:
+            try:
+                os.write(self.out_fd, self._MOUSE_OFF)
+            except OSError:
+                pass
         if self._saved is not None:
             termios.tcsetattr(self.fd, termios.TCSADRAIN, self._saved)
         return False
+
+    def _parse_sgr_mouse(self) -> bool:
+        """Consume one SGR report "ESC [ < b;x;y (M|m)" from _buf head;
+        False if incomplete (wait for more bytes)."""
+        end_m, end_r = self._buf.find(b"M", 3, 24), self._buf.find(b"m", 3, 24)
+        end = min(e for e in (end_m, end_r) if e >= 0) \
+            if max(end_m, end_r) >= 0 else -1
+        if end < 0:
+            if len(self._buf) < 24:
+                return False  # partial report
+            self._buf = self._buf[3:]  # malformed: drop the prefix
+            return True
+        body, press = self._buf[3:end], self._buf[end:end + 1] == b"M"
+        self._buf = self._buf[end + 1:]
+        try:
+            b, x, y = (int(v) for v in body.split(b";"))
+        except ValueError:
+            return True  # malformed body: skip
+        pos = (float(x), float(y))
+        if b & 32:  # motion report
+            rel = ((0.0, 0.0) if self._mouse_pos is None else
+                   (pos[0] - self._mouse_pos[0], pos[1] - self._mouse_pos[1]))
+            self._mouse_events.append(
+                {"type": "mouse_motion", "pos": pos, "rel": rel}
+            )
+        elif (b & 3) != 3 and not (b & 64):  # plain button, not wheel
+            self._mouse_events.append(
+                {"type": "mouse_down" if press else "mouse_up",
+                 "code": b & 3}
+            )
+        self._mouse_pos = pos
+        return True
 
     def _read_codes(self) -> list:
         import os
 
         try:
-            data = os.read(self.fd, 64)
-        except BlockingIOError:
+            data = os.read(self.fd, 1024)
+        except (BlockingIOError, OSError):
             data = b""
         self._buf += data
         codes = []
         while self._buf:
             if self._buf[:1] == b"\x1b":
+                if self._buf[1:3] == b"[<":
+                    if not self._parse_sgr_mouse():
+                        break
+                    continue
                 if len(self._buf) < 3:
                     break  # partial escape sequence
                 if self._buf[1:2] == b"[" and chr(self._buf[2]) in self.ARROWS:
@@ -249,6 +308,8 @@ class TTYKeys:
             if code not in self._held:
                 events.append({"type": "key_down", "code": code})
             self._held[code] = t
+        events.extend(self._mouse_events)
+        self._mouse_events = []
         for code, last in list(self._held.items()):
             if t - last > self.release_after:
                 del self._held[code]
@@ -260,18 +321,29 @@ class TTYKeys:
 
 
 def default_bindings(inp):
-    """WASD + arrows + q/e onto the reference's movement actions."""
+    """WASD move/turn, Q/E fly, arrows look (left/right yaw like A/D,
+    up/down pitch — the arrow-key stand-in for the reference's mouse
+    pitch axis, main.zig:996-1000)."""
     from .input import GameInput
 
     for code, action in (
-        ("w", GameInput.FORWARD), ("up_arrow", GameInput.FORWARD),
-        ("s", GameInput.BACKWARD), ("down_arrow", GameInput.BACKWARD),
+        ("w", GameInput.FORWARD), ("s", GameInput.BACKWARD),
         ("a", GameInput.LEFT), ("left_arrow", GameInput.LEFT),
         ("d", GameInput.RIGHT), ("right_arrow", GameInput.RIGHT),
+        ("up_arrow", GameInput.LOOK_UP), ("down_arrow", GameInput.LOOK_DOWN),
         ("e", GameInput.UP), ("q", GameInput.DOWN),
     ):
         inp.bind_key(code, action)
     return inp
+
+
+#: reference pitch clamp (main.zig:996-1000): +-0.49*pi
+PITCH_CLAMP = 0.49 * math.pi
+#: the reference's effective mouse sensitivity per pointer count:
+#: yaw += dx * 0.3 * tick with tick = 1/83 s (main.zig:992-1000 via
+#: app/camera.py MOUSE_SENSITIVITY) — deltas accumulate per tick, so
+#: per COUNT the factor is 0.3/83 regardless of tick cadence.
+MOUSE_SENS = 0.3 / 83.0
 
 
 def interactive_path(
@@ -281,21 +353,30 @@ def interactive_path(
     turn_rate: float = 1.8,
     start_pos=(0.0, 0.0, 0.0),
     start_yaw: float = 0.0,
+    start_pitch: float = 0.0,
     bounds=((-3.0, -1.2, -2.5), (3.0, 1.2, 2.5)),
+    mouse_sens: float = MOUSE_SENS,
 ):
-    """A ``path(t) -> (pos, yaw)`` driven by a key-event source through
-    the ported Input layer: each call polls the source, accumulates
-    events, integrates held movement keys over the elapsed time, clears
-    the per-tick edges (accumulate/decay exactly as the reference's
-    fixed-timestep loop does, main.zig:452-512), and clips the listener
-    to ``bounds``. W/S move along the gaze (sin yaw, 0, cos yaw) —
-    matching circle_path's yaw convention — A/D turn, Q/E fly."""
+    """A ``path(t) -> (pos, yaw, pitch)`` driven by a key-event source
+    through the ported Input layer: each call polls the source,
+    accumulates events, integrates held movement keys over the elapsed
+    time, clears the per-tick edges (accumulate/decay exactly as the
+    reference's fixed-timestep loop does, main.zig:452-512), and clips
+    the listener to ``bounds``. W/S move along the gaze (sin yaw, 0,
+    cos yaw) — matching circle_path's yaw convention — A/D turn, Q/E
+    fly, up/down arrows pitch (turn_rate rad/s, clamped like the
+    reference's mouse pitch). Pointer input rides the same Input layer:
+    mouse_motion events accumulate into inp.mouse_delta, applied as
+    yaw += dx*mouse_sens / pitch -= dy*mouse_sens — the reference's
+    mouse-look law (main.zig:992-1000) with its per-count sensitivity.
+    Movement stays horizontal at any pitch, as the reference's does
+    (Camera.update fwd has no pitch term, main.zig:1002-1007)."""
     from .input import GameInput, Input
 
     if inp is None:
         inp = default_bindings(Input())
     state = {"pos": np.asarray(start_pos, np.float64).copy(),
-             "yaw": float(start_yaw), "t": 0.0}
+             "yaw": float(start_yaw), "pitch": float(start_pitch), "t": 0.0}
     lo = np.asarray(bounds[0], np.float64)
     hi = np.asarray(bounds[1], np.float64)
 
@@ -310,6 +391,14 @@ def interactive_path(
         state["yaw"] += turn_rate * dt * (
             held(GameInput.LEFT) - held(GameInput.RIGHT)
         )
+        state["pitch"] += turn_rate * dt * (
+            held(GameInput.LOOK_UP) - held(GameInput.LOOK_DOWN)
+        )
+        # pointer look: consume this poll's accumulated delta
+        state["yaw"] += float(inp.mouse_delta[0]) * mouse_sens
+        state["pitch"] -= float(inp.mouse_delta[1]) * mouse_sens
+        state["pitch"] = float(np.clip(state["pitch"], -PITCH_CLAMP,
+                                       PITCH_CLAMP))
         fwd = held(GameInput.FORWARD) - held(GameInput.BACKWARD)
         up = held(GameInput.UP) - held(GameInput.DOWN)
         gaze = np.array(
@@ -320,7 +409,8 @@ def interactive_path(
             lo, hi,
         )
         inp.decay()
-        return state["pos"].astype(np.float32).copy(), state["yaw"]
+        return (state["pos"].astype(np.float32).copy(), state["yaw"],
+                state["pitch"])
 
     path.state = state  # test introspection
     return path
@@ -384,17 +474,24 @@ def run_walkthrough(
     if acoustics is None and async_updates:
         acoustics = AsyncAcoustics(r, scene_track=scene_track)
 
+    def poll_path(t: float):
+        # paths return (pos, yaw) or (pos, yaw, pitch) — interactive
+        # paths carry the pitch axis (reference mouse look,
+        # main.zig:996-1000); orbit paths stay level
+        out = path(t)
+        return out if len(out) == 3 else (*out, 0.0)
+
     def maybe_update():
         b = state["rendered"] // blk
         if b >= state["next_update_blk"]:
             t = state["rendered"] / sr
-            pos, yaw = path(t)
+            pos, yaw, pitch = poll_path(t)
             if acoustics is not None:
-                acoustics.request(pos, yaw=yaw, t=t)  # traces off-thread
+                acoustics.request(pos, yaw=yaw, pitch=pitch, t=t)
             else:
                 if scene_track is not None:
                     r.set_scene_arrays(scene_track(t))
-                r.update(pos, yaw=yaw)
+                r.update(pos, yaw=yaw, pitch=pitch)
                 state["updates"] += 1
                 state["retraces"] += bool(r.last_update_retraced)
             state["next_update_blk"] = b + update_every
@@ -408,11 +505,11 @@ def run_walkthrough(
     n_blocks_total = int(np.ceil(seconds * sr / blk))
     if warmup:
         # both update paths (re-trace and rotation-only) + both chunk shapes
-        p0, y0 = path(0.0)
+        p0, y0, pt0 = poll_path(0.0)
         if scene_track is not None:
             r.set_scene_arrays(scene_track(0.0))
-        r.update(p0, yaw=y0)
-        r.update(p0, yaw=y0 + 0.1)
+        r.update(p0, yaw=y0, pitch=pt0)
+        r.update(p0, yaw=y0 + 0.1, pitch=pt0)
         r.render(chunk_blocks * blk)
         rem = n_blocks_total % chunk_blocks
         if rem:
@@ -479,14 +576,17 @@ def main():
         # while the native sink plays and poses stream re-traces.
         # async updates keep the traces off the producer's budget.
         print("interactive walkthrough: W/S move, A/D turn, Q/E fly, "
+              "arrows look (up/down pitch), pointer mouse-look, "
               f"{seconds:.0f} s (Ctrl-C stops)")
-        with TTYKeys() as keys, open(out_path, "wb") as f:
+        # terminal pointer reports are cell-granular (~12 px/cell):
+        # scale the reference's per-pixel sensitivity up accordingly
+        with TTYKeys(mouse=True) as keys, open(out_path, "wb") as f:
             stats = run_walkthrough(
                 seconds, scene=scene, cfg=cfg, fd=f.fileno(),
                 renderer=renderer, scene_track=scene_track,
                 updates_per_second=updates_per_second,
                 async_updates=True,
-                path=interactive_path(keys),
+                path=interactive_path(keys, mouse_sens=12 * MOUSE_SENS),
             )
     else:
         with open(out_path, "wb") as f:
