@@ -74,6 +74,7 @@ def __getattr__(name):
         "IRStreamRenderer": ("engine.ir_stream", "IRStreamRenderer"),
         "BatchedAcoustics": ("engine.serving", "BatchedAcoustics"),
         "wave_ir": ("models.wave", "wave_ir"),
+        "wave_ir_bands": ("models.wave", "wave_ir_bands"),
         "wave_run": ("models.wave", "wave_run"),
         "wave_ir_energy": ("models.wave", "wave_ir_energy"),
         "hybrid_wave_ir": ("models.wave", "hybrid_wave_ir"),
@@ -114,7 +115,8 @@ __all__ = [
     "reverb_params_from_ir", "fdn_gain_for_t60", "fdn_t60_of_gain",
     "rigid_transform_arrays", "AudioSink", "run_live",
     "IRStreamRenderer", "BatchedAcoustics",
-    "wave_ir", "wave_run", "wave_ir_energy", "hybrid_wave_ir",
+    "wave_ir", "wave_ir_bands", "wave_run", "wave_ir_energy",
+    "hybrid_wave_ir",
     "voxelize_triangles", "WaveDomain", "WaveIR", "wave_run_sharded",
     "fit_materials", "fit_source_position", "fit_source_and_materials",
     "log_energy_loss",

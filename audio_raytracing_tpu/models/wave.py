@@ -375,6 +375,33 @@ def _run_scan(occ, pulse, k, a_w, b_w, kp, si, sj, sk, li, lj, lk):
     return jax.lax.scan(step, (zero, zero, zero, zero), pulse)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("si", "sj", "sk", "li", "lj", "lk")
+)
+def _run_scan_banded(occ, pulse, k, a_w, b_w, kp, si, sj, sk, li, lj, lk):
+    """All bands' material-field solves in ONE dispatch: vmap of the
+    leapfrog scan over the stacked (B, Nx, Ny, Nz) wall-impedance
+    fields (occ/pulse/coefficients broadcast). The per-band arithmetic
+    is the exact elementwise program _run_scan runs — outputs bit-match
+    the B sequential dispatches (asserted in test_wave_materials) while
+    the device walks the grids once per step instead of B times
+    serially. Returns the (B, T) listener pressures only (the final
+    field states would be B full grids of HBM for no consumer)."""
+
+    def one(aw, bw):
+        def step(state, s_t):
+            p, vx, vy, vz = state
+            p, vx, vy, vz = _leapfrog_step(p, vx, vy, vz, occ, k, aw, bw, kp)
+            p = p.at[si, sj, sk].add(s_t)
+            return (p, vx, vy, vz), p[li, lj, lk]
+
+        zero = jnp.zeros_like(occ)
+        _, rec = jax.lax.scan(step, (zero, zero, zero, zero), pulse)
+        return rec
+
+    return jax.vmap(one)(a_w, b_w)
+
+
 def wave_run(
     domain: WaveDomain,
     src_cell: tuple,
@@ -567,6 +594,74 @@ def wave_ir(
     )
 
 
+def wave_ir_bands(
+    scene_or_tris,
+    source,
+    listener,
+    cfg: Config = DEFAULT_CONFIG,
+    bands: tuple = (0,),
+    dx: float = 0.08,
+    duration: float = 0.25,
+    alpha: float | None = None,
+    fc: float | None = None,
+    pad_cells: int = 2,
+    cfl: float = 0.999,
+) -> list[WaveIR]:
+    """Per-band material-admittance wave IRs in ONE device dispatch.
+
+    Equivalent to ``[wave_ir(..., materials=True, band=b) for b in
+    bands]`` — bit-matching pressures per band — but the grids are
+    voxelized once and the B solves run as one vmapped scan, so the
+    device dispatches once and each step walks all band grids together
+    (the per-band fields differ only in their wall-impedance values).
+    hybrid_wave_ir(wave_materials=True) routes here."""
+    tris, tri_ab = _scene_triangles(scene_or_tris)
+    if tri_ab is None:
+        raise ValueError(
+            "wave_ir_bands needs a Scene/SceneArrays input (raw "
+            "triangles carry no per-surface absorption)"
+        )
+    if alpha is None:
+        alpha = float(tri_ab.mean())
+    domain, tid = voxelize_triangles(
+        tris, dx, pad_cells=pad_cells, return_tri_ids=True
+    )
+    c = float(cfg.speed_of_sound)
+    dt = courant_dt(domain.dx, c, cfl)
+    check_courant(dt, domain.dx, c)
+    n_steps = int(math.ceil(duration / dt))
+    src_cell = domain.cell_of(source)
+    lst_cell = domain.cell_of(listener)
+    for name, cell in (("src", src_cell), ("lst", lst_cell)):
+        if float(np.asarray(domain.occ)[tuple(cell)]) != 1.0:
+            raise ValueError(f"{name} cell {tuple(cell)} is not an air cell")
+    if fc is None:
+        fc = c / (16.0 * domain.dx)
+    pulse, t0 = source_pulse(n_steps, dt, fc)
+    aws, bws = [], []
+    for b in bands:
+        ac = material_alpha_cells(tid, tri_ab, band=int(b),
+                                  default=float(alpha))
+        aw, bw = wall_impedance_field(ac, c, dt, domain.dx)
+        aws.append(aw)
+        bws.append(bw)
+    a_w = jnp.asarray(np.stack(aws))
+    b_w = jnp.asarray(np.stack(bws))
+    occ = jnp.asarray(domain.occ, jnp.float32)
+    kp = c * c * dt / domain.dx
+    k = dt / domain.dx
+    si, sj, sk = (int(i) for i in src_cell)
+    li, lj, lk = (int(i) for i in lst_cell)
+    rec = _run_scan_banded(
+        occ, pulse, jnp.float32(k), a_w, b_w, jnp.float32(kp),
+        si=si, sj=sj, sk=sk, li=li, lj=lj, lk=lk,
+    )
+    return [
+        WaveIR(pressure=rec[i], dt=float(dt), pulse=pulse, t0=t0)
+        for i in range(len(bands))
+    ]
+
+
 def resample_pressure(wir: WaveIR, sample_rate: int) -> np.ndarray:
     """Linearly resample the recorded pressure from the simulation rate
     1/dt to ``sample_rate`` (band-limited far below either Nyquist)."""
@@ -637,11 +732,12 @@ def hybrid_wave_ir(
         e_all = _fit(wave_ir_energy(wave, cfg=cfg))
         e_of = lambda b: e_all[b]  # noqa: E731
     elif wave_materials:
-        waves = [
-            wave_ir(arrays, source, listener, cfg=cfg, materials=True,
-                    band=b, **(wave_kwargs or {}))
-            for b in range(int(crossover_band))
-        ]
+        # all crossover bands' material-grid solves in ONE dispatch
+        # (bit-matching the sequential per-band wave_ir calls)
+        waves = wave_ir_bands(
+            arrays, source, listener, cfg=cfg,
+            bands=tuple(range(int(crossover_band))), **(wave_kwargs or {}),
+        )
         e_per = [_fit(wave_ir_energy(w, cfg=cfg)) for w in waves]
         e_of = lambda b: e_per[b][b]  # noqa: E731
         wave = waves[0]

@@ -146,6 +146,27 @@ def test_voxel_tri_ids_and_alpha_cells():
     assert np.isclose(mean_cells[tid == 0].mean(), 0.15)
 
 
+def test_wave_ir_bands_bitmatches_sequential():
+    """wave_ir_bands runs every crossover band's material-grid solve in
+    ONE vmapped dispatch; the per-band pressures must BIT-match the
+    sequential wave_ir(materials=True, band=b) dispatches (the vmap adds
+    a batch axis but the per-band elementwise program is unchanged)."""
+    from audio_raytracing_tpu.models.scene import Scene, box_room
+
+    tris = box_room(size=(2.4, 2.0, 1.8))
+    ab = np.tile(np.array([[0.08, 0.5, 0.3, 0.3]], np.float32),
+                 (tris.shape[0], 1))
+    scene = Scene.from_triangles(tris, absorption=ab)
+    src, lst = np.array([0.6, 0.5, 0.4]), np.array([-0.8, -0.6, -0.5])
+    kw = dict(dx=0.12, duration=0.05)
+    batched = W.wave_ir_bands(scene, src, lst, bands=(0, 1), **kw)
+    for b, wb in enumerate(batched):
+        ws = W.wave_ir(scene, src, lst, materials=True, band=b, **kw)
+        assert np.array_equal(np.asarray(wb.pressure),
+                              np.asarray(ws.pressure)), f"band {b}"
+        assert wb.dt == ws.dt and wb.t0 == ws.t0
+
+
 @pytest.mark.slow
 def test_hybrid_wave_materials_per_band():
     """hybrid_wave_ir(wave_materials=True) runs one per-band-material
