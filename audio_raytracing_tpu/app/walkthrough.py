@@ -463,7 +463,13 @@ def run_walkthrough(
     r = renderer if renderer is not None else IRStreamRenderer(
         scene, cfg, n_rays=n_rays, max_bounces=max_bounces
     )
-    r.add_source(synth_pad(cfg.sample_rate), np.float32(source_pos), gain=0.5)
+    if not r._sources:
+        # a passed-in renderer may already carry its sources (the serving
+        # render pump REQUIRES them before coord.warmup — adding another
+        # here would change S under the pump's fixed stacked state)
+        r.add_source(
+            synth_pad(cfg.sample_rate), np.float32(source_pos), gain=0.5
+        )
 
     sr = cfg.sample_rate
     blk = cfg.block_size
@@ -503,6 +509,13 @@ def run_walkthrough(
         return out
 
     n_blocks_total = int(np.ceil(seconds * sr / blk))
+    if getattr(getattr(acoustics, "coord", None), "render_pump", False):
+        # pump streams never dispatch from this thread: the coordinator's
+        # warmup() compiled the batched trace AND the pump executable, and
+        # render() below is a host-memory pop — a solo r.update()/r.render()
+        # here would trace outside the batch and desync the renderer's solo
+        # conv state from the pump's stacked one
+        warmup = False
     if warmup:
         # both update paths (re-trace and rotation-only) + both chunk shapes
         p0, y0, pt0 = poll_path(0.0)

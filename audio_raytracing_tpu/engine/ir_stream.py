@@ -158,6 +158,62 @@ def _stream_blocks(dry, src_len, src_loop, cursor, state,
     return ys, state
 
 
+@partial(jax.jit, static_argnames=("K", "B", "n_out"))
+def _stream_blocks_pump(dry, src_len, src_loop, cursors, states,
+                        spectra_old, spectra_new, fades,
+                        K: int, B: int, n_out: int):
+    """EVERY lane's next K-block chunk in ONE dispatch — the serving
+    render pump's kernel (engine/serving.py::BatchedAcoustics
+    render_pump=True). The reference's audio callback renders all
+    voices in one pass (sound_system.zig:123-172); per-stream render
+    dispatches instead scale the dispatch count with the stream count,
+    which is exactly the wall bench_serving measured at 24 streams
+    (each dispatch pays the relay round trip, and N render threads
+    contend a 1-core host). Here the lane axis is vmapped over stacked
+    per-lane conv state, the dry/source tables are shared across
+    lanes, and the host fans the (L, K, B, n_out) PCM out of one
+    transfer — the per-second dispatch count is sr/(K*B) regardless of
+    how many streams are live.
+
+    Per-lane crossfades without lax.cond-under-vmap (a cond under vmap
+    lowers to a select that runs both branches anyway): block 0 is
+    computed BOTH ways — crossfaded (spectra_old -> spectra_new) and
+    plain — and jnp.where picks per lane. The conv state does not need
+    a select: crossfade and plain push the identical (x_re, x_im,
+    prev_input) into the delay line (ops/conv_partitioned.py:202,227),
+    so state1 is bit-equal either way. Blocks 1..K-1 convolve plain.
+    Output bits therefore match each lane running _stream_blocks solo
+    with its own crossfade_first flag exactly (tested:
+    tests/test_serving.py pump bit-match).
+
+    cursors (L,) i32; states/spectra stacked (L, ...); fades (L,) bool.
+    Returns (ys (L, K, B, n_out), new states)."""
+
+    def chunk_one(cursor, state, so1, sn1, fade):
+        pos = cursor + jnp.arange(K * B, dtype=jnp.int32)
+        idx = pos[None, :] % src_len[:, None]
+        vals = jnp.take_along_axis(dry, idx, axis=1)
+        live = src_loop[:, None] | (pos[None, :] < src_len[:, None])
+        blocks = jnp.where(live, vals, jnp.float32(0.0))
+        S = dry.shape[0]
+        xs = blocks.reshape(S, K, B).transpose(1, 0, 2)[:, :, None, :]
+        xs = jnp.broadcast_to(xs, (K, S, n_out, B))
+        y0f, state1 = cp.conv_block_crossfade_real(xs[0], state, so1, sn1)
+        y0p, _ = cp.conv_block_real(xs[0], state, *sn1)
+        y0 = jnp.where(fade, y0f, y0p)
+
+        def body(st, x):
+            y, st = cp.conv_block_real(x, st, *sn1)
+            return st, y
+
+        state1, ys = jax.lax.scan(body, state1, xs[1:])
+        ys = jnp.concatenate([y0[None], ys], axis=0)  # (K, S, n_out, B)
+        return jnp.sum(ys, axis=1).transpose(0, 2, 1), state1
+
+    return jax.vmap(chunk_one)(cursors, states, spectra_old, spectra_new,
+                               fades)
+
+
 class IRStreamRenderer:
     def __init__(self, scene: Scene, cfg: Config = DEFAULT_CONFIG,
                  hrtf=None, n_rays: int | None = None,

@@ -73,6 +73,14 @@ class _StreamHandle:
         self._pending = None  # mailbox: (pos, yaw, pitch, amb, spectra)
         self.updates = 0
         self.retraces = 0
+        # render-pump PCM buffer (coord.render_pump=True): chunks the
+        # pump thread produced ahead of this stream's consumption, all
+        # under coord._pump_cv
+        self._buf: list[np.ndarray] = []
+        self._buf_off = 0  # consumed samples of _buf[0]
+        self._buf_n = 0  # total buffered samples
+        self._want = 0  # samples a blocked render() is waiting for
+        self.pump_dropped = 0  # chunks dropped because this lane stalled
 
     def request(self, pos, yaw: float = 0.0, pitch: float = 0.0,
                 t: float = 0.0) -> None:
@@ -111,6 +119,8 @@ class _StreamHandle:
         self.retraces += bool(self.r.last_update_retraced)
 
     def render(self, n: int) -> np.ndarray:
+        if self.coord.render_pump:
+            return self.coord._pump_read(self, n)
         with self.lock:
             self._adopt_locked()
             return self.r.render(n)
@@ -156,7 +166,11 @@ class BatchedAcoustics:
                  mesh=None, pallas_kw=None,
                  batch_respectra: bool | None = None,
                  round_interval_s: float = 0.2,
-                 capacity: int | None = None):
+                 capacity: int | None = None,
+                 render_pump: bool = False,
+                 pump_chunk_blocks: int = 64,
+                 pump_buffer_chunks: int = 2,
+                 pump_max_buffer_chunks: int = 6):
         """intersector: "mt"/"mxu" use the shared-path XLA tracer (one path
         pass + L NEE lanes — the cheapest round); "pallas" scans the fused
         kernel over the listener batch (ops/pallas_trace.py::
@@ -196,7 +210,31 @@ class BatchedAcoustics:
         padding lanes (the first live pose repeated; their results are
         discarded). None (default) = the exact-cohort behavior:
         cheapest trace, but a later stream() recompiles on the next
-        round."""
+        round.
+
+        render_pump: batch the RENDER dispatches too. The r3 serving
+        wall was not the acoustic rounds (those are already one
+        dispatch per round) but the audio renders: at 24 streams, 24
+        render threads each dispatch their own chunk, so aggregate
+        render-dispatch traffic scales linearly with N while each
+        dispatch pays the relay's serialized round trip — every stream
+        pinned at rt 0.55 with ~3200 underruns (RESULTS.md). The
+        reference's audio callback renders ALL voices in one pass
+        (sound_system.zig:123-172); the pump is that architecture at
+        serving scale: one thread renders EVERY lane's next
+        pump_chunk_blocks-block chunk in ONE dispatch
+        (ir_stream.py::_stream_blocks_pump, bit-identical per lane to
+        the solo path), buffers pump_buffer_chunks chunks ahead per
+        lane, and handle.render() just pops host PCM. Dispatches/s =
+        sample_rate/(pump_chunk_blocks*block) regardless of N.
+        Constraints (asserted at pump start): the cohort is FIXED (no
+        join/leave while running, capacity unsupported) and every
+        stream shares the source tables (same dry samples/loops — the
+        coordinator already requires shared sources) and output layout
+        (same n_out / spectra shapes). A lane that stops consuming
+        (dead sink) has its oldest chunk dropped past
+        pump_max_buffer_chunks (handle.pump_dropped counts) so one
+        stalled client never blocks the cohort."""
         self.cfg = cfg
         self._arrays = scene_arrays
         self._srcs = jnp.asarray(
@@ -217,6 +255,23 @@ class BatchedAcoustics:
         if capacity is not None and capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.capacity = capacity
+        if render_pump and capacity is not None:
+            raise ValueError(
+                "render_pump needs a fixed cohort (the stacked conv "
+                "state is per-lane); use capacity=None and register "
+                "every stream before warmup()"
+            )
+        self.render_pump = bool(render_pump)
+        self.pump_chunk_blocks = int(pump_chunk_blocks)
+        self.pump_buffer_chunks = int(pump_buffer_chunks)
+        self.pump_max_buffer_chunks = int(pump_max_buffer_chunks)
+        self._pump_cv = threading.Condition()
+        self._pump_thread = None
+        self._pump_lanes = None  # fixed handle list while pumping
+        self._pump_states = None  # stacked RealConvState (L, S, n_out, ...)
+        self._pump_cur = None  # stacked spectra the lanes render with
+        self._pump_cursors = None  # per-lane python-int sample cursors
+        self.pump_ticks = 0
         self._handles: list[_StreamHandle] = []
         self._evt = threading.Event()
         self._stop_evt = threading.Event()
@@ -343,6 +398,11 @@ class BatchedAcoustics:
         return h
 
     def _remove(self, handle: _StreamHandle) -> None:
+        if self._pump_lanes is not None and handle in self._pump_lanes:
+            raise ValueError(
+                "render_pump cohorts are fixed while the pump runs; "
+                "stop the coordinator before closing streams"
+            )
         try:
             self._handles.remove(handle)
         except ValueError:
@@ -438,7 +498,10 @@ class BatchedAcoustics:
     def warmup(self, poses) -> None:
         """Seed every stream's pose ((pos, yaw[, pitch]) per stream, in
         registration order) and compile + run the batched trace once, so
-        the first live round never pays the executable build."""
+        the first live round never pays the executable build. In
+        render_pump mode this also PUBLISHES the warmup trace to every
+        stream (each lane needs spectra before the first pump chunk)
+        and compiles the pump executable with one discarded dispatch."""
         if len(poses) != len(self._handles):
             raise ValueError("one initial pose per registered stream")
         for h, p in zip(self._handles, poses):
@@ -455,6 +518,17 @@ class BatchedAcoustics:
                 amb, self._orient_batch(self._handles)
             )
             float(jnp.sum(re))
+        if self.render_pump:
+            # seed every lane's spectra from this warmup trace, then
+            # compile + run the pump executable once and discard —
+            # the first live chunk must not pay the build
+            self._publish_traced(
+                self._handles, amb, [True] * len(self._handles)
+            )
+            for h in self._handles:
+                with h.lock:
+                    h._adopt_locked()
+            self._pump_setup(warm=True)
 
     def _round(self) -> None:
         handles = list(self._handles)
@@ -482,6 +556,14 @@ class BatchedAcoustics:
         )
         if self._respectra_cohort != len(self._handles):
             self._setup_respectra()
+        self._publish_traced(handles, amb, dirty)
+        self.rounds += 1
+
+    def _publish_traced(self, handles, amb, dirty) -> None:
+        """Decode the round's traced ambisonic IRs to per-stream
+        partitioned spectra and publish through each dirty stream's
+        mailbox (also used by warmup() in pump mode to seed every lane
+        before the first pump dispatch)."""
         if self._respectra_all is not None:
             # 2 dispatches per round total: per-stream adoption below is
             # pure bookkeeping + an atomic swap
@@ -511,7 +593,215 @@ class BatchedAcoustics:
                         self.cfg.block_size,
                     )
                 h._publish(pos, yaw, pitch, amb[i], spectra)
-        self.rounds += 1
+
+    # -- render pump -----------------------------------------------------------
+
+    def _pump_setup(self, warm: bool = False) -> None:
+        """Fix the pump cohort and build its stacked device state:
+        (L,)-stacked conv states (zeros — a fresh stream), (L,)-stacked
+        current spectra, per-lane cursors. warm=True also compiles the
+        pump executable with one discarded dispatch."""
+        from ..ops import conv_partitioned as cp
+
+        lanes = list(self._handles)
+        if not lanes:
+            raise ValueError("render_pump needs at least one stream")
+        rs = [h.r for h in lanes]
+        r0 = rs[0]
+        if any(r._dry is None for r in rs):
+            raise RuntimeError(
+                "every pump lane needs its dry sources before the pump "
+                "starts — add_source() each renderer BEFORE warmup() "
+                "(the pump renders all lanes from one stacked (S, N) "
+                "dry arena, so it must exist when the cohort is fixed)"
+            )
+        if any(r._spectra is None for r in rs):
+            raise RuntimeError(
+                "every pump lane needs spectra before the pump starts — "
+                "call warmup(), or request() once per stream and let a "
+                "round publish"
+            )
+        for r in rs[1:]:
+            if r.n_out != r0.n_out:
+                raise ValueError("pump lanes must share n_out")
+            if not (np.array_equal(r._dry, r0._dry)
+                    and np.array_equal(np.asarray(r._src_len_dev),
+                                       np.asarray(r0._src_len_dev))
+                    and np.array_equal(np.asarray(r._src_loop_dev),
+                                       np.asarray(r0._src_loop_dev))):
+                raise ValueError(
+                    "pump lanes must share the dry source tables (same "
+                    "samples, gains, loop flags) — the pump renders all "
+                    "lanes from one (S, N) arena"
+                )
+            if jax.tree.map(jnp.shape, r._spectra) != jax.tree.map(
+                jnp.shape, r0._spectra
+            ):
+                raise ValueError("pump lanes must share spectra shapes")
+        S = r0._dry_dev.shape[0]
+        P = r0._spectra[0].shape[-2]
+        B = self.cfg.block_size
+        for h in lanes:
+            with h.lock:
+                # the pump starts from each lane's CURRENT spectra; any
+                # pre-pump solo swap is already reflected there
+                h.r._pending_fade = False
+            h._buf = []
+            h._buf_off = 0
+            h._buf_n = 0
+        self._pump_lanes = lanes
+        self._pump_states = cp.conv_init_real(
+            (len(lanes), S, r0.n_out), P, B
+        )
+        self._pump_cur = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[h.r._spectra for h in lanes]
+        )
+        self._pump_cursors = [0] * len(lanes)
+        if warm:
+            from .ir_stream import _stream_blocks_pump
+
+            ys, _ = _stream_blocks_pump(
+                r0._dry_dev, r0._src_len_dev, r0._src_loop_dev,
+                jnp.zeros(len(lanes), jnp.int32), self._pump_states,
+                self._pump_cur, self._pump_cur,
+                jnp.zeros(len(lanes), bool),
+                K=self.pump_chunk_blocks, B=B, n_out=r0.n_out,
+            )
+            np.asarray(ys)  # force compile + execute; PCM discarded
+
+    def _pump_tick(self) -> None:
+        """ONE pump iteration: adopt every lane's pending spectra at
+        this chunk boundary, render every lane's next chunk in one
+        dispatch, deposit the PCM in the per-lane buffers. Synchronous
+        and thread-free so tests can drive it deterministically; the
+        pump thread is just pacing around this."""
+        from .ir_stream import _stream_blocks_pump
+
+        lanes = self._pump_lanes
+        r0 = lanes[0].r
+        B = self.cfg.block_size
+        K = self.pump_chunk_blocks
+        fades = np.zeros(len(lanes), bool)
+        specs = [None] * len(lanes)
+        for i, h in enumerate(lanes):
+            with h.lock:
+                h._adopt_locked()
+                if h.r._pending_fade:
+                    fades[i] = True
+                    h.r._pending_fade = False
+                specs[i] = h.r._spectra
+        if fades.any():
+            prev = self._pump_cur
+            self._pump_cur = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *specs
+            )
+        else:
+            prev = self._pump_cur
+        ys, self._pump_states = _stream_blocks_pump(
+            r0._dry_dev, r0._src_len_dev, r0._src_loop_dev,
+            jnp.asarray(np.asarray(self._pump_cursors, np.int32)),
+            self._pump_states, prev, self._pump_cur,
+            jnp.asarray(fades),
+            K=K, B=B, n_out=r0.n_out,
+        )
+        pcm = np.asarray(ys)  # (L, K, B, n_out) — ONE host transfer
+        with self._pump_cv:
+            for i, h in enumerate(lanes):
+                self._pump_cursors[i] += K * B
+                h._buf.append(pcm[i].reshape(K * B, r0.n_out))
+                h._buf_n += K * B
+                # a read bigger than the buffer cap must still be
+                # satisfiable: never trim below an outstanding demand
+                allowed = max(
+                    self.pump_max_buffer_chunks,
+                    -(-h._want // (K * B)) + 1,
+                )
+                while len(h._buf) > allowed:
+                    # stalled consumer: drop its OLDEST chunk so one
+                    # dead sink never blocks the cohort (live-stream
+                    # semantics; netserve evicts the peer separately)
+                    old = h._buf.pop(0)
+                    h._buf_n -= len(old) - h._buf_off
+                    h._buf_off = 0
+                    h.pump_dropped += 1
+            self.pump_ticks += 1
+            self._pump_cv.notify_all()
+
+    def _pump_loop(self) -> None:
+        lanes = None
+        while not self._stop_evt.is_set():
+            if self._pump_states is None:
+                # no warmup(): wait for the first round to publish
+                # spectra to every lane, then fix the cohort
+                try:
+                    self._pump_setup(warm=False)
+                except RuntimeError:
+                    time.sleep(0.01)
+                    continue
+                except Exception as e:  # noqa: BLE001
+                    self.error = e
+                    with self._pump_cv:
+                        self._pump_cv.notify_all()
+                    return
+            lanes = self._pump_lanes
+            target = self.pump_buffer_chunks * self.pump_chunk_blocks \
+                * self.cfg.block_size
+            with self._pump_cv:
+                # produce until every lane is buffered past BOTH the
+                # read-ahead target and any blocked reader's demand
+                while (not self._stop_evt.is_set()
+                       and min(h._buf_n - max(target, h._want)
+                               for h in lanes) >= 0):
+                    self._pump_cv.wait(timeout=0.05)
+            if self._stop_evt.is_set():
+                return
+            try:
+                self._pump_tick()
+            except Exception as e:  # noqa: BLE001
+                self.error = e
+                with self._pump_cv:
+                    self._pump_cv.notify_all()
+                return
+
+    def _pump_read(self, handle: _StreamHandle, n: int) -> np.ndarray:
+        """Pop n samples of this lane's pumped PCM (blocking until the
+        pump has produced them; raises if the pump died or stalled
+        >30 s). The pop is pure host memory — the render thread never
+        dispatches."""
+        deadline = time.monotonic() + 30.0
+        parts = []
+        with self._pump_cv:
+            handle._want = n  # pump pacing produces past this demand
+            try:
+                while handle._buf_n < n:
+                    if self.error is not None:
+                        raise self.error
+                    if self._stop_evt.is_set():
+                        raise RuntimeError("render pump is stopped")
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        raise RuntimeError(
+                            "render pump stalled (30 s without producing)"
+                        )
+                    self._pump_cv.notify_all()  # wake the pump's pacing
+                    self._pump_cv.wait(timeout=min(0.5, left))
+            finally:
+                handle._want = 0
+            need = n
+            while need:
+                c = handle._buf[0]
+                take = min(len(c) - handle._buf_off, need)
+                parts.append(
+                    c[handle._buf_off:handle._buf_off + take]
+                )
+                handle._buf_off += take
+                handle._buf_n -= take
+                need -= take
+                if handle._buf_off == len(c):
+                    handle._buf.pop(0)
+                    handle._buf_off = 0
+            self._pump_cv.notify_all()  # wake the pump's pacing wait
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
     def _loop(self) -> None:
         while not self._stop_evt.is_set():
@@ -538,11 +828,22 @@ class BatchedAcoustics:
             target=self._loop, name="batched-acoustics", daemon=True
         )
         self._thread.start()
+        if self.render_pump:
+            self._pump_thread = threading.Thread(
+                target=self._pump_loop, name="render-pump", daemon=True
+            )
+            self._pump_thread.start()
         return self
 
     def __exit__(self, *exc):
         self._stop_evt.set()
+        with self._pump_cv:
+            self._pump_cv.notify_all()
         self._thread.join(timeout=30.0)
+        if self._pump_thread is not None:
+            self._pump_thread.join(timeout=30.0)
+            self._pump_thread = None
+            self._pump_lanes = None  # cohort unfixed: close() allowed again
         if self.error is not None:
             raise self.error
         return False

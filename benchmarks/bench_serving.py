@@ -16,7 +16,12 @@ queue. Two update architectures:
   dispatch queue cost per round is ~constant in N.
 
 Run: python benchmarks/bench_serving.py [seconds=10] [max_streams=4]
-     [--batched] [--mxu | --kernel | --nee] [--only=N]
+     [--batched] [--pump] [--mxu | --kernel | --nee] [--only=N]
+--pump (implies --batched) also batches the RENDER dispatches: one
+render-pump thread produces every stream's next chunk in ONE dispatch
+(engine/serving.py render_pump=True) and streams pop host PCM — the
+per-second dispatch count stops scaling with N (the r3 24-stream wall
+was exactly that scaling).
 --nee runs the batched trace through the in-kernel multi-listener NEE
 (trace_irs_pallas_multi_listener_nee: ONE path pass per 4-listener
 chunk, VMEM-resident per-listener shadow/emission/binning — neither the
@@ -56,7 +61,8 @@ def main():
     from audio_raytracing_tpu.models.scene import Scene, box_room
 
     pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    batched = "--batched" in sys.argv[1:]
+    pump = "--pump" in sys.argv[1:]
+    batched = "--batched" in sys.argv[1:] or pump
     isect = "mt"
     if "--mxu" in sys.argv[1:]:
         isect = "mxu"
@@ -96,8 +102,20 @@ def main():
             coord = BatchedAcoustics(
                 scene.device_arrays(), [np.zeros(3, np.float32)], cfg=cfg,
                 n_rays=1 << 15, max_bounces=6, intersector=isect,
+                # pump chunk = the walkthrough's render chunk (64 blocks)
+                render_pump=pump,
             )
             handles = [coord.stream(r) for r in renderers]
+            if pump:
+                # pump lanes need their dry sources BEFORE warmup (the
+                # pump fixes the cohort and stacks one (S, N) arena);
+                # same pad the walkthrough would add, so run_walkthrough
+                # skips its own add_source
+                from audio_raytracing_tpu.app.walkthrough import synth_pad
+
+                for r in renderers:
+                    r.add_source(synth_pad(cfg.sample_rate),
+                                 np.zeros(3, np.float32), gain=0.5)
             coord.warmup([circle_path(1.7 * i) for i in range(n)])
 
         def one(i):
@@ -131,6 +149,9 @@ def main():
         }
         if coord is not None:
             row["trace_rounds"] = coord.rounds
+            if pump:
+                row["pump_ticks"] = coord.pump_ticks
+                row["pump_dropped"] = [h.pump_dropped for h in handles]
         if any(errs):
             row["errors"] = [e for e in errs if e]
         out[f"n{n}"] = row
@@ -144,7 +165,7 @@ def main():
         "metric": "concurrent_realtime_streams",
         "value": max(ok) if ok else 0,
         "unit": "streams",
-        "extra": {"batched": batched, **out},
+        "extra": {"batched": batched, "pump": pump, **out},
     }))
 
 

@@ -314,6 +314,64 @@ def test_run_walkthrough_accepts_batched_handle():
     assert stats["retraces"] >= 1
 
 
+def test_run_walkthrough_through_render_pump():
+    """The bench_serving --pump path end to end: pre-sourced renderers,
+    coordinator warmup (which fixes the pump cohort + compiles the pump
+    executable), then run_walkthrough popping pumped PCM through the
+    live pipeline — the walkthrough must NOT re-add a source or run its
+    solo warmup (that would desync the pump's stacked conv state)."""
+    from audio_raytracing_tpu.app.walkthrough import (
+        circle_path,
+        run_walkthrough,
+        synth_pad,
+    )
+
+    scene = make_scene()
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [np.zeros(3, np.float32)], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        coalesce_s=0.0, round_interval_s=0.0,
+        render_pump=True, pump_chunk_blocks=4,
+    )
+    rs = [IRStreamRenderer(scene, CFG) for _ in range(2)]
+    handles = [coord.stream(r) for r in rs]
+    for r in rs:
+        r.add_source(synth_pad(CFG.sample_rate), np.zeros(3, np.float32),
+                     gain=0.5)
+    coord.warmup([(np.float32([1.5, 0.0, 0.0]), 0.0),
+                  (np.float32([-1.5, 0.0, 0.5]), 0.4)])
+    assert all(len(r._sources) == 1 for r in rs)
+    n_blocks = 32
+    dur = n_blocks * CFG.block_size / CFG.sample_rate
+    stats = [None, None]
+    import threading
+
+    def one(i):
+        stats[i] = run_walkthrough(
+            dur, scene=scene, cfg=CFG, renderer=rs[i], acoustics=handles[i],
+            n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+            chunk_blocks=4, ring_blocks=n_blocks + 8,
+            updates_per_second=40.0,
+            path=lambda t, i=i: circle_path(t + 1.7 * i, radius=1.5,
+                                            period=0.05),
+        )
+
+    with coord:
+        ts = [threading.Thread(target=one, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    assert coord.error is None
+    # the walkthrough didn't add a second source behind the pump's back
+    assert all(len(r._sources) == 1 for r in rs)
+    for s in stats:
+        assert s is not None
+        assert s["frames_written"] == n_blocks * CFG.block_size
+        assert s["updates"] >= 1
+    assert coord.pump_ticks >= 1
+
+
 def test_batched_serving_pallas_nee_route():
     """intersector='pallas_nee' (interpret mode on CPU): the in-kernel
     multi-listener NEE — one path pass per listener chunk — feeds the
@@ -422,3 +480,122 @@ def test_capacity_join_leave_without_recompile():
     r.add_source(tone(), pos=SRC)
     with pytest.raises(ValueError, match="capacity"):
         coord.stream(r)
+
+
+def make_pump_coord(scene, n, **kw):
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        coalesce_s=0.0, render_pump=True, pump_chunk_blocks=4, **kw,
+    )
+    renderers, handles = [], []
+    for _ in range(n):
+        r = IRStreamRenderer(scene, CFG)
+        r.add_source(tone(), pos=SRC)
+        handles.append(coord.stream(r))
+        renderers.append(r)
+    return coord, renderers, handles
+
+
+def test_render_pump_bit_matches_solo():
+    """The pump's one-dispatch-for-all-lanes chunk is BIT-identical per
+    lane to each lane rendering solo through _stream_blocks — including
+    the per-lane crossfade block (faded lane) and the plain block
+    (non-faded lane in the same dispatch)."""
+    scene = make_scene()
+    coord, renderers, handles = make_pump_coord(scene, 2)
+    coord.warmup(POSES)
+
+    # shadow solo renderers adopting the EXACT same spectra objects
+    solos = []
+    for r, (pos, yaw) in zip(renderers, POSES):
+        s = IRStreamRenderer(scene, CFG)
+        s.add_source(tone(), pos=SRC)
+        s.apply_traced(pos, yaw, 0.0, r._amb_cache, r._spectra)
+        solos.append(s)
+
+    K, B = coord.pump_chunk_blocks, CFG.block_size
+    coord._pump_tick()
+    coord._pump_tick()
+    for h, s in zip(handles, solos):
+        got = coord._pump_read(h, 2 * K * B)
+        want = np.concatenate([s.render(K * B), s.render(K * B)])
+        assert np.array_equal(got, want)
+
+    # lane 0 adopts new spectra (crossfades); lane 1 rides plain — in
+    # the SAME pump dispatch
+    pos2, yaw2 = np.float32([0.0, 0.4, -0.6]), -1.2
+    handles[0].request(pos2, yaw=yaw2)
+    coord._round()
+    assert handles[0].updates == 2
+    solos[0].apply_traced(
+        pos2, yaw2, 0.0, renderers[0]._amb_cache, renderers[0]._spectra
+    )
+    assert solos[0]._pending_fade
+    coord._pump_tick()
+    for h, s in zip(handles, solos):
+        got = coord._pump_read(h, K * B)
+        want = s.render(K * B)
+        assert np.array_equal(got, want)
+    assert coord.pump_ticks == 3
+
+
+def test_render_pump_threaded_end_to_end():
+    """The pump thread paces itself, streams pop real-time PCM without
+    ever dispatching, and a stalled lane only drops ITS oldest chunks."""
+    scene = make_scene()
+    coord, renderers, handles = make_pump_coord(
+        scene, 2, pump_buffer_chunks=2, pump_max_buffer_chunks=3
+    )
+    coord.warmup(POSES)
+    K, B = coord.pump_chunk_blocks, CFG.block_size
+    with coord:
+        for h, (pos, yaw) in zip(handles, POSES):
+            h.request(pos, yaw=yaw)
+        out = [h.render(3 * K * B) for h in handles]
+        assert all(np.isfinite(o).all() for o in out)
+        assert all(np.abs(o).max() > 1e-7 for o in out)
+        assert coord.pump_ticks >= 3
+        # starve lane 1 (never read): the pump keeps serving lane 0 and
+        # bounds lane 1's buffer by dropping its oldest chunks
+        deadline = time.time() + 30.0
+        while handles[1].pump_dropped == 0 and time.time() < deadline:
+            handles[0].render(K * B)
+            time.sleep(0.005)
+        assert handles[1].pump_dropped > 0
+        assert len(handles[1]._buf) <= 3
+    assert coord.error is None
+    # cohort unfixed after exit
+    handles[0].close()
+
+
+def test_render_pump_validation():
+    import pytest
+
+    scene = make_scene()
+    with pytest.raises(ValueError, match="fixed cohort"):
+        BatchedAcoustics(
+            scene.device_arrays(), [SRC], cfg=CFG, render_pump=True,
+            capacity=4,
+        )
+
+    # mismatched dry tables across lanes are rejected at pump setup
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        coalesce_s=0.0, render_pump=True, pump_chunk_blocks=4,
+    )
+    r1 = IRStreamRenderer(scene, CFG)
+    r1.add_source(tone(), pos=SRC)
+    r2 = IRStreamRenderer(scene, CFG)
+    r2.add_source(0.5 * tone(), pos=SRC)
+    h1 = coord.stream(r1)
+    coord.stream(r2)
+    with pytest.raises(ValueError, match="dry source tables"):
+        coord.warmup(POSES)
+
+    # close() is refused while the pump cohort is fixed
+    coord2, renderers, handles = make_pump_coord(scene, 2)
+    coord2.warmup(POSES)
+    with pytest.raises(ValueError, match="fixed"):
+        handles[0].close()
