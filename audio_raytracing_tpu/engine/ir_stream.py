@@ -518,6 +518,28 @@ class IRStreamRenderer:
         self._orient_key = orient_key
         self._swap_spectra(spectra, swap_lock)
 
+    def note_traced_pose(self, listener_pos, yaw: float, pitch: float) -> bool:
+        """Pose-cache bookkeeping ONLY, for serving's render-pump stacked
+        publish (engine/serving.py::_publish_traced): the pump holds the
+        cohort's spectra stacked on device and never materializes this
+        lane's slice, so adoption is just recording what pose the lane's
+        column was traced at. Returns True when the positions changed
+        (i.e. the round's trace was a real re-trace for this lane) —
+        the same retraced test apply_traced uses."""
+        lp = np.asarray(listener_pos, np.float32)
+        trace_key = (
+            lp.tobytes(),
+            tuple(
+                (s["pos"].tobytes(), s.get("directivity"))
+                for s in self._sources
+            ),
+        )
+        retraced = self._trace_key is None or trace_key != self._trace_key
+        self._trace_key = trace_key
+        self._orient_key = (float(yaw), float(pitch))
+        self.last_update_retraced = retraced
+        return retraced
+
     # -- audio stream --------------------------------------------------------
 
     def render_block(self) -> np.ndarray:

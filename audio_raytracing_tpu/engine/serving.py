@@ -170,7 +170,8 @@ class BatchedAcoustics:
                  render_pump: bool = False,
                  pump_chunk_blocks: int = 64,
                  pump_buffer_chunks: int = 2,
-                 pump_max_buffer_chunks: int = 6):
+                 pump_max_buffer_chunks: int = 6,
+                 pump_prefill: bool = True):
         """intersector: "mt"/"mxu" use the shared-path XLA tracer (one path
         pass + L NEE lanes — the cheapest round); "pallas" scans the fused
         kernel over the listener batch (ops/pallas_trace.py::
@@ -265,11 +266,21 @@ class BatchedAcoustics:
         self.pump_chunk_blocks = int(pump_chunk_blocks)
         self.pump_buffer_chunks = int(pump_buffer_chunks)
         self.pump_max_buffer_chunks = int(pump_max_buffer_chunks)
+        # deposit the warmup compile-dispatch's PCM as every lane's
+        # first chunk (it is bit-identical to the first live tick) so
+        # streams start a chunk ahead of the clock; False = discard it
+        # (deterministic tick/chunk accounting for tests)
+        self.pump_prefill = bool(pump_prefill)
         self._pump_cv = threading.Condition()
         self._pump_thread = None
         self._pump_lanes = None  # fixed handle list while pumping
         self._pump_states = None  # stacked RealConvState (L, S, n_out, ...)
         self._pump_cur = None  # stacked spectra the lanes render with
+        # stacked-publish mailbox: ((re, im) stacked (L, ...), dirty
+        # flags) from the latest round, freshest wins (see
+        # _publish_traced — per-lane slicing measured ~200 ms of relay
+        # queue per 24-stream round)
+        self._pump_next = None
         self._pump_cursors = None  # per-lane python-int sample cursors
         self.pump_ticks = 0
         self._handles: list[_StreamHandle] = []
@@ -564,6 +575,28 @@ class BatchedAcoustics:
         partitioned spectra and publish through each dirty stream's
         mailbox (also used by warmup() in pump mode to seed every lane
         before the first pump dispatch)."""
+        if self.render_pump and self._respectra_all is not None:
+            # STACKED publish: the pump consumes the (L, ...) respectra
+            # arrays whole, so slicing them per lane here would only
+            # create ~2L tiny device ops per round — measured ~200 ms of
+            # relay-queue time per 24-stream round, the residual wall
+            # after the pump removed render-dispatch scaling
+            # (benchmarks/pump_ab.py: the pump dispatch itself is a flat
+            # ~28 ms at L=8/16/24 and the L=24 trace 42 ms — the rest of
+            # the 238 ms/round was this glue). One mailbox swap instead;
+            # per-lane crossfades ride the dirty flags.
+            re, im = self._respectra_all(amb, self._orient_batch(handles))
+            with self._pump_cv:
+                self._pump_next = ((re, im), list(dirty))
+                self._pump_cv.notify_all()
+            for i, h in enumerate(handles):
+                if dirty[i]:
+                    pos, yaw, pitch = h._pose
+                    h.updates += 1
+                    h.retraces += bool(
+                        h.r.note_traced_pose(pos, yaw, pitch)
+                    )
+            return
         if self._respectra_all is not None:
             # 2 dispatches per round total: per-stream adoption below is
             # pure bookkeeping + an atomic swap
@@ -615,7 +648,10 @@ class BatchedAcoustics:
                 "(the pump renders all lanes from one stacked (S, N) "
                 "dry arena, so it must exist when the cohort is fixed)"
             )
-        if any(r._spectra is None for r in rs):
+        with self._pump_cv:
+            stacked = self._pump_next
+            self._pump_next = None
+        if stacked is None and any(r._spectra is None for r in rs):
             raise RuntimeError(
                 "every pump lane needs spectra before the pump starts — "
                 "call warmup(), or request() once per stream and let a "
@@ -634,12 +670,11 @@ class BatchedAcoustics:
                     "samples, gains, loop flags) — the pump renders all "
                     "lanes from one (S, N) arena"
                 )
-            if jax.tree.map(jnp.shape, r._spectra) != jax.tree.map(
-                jnp.shape, r0._spectra
-            ):
+            if stacked is None and jax.tree.map(
+                jnp.shape, r._spectra
+            ) != jax.tree.map(jnp.shape, r0._spectra):
                 raise ValueError("pump lanes must share spectra shapes")
         S = r0._dry_dev.shape[0]
-        P = r0._spectra[0].shape[-2]
         B = self.cfg.block_size
         for h in lanes:
             with h.lock:
@@ -650,24 +685,40 @@ class BatchedAcoustics:
             h._buf_off = 0
             h._buf_n = 0
         self._pump_lanes = lanes
+        if stacked is not None:
+            # stacked-publish mode: the warmup (or first) round's
+            # batched respectra output IS the pump's spectra — per-lane
+            # slices are never materialized
+            self._pump_cur = stacked[0]
+        else:
+            self._pump_cur = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[h.r._spectra for h in lanes]
+            )
+        P = self._pump_cur[0].shape[-2]
         self._pump_states = cp.conv_init_real(
             (len(lanes), S, r0.n_out), P, B
-        )
-        self._pump_cur = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[h.r._spectra for h in lanes]
         )
         self._pump_cursors = [0] * len(lanes)
         if warm:
             from .ir_stream import _stream_blocks_pump
 
-            ys, _ = _stream_blocks_pump(
+            ys, st = _stream_blocks_pump(
                 r0._dry_dev, r0._src_len_dev, r0._src_loop_dev,
                 jnp.zeros(len(lanes), jnp.int32), self._pump_states,
                 self._pump_cur, self._pump_cur,
                 jnp.zeros(len(lanes), bool),
                 K=self.pump_chunk_blocks, B=B, n_out=r0.n_out,
             )
-            np.asarray(ys)  # force compile + execute; PCM discarded
+            pcm = np.asarray(ys)  # force the compile + execute NOW
+            if self.pump_prefill:
+                # the warm dispatch (cursor 0, zero state, warmup
+                # spectra) is bit-identical to what the first live tick
+                # would render — deposit it so every lane starts one
+                # chunk ahead of the clock instead of racing the pump's
+                # first post-start tick (a 24-stream run measured a
+                # single startup underrun exactly there)
+                self._pump_states = st
+                self._deposit(pcm)
 
     def _pump_tick(self) -> None:
         """ONE pump iteration: adopt every lane's pending spectra at
@@ -681,21 +732,35 @@ class BatchedAcoustics:
         r0 = lanes[0].r
         B = self.cfg.block_size
         K = self.pump_chunk_blocks
-        fades = np.zeros(len(lanes), bool)
-        specs = [None] * len(lanes)
-        for i, h in enumerate(lanes):
-            with h.lock:
-                h._adopt_locked()
-                if h.r._pending_fade:
-                    fades[i] = True
-                    h.r._pending_fade = False
-                specs[i] = h.r._spectra
-        if fades.any():
+        with self._pump_cv:
+            nxt = self._pump_next
+            self._pump_next = None
+        if nxt is not None:
+            # stacked publish (binaural cohorts — _respectra_all): adopt
+            # the round's (L, ...) respectra arrays whole; dirty lanes
+            # crossfade old -> new at this chunk boundary
             prev = self._pump_cur
-            self._pump_cur = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *specs
-            )
+            self._pump_cur = nxt[0]
+            fades = np.asarray(nxt[1], bool)
+        elif self._respectra_all is None:
+            # per-lane mailbox mode (speaker rigs / per-stream HRTFs):
+            # adopt each lane's pending spectra and restack
+            fades = np.zeros(len(lanes), bool)
+            specs = [None] * len(lanes)
+            for i, h in enumerate(lanes):
+                with h.lock:
+                    h._adopt_locked()
+                    if h.r._pending_fade:
+                        fades[i] = True
+                        h.r._pending_fade = False
+                    specs[i] = h.r._spectra
+            prev = self._pump_cur
+            if fades.any():
+                self._pump_cur = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *specs
+                )
         else:
+            fades = np.zeros(len(lanes), bool)
             prev = self._pump_cur
         ys, self._pump_states = _stream_blocks_pump(
             r0._dry_dev, r0._src_len_dev, r0._src_loop_dev,
@@ -704,11 +769,19 @@ class BatchedAcoustics:
             jnp.asarray(fades),
             K=K, B=B, n_out=r0.n_out,
         )
-        pcm = np.asarray(ys)  # (L, K, B, n_out) — ONE host transfer
+        self._deposit(np.asarray(ys))  # (L, K, B, n_out) — ONE transfer
+
+    def _deposit(self, pcm: np.ndarray) -> None:
+        """Append one pumped chunk of PCM to every lane's buffer and
+        advance the lane cursors (shared by _pump_tick and the warmup
+        prefill)."""
+        lanes = self._pump_lanes
+        K, B = self.pump_chunk_blocks, self.cfg.block_size
+        n_out = lanes[0].r.n_out
         with self._pump_cv:
             for i, h in enumerate(lanes):
                 self._pump_cursors[i] += K * B
-                h._buf.append(pcm[i].reshape(K * B, r0.n_out))
+                h._buf.append(pcm[i].reshape(K * B, n_out))
                 h._buf_n += K * B
                 # a read bigger than the buffer cap must still be
                 # satisfiable: never trim below an outstanding demand
@@ -844,6 +917,7 @@ class BatchedAcoustics:
             self._pump_thread.join(timeout=30.0)
             self._pump_thread = None
             self._pump_lanes = None  # cohort unfixed: close() allowed again
+            self._pump_next = None
         if self.error is not None:
             raise self.error
         return False

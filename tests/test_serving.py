@@ -497,21 +497,32 @@ def make_pump_coord(scene, n, **kw):
     return coord, renderers, handles
 
 
+def lane_spectra(stacked, i):
+    """Slice lane i's (re, im) out of the pump's stacked spectra (tests
+    only — the production pump never materializes per-lane slices)."""
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x[i]), stacked)
+
+
 def test_render_pump_bit_matches_solo():
     """The pump's one-dispatch-for-all-lanes chunk is BIT-identical per
     lane to each lane rendering solo through _stream_blocks — including
     the per-lane crossfade block (faded lane) and the plain block
-    (non-faded lane in the same dispatch)."""
+    (non-faded lane in the same dispatch). Solo comparators adopt
+    slices of the very stacked respectra arrays the pump renders with
+    (stacked-publish mode: pump lanes never hold per-lane spectra)."""
     scene = make_scene()
-    coord, renderers, handles = make_pump_coord(scene, 2)
+    coord, renderers, handles = make_pump_coord(scene, 2,
+                                                pump_prefill=False)
     coord.warmup(POSES)
 
-    # shadow solo renderers adopting the EXACT same spectra objects
+    # shadow solo renderers adopting slices of the pump's warmup spectra
     solos = []
-    for r, (pos, yaw) in zip(renderers, POSES):
+    for i, (r, (pos, yaw)) in enumerate(zip(renderers, POSES)):
         s = IRStreamRenderer(scene, CFG)
         s.add_source(tone(), pos=SRC)
-        s.apply_traced(pos, yaw, 0.0, r._amb_cache, r._spectra)
+        s.apply_traced(pos, yaw, 0.0, None, lane_spectra(coord._pump_cur, i))
         solos.append(s)
 
     K, B = coord.pump_chunk_blocks, CFG.block_size
@@ -528,9 +539,9 @@ def test_render_pump_bit_matches_solo():
     handles[0].request(pos2, yaw=yaw2)
     coord._round()
     assert handles[0].updates == 2
-    solos[0].apply_traced(
-        pos2, yaw2, 0.0, renderers[0]._amb_cache, renderers[0]._spectra
-    )
+    nxt = coord._pump_next
+    assert nxt is not None and nxt[1] == [True, False]
+    solos[0].apply_traced(pos2, yaw2, 0.0, None, lane_spectra(nxt[0], 0))
     assert solos[0]._pending_fade
     coord._pump_tick()
     for h, s in zip(handles, solos):
@@ -538,6 +549,25 @@ def test_render_pump_bit_matches_solo():
         want = s.render(K * B)
         assert np.array_equal(got, want)
     assert coord.pump_ticks == 3
+
+
+def test_render_pump_prefill():
+    """warmup() with pump_prefill (default) deposits the compile
+    dispatch's PCM: every lane starts one chunk ahead of the clock, and
+    that chunk is bit-identical to solo chunk 0 (same cursor-0 zero
+    state the first live tick would use)."""
+    scene = make_scene()
+    coord, renderers, handles = make_pump_coord(scene, 2)
+    coord.warmup(POSES)
+    K, B = coord.pump_chunk_blocks, CFG.block_size
+    assert coord.pump_ticks == 1
+    assert all(h._buf_n == K * B for h in handles)
+    pos, yaw = POSES[0]
+    s = IRStreamRenderer(scene, CFG)
+    s.add_source(tone(), pos=SRC)
+    s.apply_traced(pos, yaw, 0.0, None, lane_spectra(coord._pump_cur, 0))
+    got = coord._pump_read(handles[0], K * B)
+    assert np.array_equal(got, s.render(K * B))
 
 
 def test_render_pump_threaded_end_to_end():
