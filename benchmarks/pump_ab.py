@@ -66,8 +66,8 @@ def main():
     dirs = jnp.asarray(fibonacci_sphere_sorted(1 << 15))
     src = jnp.asarray([0.0, 0.0, 0.0])
 
+    Ls = tuple(int(a) for a in sys.argv[1:]) or (8, 16, 24)
     out = {"K": K, "P": int(P)}
-    rng = np.random.default_rng(0)
 
     def pump_step(L, states, i):
         cursors = jnp.asarray(
@@ -95,26 +95,28 @@ def main():
 
     # compile both shapes once
     states = {L: cp.conv_init_real((L, S, r.n_out), P, B)
-              for L in (8, 16, 24)}
-    for L in (8, 16, 24):
+              for L in Ls}
+    for L in Ls:
         states[L] = pump_step(L, states[L], 0)
-    trace_step(24, 0)
+    trace_step(Ls[-1], 0)
 
     iters = 8
-    for L in (8, 16, 24):
+    for L in Ls:
         ts = []
         for i in range(1, iters + 1):
             t0 = time.perf_counter()
             states[L] = pump_step(L, states[L], i)
             ts.append(time.perf_counter() - t0)
-            if L == 24:
+            if L == Ls[-1]:
                 t0 = time.perf_counter()
-                trace_step(24, i)
+                trace_step(Ls[-1], i)
                 out.setdefault("_tr", []).append(
                     time.perf_counter() - t0
                 )
         out[f"pump_ms_L{L}"] = round(float(np.median(ts)) * 1e3, 2)
-    out["trace24_ms"] = round(float(np.median(out.pop("_tr"))) * 1e3, 2)
+        print(f"[pump_ab] L={L}: {out[f'pump_ms_L{L}']} ms",
+              file=sys.stderr, flush=True)
+    out[f"trace{Ls[-1]}_ms"] = round(float(np.median(out.pop("_tr"))) * 1e3, 2)
     out["chunk_audio_ms"] = round(K * B / cfg.sample_rate * 1e3, 1)
     print(json.dumps(out))
 
