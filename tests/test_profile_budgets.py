@@ -102,3 +102,17 @@ def test_assert_budgets():
     assert len(bad) == 2
     assert any("12.00 ms > budget 10" in b for b in bad)
     assert any("missing" in b and "absent" in b for b in bad)
+
+
+def test_budgets_file_covers_gated_steps():
+    """The committed budgets.json must gate every step profile_trace
+    captures under --what all — pallas/XLA trace, the audio block, and
+    (r4) the serving round (the L=16 multi-listener NEE trace + ambisonic
+    conversion backing the render-pump stream-count claims)."""
+    budgets = json.loads(
+        (Path(__file__).resolve().parent.parent / "benchmarks" /
+         "budgets.json").read_text())
+    for step in ("pallas_trace", "xla_trace", "engine_16blocks",
+                 "serving_round"):
+        assert step in budgets, f"budgets.json missing gate for {step}"
+        assert float(budgets[step]) > 0

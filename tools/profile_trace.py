@@ -135,7 +135,8 @@ def assert_budgets(step_ms: dict, budgets: dict) -> list:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir", nargs="?", default="/tmp/artpu_profile")
-    ap.add_argument("--what", default="all", choices=["trace", "engine", "all"])
+    ap.add_argument("--what", default="all",
+                    choices=["trace", "engine", "serving", "all"])
     ap.add_argument("--rays", type=int, default=1 << 18)
     ap.add_argument("--assert-budgets", default=None, metavar="JSON",
                     help="after capture, parse device kernel time per step "
@@ -146,6 +147,10 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    from audio_raytracing_tpu.utils.compile_cache import enable as _cc
+
+    _cc(ROOT / "benchmarks" / ".jax_compile_cache")
 
     from audio_raytracing_tpu.config import DEFAULT_CONFIG
     from audio_raytracing_tpu.models.ir import fibonacci_sphere_sorted, trace_ir
@@ -199,6 +204,32 @@ def main():
             float(out[0, 0])
 
         steps.append(("engine_16blocks", engine_step))
+
+    if args.what in ("serving", "all"):
+        # the serving round's device work: the L=16 in-kernel
+        # multi-listener NEE trace + the vmapped ambisonic conversion,
+        # at bench_serving's production config (2^15 rays x 6 bounces,
+        # world.obj) — regression-gates the 16/24/48-stream claims
+        # (benchmarks/RESULTS.md "render pump") the way engine_16blocks
+        # gates the audio block
+        from audio_raytracing_tpu.models.ir import ImpulseResponse, ambisonic_ir
+        from audio_raytracing_tpu.ops.pallas_trace import (
+            trace_irs_pallas_multi_listener_nee,
+        )
+
+        sdirs = jnp.asarray(fibonacci_sphere_sorted(1 << 15))
+        rng_l = np.random.default_rng(7)
+        listeners = jnp.asarray(rng_l.uniform(-2.5, 2.5, (16, 3)),
+                                dtype=jnp.float32)
+        amb_of = jax.jit(jax.vmap(lambda e, d: ambisonic_ir(ImpulseResponse(e, d))))
+
+        def serving_step():
+            ir = trace_irs_pallas_multi_listener_nee(
+                arrays, src, listeners, cfg=cfg, max_bounces=6, dirs=sdirs)
+            amb = amb_of(ir.energy, ir.dir_sum)
+            float(jnp.sum(amb))
+
+        steps.append(("serving_round", serving_step))
 
     # warm up (compile outside the profile so the trace shows steady state)
     for name, fn in steps:
