@@ -242,6 +242,7 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                   inc_origin: bool = False,
                   shadow_carry: bool = False,
                   tid_fold: bool = False,
+                  mask_sweep: bool = False,
                   hist_batch: int = 1,
                   n_listeners: int = 1):
     # n_listeners > 1 (resident unrolled fused_hist kernel): multi-
@@ -899,69 +900,113 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
             )
             min_t = jnp.min(best_t8, axis=0, keepdims=True)  # (1, 128)
             n_sel = 3 + n_keep + (1 if material_scattering else 0)
-            if tid_fold:
-                # sweep only (t, group id) to the winning sublane, then
-                # fetch the winner's attribute row with one exact one-hot
-                # matmul over the register-resident table. Misses keep
-                # tid 0 (taken stays 0): triangle 0's attrs are fetched
-                # but every consumer is already masked by alive/visible
-                # (keep is forced to 1 on miss below, exactly as the
-                # attribute fold zeroed them).
-                gwin8 = sel[0]
-                taken = 0.0 * min_t
-                tidf = 0.0 * min_t
-                for s in range(TRI_GROUP):
-                    row_min = (
-                        jax.lax.slice(best_t8, (s, 0), (s + 1, LANES))
-                        == min_t
+            if mask_sweep:
+                # mask-reduce sweep: the serial scan below computes
+                #   use_s = row_min_s * (1 - max(row_min_0..s-1))
+                #   acc_c = sum_s use_s * sel_c[s]
+                # with 8 dependent (1, 128) steps. This computes the
+                # IDENTICAL mask and sums — same formulas, full-vreg —
+                # via a Hillis-Steele prefix-max over sublanes (3
+                # pltpu.roll + zero-mask + max steps), so the winner,
+                # tie-break (first sublane), and every accumulated term
+                # (one winner + exact 0.0s) are bit-identical to the
+                # scan; only the instruction count changes (~70 -> ~35
+                # mostly-independent full-vreg ops per bounce).
+                # NOTE: a sublane-halving select tree was tried first
+                # and REJECTED by analysis — with strided halves
+                # ({s, s+4} fold slots) index order is not preserved
+                # across levels: an exact-t tie between adjacent
+                # sublanes (i, i+1), i odd, resolves to the HIGHER
+                # sublane, i.e. a different coincident hit than the XLA
+                # tracer's first-win fold — breaking the bit-for-bit
+                # pallas==exact contract. Forced-tie equality is tested
+                # (duplicated-triangle scene, test_pallas_trace.py).
+                row_min8 = (best_t8 == min_t).astype(jnp.float32)
+                inc = row_min8  # inclusive prefix-max after the steps
+                for k in (1, 2, 4):
+                    keepk = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (TRI_GROUP, LANES), 0
+                        ) >= k
                     ).astype(jnp.float32)
-                    use = row_min * (1.0 - taken)
-                    tidf = tidf + use * (
-                        jax.lax.slice(gwin8, (s, 0), (s + 1, LANES))
-                        * TRI_GROUP + s
+                    inc = jnp.maximum(
+                        inc, pltpu.roll(inc, k, axis=0) * keepk
                     )
-                    taken = jnp.maximum(taken, row_min)
-                iota_t = jax.lax.broadcasted_iota(
-                    jnp.int32, (n_tris, LANES), 0
-                )  # Mosaic iota is integer-only; tid fits i32 exactly
-                oh = jnp.where(
-                    iota_t == tidf.astype(jnp.int32), 1.0, 0.0
-                )  # (T, 128)
-                attrs = jax.lax.dot_general(
-                    tri_all, oh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (TRI_COLS, 128)
-
-                def arow(j):
-                    return jax.lax.slice(attrs, (j, 0), (j + 1, LANES))
-
-                acc = [arow(_N), arow(_N + 1), arow(_N + 2)] + [
-                    arow(_K + c) for c in range(n_keep)
-                ]
-                if material_scattering:
-                    acc.append(arow(_SCAT))
-            elif "no_sweep" in ab:
-                # ablation: winner attrs from sublane 0 (wrong, cheap)
+                keep1 = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (TRI_GROUP, LANES), 0
+                    ) >= 1
+                ).astype(jnp.float32)
+                prior = pltpu.roll(inc, 1, axis=0) * keep1
+                use8 = row_min8 * (1.0 - prior)
                 acc = [
-                    jax.lax.slice(sel[c], (0, 0), (1, LANES))
+                    jnp.sum(use8 * sel[c], axis=0, keepdims=True)
                     for c in range(n_sel)
                 ]
             else:
-                # first-winning-sublane select (no cumsum in Mosaic: static
-                # sweep)
-                taken = 0.0 * min_t
-                acc = [0.0 * min_t for _ in range(n_sel)]
-                for s in range(TRI_GROUP):
-                    row_min = (
-                        jax.lax.slice(best_t8, (s, 0), (s + 1, LANES)) == min_t
-                    ).astype(jnp.float32)
-                    use = row_min * (1.0 - taken)
-                    for c in range(n_sel):
-                        acc[c] = acc[c] + use * jax.lax.slice(
-                            sel[c], (s, 0), (s + 1, LANES)
+                if tid_fold:
+                    # sweep only (t, group id) to the winning sublane, then
+                    # fetch the winner's attribute row with one exact one-hot
+                    # matmul over the register-resident table. Misses keep
+                    # tid 0 (taken stays 0): triangle 0's attrs are fetched
+                    # but every consumer is already masked by alive/visible
+                    # (keep is forced to 1 on miss below, exactly as the
+                    # attribute fold zeroed them).
+                    gwin8 = sel[0]
+                    taken = 0.0 * min_t
+                    tidf = 0.0 * min_t
+                    for s in range(TRI_GROUP):
+                        row_min = (
+                            jax.lax.slice(best_t8, (s, 0), (s + 1, LANES))
+                            == min_t
+                        ).astype(jnp.float32)
+                        use = row_min * (1.0 - taken)
+                        tidf = tidf + use * (
+                            jax.lax.slice(gwin8, (s, 0), (s + 1, LANES))
+                            * TRI_GROUP + s
                         )
-                    taken = jnp.maximum(taken, row_min)
+                        taken = jnp.maximum(taken, row_min)
+                    iota_t = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_tris, LANES), 0
+                    )  # Mosaic iota is integer-only; tid fits i32 exactly
+                    oh = jnp.where(
+                        iota_t == tidf.astype(jnp.int32), 1.0, 0.0
+                    )  # (T, 128)
+                    attrs = jax.lax.dot_general(
+                        tri_all, oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (TRI_COLS, 128)
+
+                    def arow(j):
+                        return jax.lax.slice(attrs, (j, 0), (j + 1, LANES))
+
+                    acc = [arow(_N), arow(_N + 1), arow(_N + 2)] + [
+                        arow(_K + c) for c in range(n_keep)
+                    ]
+                    if material_scattering:
+                        acc.append(arow(_SCAT))
+                elif "no_sweep" in ab:
+                    # ablation: winner attrs from sublane 0 (wrong, cheap)
+                    acc = [
+                        jax.lax.slice(sel[c], (0, 0), (1, LANES))
+                        for c in range(n_sel)
+                    ]
+                else:
+                    # first-winning-sublane select (no cumsum in Mosaic: static
+                    # sweep)
+                    taken = 0.0 * min_t
+                    acc = [0.0 * min_t for _ in range(n_sel)]
+                    for s in range(TRI_GROUP):
+                        row_min = (
+                            jax.lax.slice(best_t8, (s, 0), (s + 1, LANES)) == min_t
+                        ).astype(jnp.float32)
+                        use = row_min * (1.0 - taken)
+                        for c in range(n_sel):
+                            acc[c] = acc[c] + use * jax.lax.slice(
+                                sel[c], (s, 0), (s + 1, LANES)
+                            )
+                        taken = jnp.maximum(taken, row_min)
             nx, ny, nz = acc[0], acc[1], acc[2]
             keep = acc[3:3 + n_keep]
             scat_sel = acc[3 + n_keep] if material_scattering else None
@@ -2211,7 +2256,7 @@ def trace_contributions_pallas(
     wavefront: bool | None = None, sg_unroll: int | None = None,
     sg_coarse: int | None = None, n_true: int | None = None,
     inc_origin: bool = False, shadow_carry: bool = False,
-    tid_fold: bool = False,
+    tid_fold: bool = False, mask_sweep: bool = False,
     hist_batch: int = 1, listeners=None,
 ):
     """Run the fused kernel.
@@ -2979,6 +3024,9 @@ def trace_contributions_pallas(
         )
     if n_listeners > 1 and tid_fold:
         raise ValueError("listeners excludes the tid_fold experiment")
+    if mask_sweep and (tid_fold or "no_sweep" in (ablate or "")):
+        raise ValueError("mask_sweep replaces the winner sweep — it "
+                         "excludes tid_fold and the no_sweep ablation")
     if shadow_carry and not inc_origin:
         raise ValueError(
             "shadow_carry rides inc_origin's (op, dp) carry buffers — "
@@ -2995,7 +3043,7 @@ def trace_contributions_pallas(
         sg_cull=sg_cull, shadow_divfree=shadow_divfree,
         winner_acc=winner_acc, ablate=ablate, sg_unroll=sg_unroll, sg_coarse=sg_coarse,
         inc_origin=inc_origin, shadow_carry=shadow_carry,
-        tid_fold=tid_fold, hist_batch=hist_batch,
+        tid_fold=tid_fold, mask_sweep=mask_sweep, hist_batch=hist_batch,
         n_listeners=n_listeners,
     )
     l_args = ()
@@ -3071,7 +3119,7 @@ def trace_contributions_pallas(
                      "sg_cull", "row_unroll", "shadow_divfree",
                      "stream_tris", "ray_major", "tri_unroll", "ray_blocks",
                      "wavefront", "sg_unroll", "sg_coarse", "n_true",
-                     "inc_origin", "shadow_carry", "tid_fold",
+                     "inc_origin", "shadow_carry", "tid_fold", "mask_sweep",
                      "hist_batch"),
 )
 def trace_ir_pallas(
@@ -3109,6 +3157,7 @@ def trace_ir_pallas(
     inc_origin: bool = False,
     shadow_carry: bool = False,
     tid_fold: bool = False,
+    mask_sweep: bool = False,
     hist_batch: int = 1,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
@@ -3170,7 +3219,7 @@ def trace_ir_pallas(
             ray_blocks=ray_blocks, wavefront=wavefront,
             sg_unroll=sg_unroll, sg_coarse=sg_coarse, n_true=n_true,
             inc_origin=inc_origin, shadow_carry=shadow_carry,
-            tid_fold=tid_fold,
+            tid_fold=tid_fold, mask_sweep=mask_sweep,
             hist_batch=hist_batch,
         )
     else:

@@ -731,6 +731,62 @@ def test_pallas_bench_trim_flags_match_baseline(scene):
     )
 
 
+@pytest.mark.slow
+def test_mask_sweep_bit_identical(scene):
+    """mask_sweep replaces the serial first-winning-sublane scan with the
+    same use-mask and sums computed full-vreg (prefix-max over sublanes,
+    pallas_trace.py). Identical formulas, one winner term + exact zeros
+    per lane — results must be BIT-identical, both on the plain fused
+    kernel and under the AOT trim flags."""
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    for extra in ({}, dict(n_true=scene.n_triangles, inc_origin=True,
+                           hist_batch=4)):
+        kw = dict(cfg=CFG, max_bounces=3, dirs=dirs, interpret=True,
+                  fused_hist=True, flat_bands=True, **extra)
+        a = trace_ir_pallas(scene.device_arrays(), src, lst, **kw)
+        b = trace_ir_pallas(scene.device_arrays(), src, lst,
+                            mask_sweep=True, **kw)
+        assert np.array_equal(np.asarray(a.energy), np.asarray(b.energy))
+        assert np.array_equal(np.asarray(a.dir_sum), np.asarray(b.dir_sum))
+
+
+@pytest.mark.slow
+def test_mask_sweep_tie_break_matches_scan():
+    """EXACT-t ties must resolve to the same coincident hit as the serial
+    scan (first sublane). Every triangle duplicated with a DIFFERENT
+    absorption per copy — each nearest hit is an exact two-way tie whose
+    winner changes the energy, so any tie-break drift shows up. (This is
+    the case that kills the sublane-halving select-tree variant — see the
+    mask_sweep note in pallas_trace.py.)"""
+    tris = np.repeat(box_room(size=(6.0, 3.0, 5.0)), 2, axis=0)
+    absorption = np.empty(24, np.float32)
+    absorption[0::2] = 0.15
+    absorption[1::2] = 0.45
+    sc = Scene.from_triangles(tris, CFG, absorption=absorption)
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    kw = dict(cfg=CFG, max_bounces=3, dirs=dirs, interpret=True,
+              fused_hist=True, flat_bands=True)
+    a = trace_ir_pallas(sc.device_arrays(), src, lst, **kw)
+    b = trace_ir_pallas(sc.device_arrays(), src, lst, mask_sweep=True, **kw)
+    assert np.array_equal(np.asarray(a.energy), np.asarray(b.energy))
+    assert np.array_equal(np.asarray(a.dir_sum), np.asarray(b.dir_sum))
+
+
+def test_mask_sweep_excludes_tid_fold(scene):
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    lst = jnp.asarray([-1.0, -0.5, -1.0])
+    dirs = jnp.asarray(fibonacci_sphere(1024))
+    with pytest.raises(ValueError, match="mask_sweep"):
+        trace_ir_pallas(scene.device_arrays(), src, lst, cfg=CFG,
+                        max_bounces=2, dirs=dirs, interpret=True,
+                        fused_hist=True, flat_bands=True,
+                        mask_sweep=True, tid_fold=True)
+
+
 def test_shadow_carry_requires_inc_origin(scene):
     src = jnp.asarray([1.0, 0.5, 0.5])
     lst = jnp.asarray([-1.0, -0.5, -1.0])
