@@ -3427,7 +3427,8 @@ def trace_irs_pallas_multi_listener(
     jax.jit,
     static_argnames=("cfg", "n_rays", "max_bounces", "include_direct",
                      "interpret", "flat_bands", "listener_chunk", "n_true",
-                     "inc_origin", "shadow_carry", "hist_batch"),
+                     "inc_origin", "shadow_carry", "mask_sweep",
+                     "hist_batch"),
 )
 def trace_irs_pallas_multi_listener_nee(
     scene_arrays,
@@ -3444,6 +3445,7 @@ def trace_irs_pallas_multi_listener_nee(
     n_true: int | None = None,
     inc_origin: bool = False,
     shadow_carry: bool = False,
+    mask_sweep: bool = False,
     hist_batch: int = 1,
 ):
     """All listeners' IRs with IN-KERNEL multi-listener NEE: the fused
@@ -3488,7 +3490,8 @@ def trace_irs_pallas_multi_listener_nee(
             scene_arrays, source, chunk[0], dirs, cfg=cfg,
             max_bounces=max_bounces, interpret=interpret, fused_hist=True,
             flat_bands=flat_bands, n_true=n_true, inc_origin=inc_origin,
-            shadow_carry=shadow_carry, hist_batch=hist_batch,
+            shadow_carry=shadow_carry, mask_sweep=mask_sweep,
+            hist_batch=hist_batch,
             listeners=chunk if C > 1 else None,
         )
         segs.append(seg if C > 1 else seg[None])
