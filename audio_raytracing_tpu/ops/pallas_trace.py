@@ -2256,7 +2256,7 @@ def trace_contributions_pallas(
     wavefront: bool | None = None, sg_unroll: int | None = None,
     sg_coarse: int | None = None, n_true: int | None = None,
     inc_origin: bool = False, shadow_carry: bool = False,
-    tid_fold: bool = False, mask_sweep: bool = False,
+    tid_fold: bool = False, mask_sweep: bool | None = None,
     hist_batch: int = 1, listeners=None,
 ):
     """Run the fused kernel.
@@ -3024,7 +3024,14 @@ def trace_contributions_pallas(
         )
     if n_listeners > 1 and tid_fold:
         raise ValueError("listeners excludes the tid_fold experiment")
-    if mask_sweep and (tid_fold or "no_sweep" in (ablate or "")):
+    if mask_sweep is None:
+        # ADOPTED default (r4): bit-identical to the serial scan and
+        # measured -0.6..-1.0 ms on the 55 ms production dispatch
+        # (benchmarks/sweep_ab.json, 40 interleaved iters). The serial
+        # scan stays reachable (mask_sweep=False) for A/Bs; the
+        # tid_fold / no_sweep experiments keep their own lowerings.
+        mask_sweep = not (tid_fold or "no_sweep" in (ablate or ""))
+    elif mask_sweep and (tid_fold or "no_sweep" in (ablate or "")):
         raise ValueError("mask_sweep replaces the winner sweep — it "
                          "excludes tid_fold and the no_sweep ablation")
     if shadow_carry and not inc_origin:
@@ -3157,7 +3164,7 @@ def trace_ir_pallas(
     inc_origin: bool = False,
     shadow_carry: bool = False,
     tid_fold: bool = False,
-    mask_sweep: bool = False,
+    mask_sweep: bool | None = None,
     hist_batch: int = 1,
 ):
     """Drop-in fast path for models.ir.trace_ir using the fused kernel.
@@ -3445,7 +3452,7 @@ def trace_irs_pallas_multi_listener_nee(
     n_true: int | None = None,
     inc_origin: bool = False,
     shadow_carry: bool = False,
-    mask_sweep: bool = False,
+    mask_sweep: bool | None = None,
     hist_batch: int = 1,
 ):
     """All listeners' IRs with IN-KERNEL multi-listener NEE: the fused

@@ -35,7 +35,7 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
-def main(n_rays=1 << 20, bounces=8, iters=12, warmup=3):
+def main(n_rays=1 << 20, bounces=8, iters=40, warmup=3):
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +98,9 @@ def main(n_rays=1 << 20, bounces=8, iters=12, warmup=3):
                      "ms": [round(v, 2) for v in arr.tolist()],
                      "energy_sum": sums[name]}
     out["delta_ms_median"] = out["mask"]["ms_median"] - out["scan"]["ms_median"]
+    pair = np.asarray(ts["mask"]) - np.asarray(ts["scan"])
+    out["pairwise_delta_ms"] = {"median": float(np.median(pair) * 1e3),
+                                "mean": float(pair.mean() * 1e3)}
     out["config"] = {"n_rays": n_rays, "bounces": bounces, "iters": iters,
                      "interleaved": True}
     Path(ROOT / "benchmarks" / "sweep_ab.json").write_text(

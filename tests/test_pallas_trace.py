@@ -745,7 +745,8 @@ def test_mask_sweep_bit_identical(scene):
                            hist_batch=4)):
         kw = dict(cfg=CFG, max_bounces=3, dirs=dirs, interpret=True,
                   fused_hist=True, flat_bands=True, **extra)
-        a = trace_ir_pallas(scene.device_arrays(), src, lst, **kw)
+        a = trace_ir_pallas(scene.device_arrays(), src, lst,
+                            mask_sweep=False, **kw)
         b = trace_ir_pallas(scene.device_arrays(), src, lst,
                             mask_sweep=True, **kw)
         assert np.array_equal(np.asarray(a.energy), np.asarray(b.energy))
@@ -770,13 +771,16 @@ def test_mask_sweep_tie_break_matches_scan():
     dirs = jnp.asarray(fibonacci_sphere(1024))
     kw = dict(cfg=CFG, max_bounces=3, dirs=dirs, interpret=True,
               fused_hist=True, flat_bands=True)
-    a = trace_ir_pallas(sc.device_arrays(), src, lst, **kw)
+    a = trace_ir_pallas(sc.device_arrays(), src, lst, mask_sweep=False, **kw)
     b = trace_ir_pallas(sc.device_arrays(), src, lst, mask_sweep=True, **kw)
     assert np.array_equal(np.asarray(a.energy), np.asarray(b.energy))
     assert np.array_equal(np.asarray(a.dir_sum), np.asarray(b.dir_sum))
 
 
 def test_mask_sweep_excludes_tid_fold(scene):
+    """tid_fold with the DEFAULT (auto) mask_sweep silently falls back to
+    its own lowering; an EXPLICIT mask_sweep=True is a contradiction and
+    must raise."""
     src = jnp.asarray([1.0, 0.5, 0.5])
     lst = jnp.asarray([-1.0, -0.5, -1.0])
     dirs = jnp.asarray(fibonacci_sphere(1024))
