@@ -309,10 +309,16 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     # "no_emit" drops the emission math (lam/dl/air), "no_hist" replaces
     # the one-hot MXU binning with a (1, 128) accumulate. Each variant
     # still CONSUMES its upstream values so the compiler cannot dead-code
-    # the stage being measured around.
+    # the stage being measured around. "rsqrt_emit" is a near-exact
+    # MEASUREMENT variant (not a skip): the listener-distance sqrt+divide
+    # becomes rsqrt+muls (dl = dl2*rsqrt(dl2)) — quantifies the emission
+    # stage's division cost without changing its structure (last-ulp
+    # results; kept out of the default path to preserve the bit-for-bit
+    # pallas==XLA contract).
     ab = frozenset(ablate.split("+")) if ablate else frozenset()
     if ab:
-        assert ab <= {"no_sweep", "no_shadow", "no_emit", "no_hist"}, ab
+        assert ab <= {"no_sweep", "no_shadow", "no_emit", "no_hist",
+                      "rsqrt_emit"}, ab
         assert fused_hist and not transmission and not weighted, (
             "ablation supports the plain fused_hist kernel only")
         assert not (scattering > 0.0 or material_scattering) and not cull, (
@@ -1087,8 +1093,13 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                     d_total = path
                     inv_dl = 1.0 + 0.0 * wx
                 else:
-                    dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
-                    inv_dl = 1.0 / jnp.maximum(dl, 1e-20)
+                    if "rsqrt_emit" in ab:
+                        dl2 = wx * wx + wy * wy + wz * wz
+                        inv_dl = jax.lax.rsqrt(jnp.maximum(dl2, 1e-40))
+                        dl = dl2 * inv_dl
+                    else:
+                        dl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+                        inv_dl = 1.0 / jnp.maximum(dl, 1e-20)
                     wox, woy, woz = -wx * inv_dl, -wy * inv_dl, -wz * inv_dl
                     hx, hy, hz = wox - dx, woy - dy, woz - dz
                     ih = jax.lax.rsqrt(
