@@ -314,7 +314,11 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
     # becomes rsqrt+muls (dl = dl2*rsqrt(dl2)) — quantifies the emission
     # stage's division cost without changing its structure (last-ulp
     # results; kept out of the default path to preserve the bit-for-bit
-    # pallas==XLA contract).
+    # pallas==XLA contract). NOTE (r4+): ablation variants other than
+    # no_sweep now default to mask_sweep=True, so their baselines carry
+    # the ~0.6-1.0 ms mask_sweep win — deltas are not directly
+    # comparable to the r3 attribution numbers in RESULTS.md, which
+    # were measured against the serial-scan sweep.
     ab = frozenset(ablate.split("+")) if ablate else frozenset()
     if ab:
         assert ab <= {"no_sweep", "no_shadow", "no_emit", "no_hist",
@@ -913,11 +917,18 @@ def _trace_kernel(scalar_ref, dx_ref, dy_ref, dz_ref, tri_ref, opl_ref,
                 # with 8 dependent (1, 128) steps. This computes the
                 # IDENTICAL mask and sums — same formulas, full-vreg —
                 # via a Hillis-Steele prefix-max over sublanes (3
-                # pltpu.roll + zero-mask + max steps), so the winner,
-                # tie-break (first sublane), and every accumulated term
-                # (one winner + exact 0.0s) are bit-identical to the
-                # scan; only the instruction count changes (~70 -> ~35
-                # mostly-independent full-vreg ops per bounce).
+                # pltpu.roll + zero-mask + max steps), so on hit lanes
+                # the winner, tie-break (first sublane), and every
+                # accumulated term (one winner + exact 0.0s) are
+                # bit-identical to the scan; only the instruction count
+                # changes (~70 -> ~35 mostly-independent full-vreg ops
+                # per bounce). On MISS lanes (min_t = inf) the
+                # intermediates differ: the scan's acc is NaN-poisoned
+                # (0.0 * inf), mask_sweep yields sublane-0 attrs.
+                # Final outputs are still bit-identical only because
+                # every consumer is select-masked (kc via min_t < inf,
+                # chans via visible, dirs via where(live)) — keep those
+                # selects (not multiplies) when touching consumers.
                 # NOTE: a sublane-halving select tree was tried first
                 # and REJECTED by analysis — with strided halves
                 # ({s, s+4} fold slots) index order is not preserved
