@@ -85,7 +85,19 @@ class AcousticServer:
                  chunk_s: float = 0.1, lead_s: float = 0.25,
                  pace: bool = True, round_interval_s: float = 0.2,
                  send_timeout_s: float | None = 5.0,
-                 sndbuf: int | None = None):
+                 sndbuf: int | None = None,
+                 render_pump: bool = False,
+                 pump_buffer_chunks: int = 2,
+                 pump_max_buffer_chunks: int = 6):
+        """render_pump=True batches the RENDER dispatches too: one pump
+        thread renders every connected client's next chunk in ONE device
+        dispatch (engine/serving.py render_pump + capacity lanes —
+        clients join/leave the live pump with no recompile), instead of
+        each client thread dispatching its own chunk. This is the
+        measured-48-streams serving architecture made reachable through
+        the TCP front door; the per-client threads become pure socket
+        pacing (handle.render() pops host PCM). The pump chunk size is
+        chunk_s (one frame == one pump chunk)."""
         self.scene = scene
         self.cfg = cfg
         self.n_rays = n_rays
@@ -97,6 +109,7 @@ class AcousticServer:
         self.pace = bool(pace)
         self.send_timeout_s = send_timeout_s
         self.sndbuf = sndbuf
+        self.render_pump = bool(render_pump)
         self._sources = [
             s if isinstance(s, dict) else {"samples": s[0], "pos": s[1]}
             for s in sources
@@ -107,6 +120,10 @@ class AcousticServer:
             cfg=cfg, n_rays=n_rays, max_bounces=max_bounces,
             intersector=intersector, capacity=capacity,
             round_interval_s=round_interval_s,
+            render_pump=render_pump,
+            pump_chunk_blocks=self.chunk_blocks,
+            pump_buffer_chunks=pump_buffer_chunks,
+            pump_max_buffer_chunks=pump_max_buffer_chunks,
             src_directivities=[
                 s.get("directivity") for s in self._sources
             ] if any(s.get("directivity") for s in self._sources) else None,
@@ -265,8 +282,10 @@ class AcousticServer:
             rt = threading.Thread(target=_reader, daemon=True)
             rt.start()
 
-            # wait for the stream's first published spectra (one round)
-            while handle.r._spectra is None and not (
+            # wait for the stream's first published spectra (one round;
+            # in pump mode, for the lane's ACTIVATION at a chunk
+            # boundary — handle.ready() covers both)
+            while not handle.ready() and not (
                 bye.is_set() or self._stop.is_set()
             ):
                 time.sleep(0.002)

@@ -56,6 +56,23 @@ from ..utils import quat
 from .ir_stream import _respectra, _respectra_speakers
 
 
+@jax.jit
+def _mask_lanes(states, keep):
+    """Zero the stacked per-lane conv state where keep is False — the
+    pump's lane (re)activation reset. keep is traced (jnp (L,) bool), so
+    one executable serves every join regardless of which slot it lands
+    in (an eager .at[slot].set(0) with a Python-int slot would recompile
+    per distinct slot — the engine/system.py::_start_voice lesson).
+    Fresh conv state is all-zeros (ops/conv_partitioned.conv_init_real),
+    so masking IS the reset."""
+
+    def m(a):
+        k = keep.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(k, a, jnp.zeros((), a.dtype))
+
+    return jax.tree.map(m, states)
+
+
 class _StreamHandle:
     """Per-stream facade over the shared coordinator — the AsyncAcoustics
     interface (request/render/updates/retraces + context manager), so
@@ -81,6 +98,19 @@ class _StreamHandle:
         self._buf_n = 0  # total buffered samples
         self._want = 0  # samples a blocked render() is waiting for
         self.pump_dropped = 0  # chunks dropped because this lane stalled
+        # capacity mode: fixed lane index in the traced batch / pump
+        # state (assigned at stream(), freed at close()); None in
+        # exact-cohort mode
+        self.slot: int | None = None
+        # pump-lane liveness: PCM is deposited only for active lanes. A
+        # stream joining a LIVE capacity pump activates at the chunk
+        # boundary where its first traced spectra land (state reset,
+        # cursor 0 — bit-identical to a fresh solo stream)
+        self._pump_active = False
+        # drop-splice declick (see _pump_read): set when _deposit drops
+        # this lane's oldest chunk, consumed by the next read
+        self._splice = False
+        self._last_out = None  # (n_out,) last emitted sample
 
     def request(self, pos, yaw: float = 0.0, pitch: float = 0.0,
                 t: float = 0.0) -> None:
@@ -125,11 +155,36 @@ class _StreamHandle:
             self._adopt_locked()
             return self.r.render(n)
 
+    def available(self) -> int:
+        """Samples of pumped PCM currently buffered for this lane
+        (pump mode). A real-time consumer that must NOT block can poll
+        this before render(): `available() >= n` means render(n) is a
+        pure host-memory pop (benchmarks/bench_serving.py's
+        consolidated pacer uses it to count a missed deadline as an
+        underrun instead of stalling every other lane)."""
+        with self.coord._pump_cv:
+            return self._buf_n
+
+    def ready(self) -> bool:
+        """True once this stream can render: its first acoustic round has
+        published. In pump mode that means the lane ACTIVATED (the pump
+        adopted its first traced spectra at a chunk boundary — the
+        stacked-publish pump never materializes per-lane renderer
+        spectra, so `r._spectra` stays None there); otherwise it means
+        the renderer holds spectra. Poll this before the first render()
+        of a freshly joined stream (engine/netserve.py does)."""
+        if self.coord.render_pump and self.coord._pump_states is not None:
+            return self._pump_active
+        return self.r._spectra is not None
+
     def close(self) -> None:
         """Leave the cohort: the coordinator stops tracing this stream's
         listener lane. The renderer keeps working solo (its spectra stay
         whatever the last round published). With a capacity coordinator
-        the freed lane is reusable by a later stream() with NO recompile."""
+        the freed lane is reusable by a later stream() with NO recompile
+        — including while the render pump is LIVE (the lane deactivates:
+        its PCM stops depositing, its slot returns to the free list, and
+        the next tenant's activation resets its conv state)."""
         self.coord._remove(self)
 
     def __enter__(self):
@@ -228,14 +283,27 @@ class BatchedAcoustics:
         the solo path), buffers pump_buffer_chunks chunks ahead per
         lane, and handle.render() just pops host PCM. Dispatches/s =
         sample_rate/(pump_chunk_blocks*block) regardless of N.
-        Constraints (asserted at pump start): the cohort is FIXED (no
-        join/leave while running, capacity unsupported) and every
-        stream shares the source tables (same dry samples/loops — the
-        coordinator already requires shared sources) and output layout
-        (same n_out / spectra shapes). A lane that stops consuming
-        (dead sink) has its oldest chunk dropped past
-        pump_max_buffer_chunks (handle.pump_dropped counts) so one
-        stalled client never blocks the cohort."""
+        Constraints (asserted at pump start): every stream shares the
+        source tables (same dry samples/loops — the coordinator
+        already requires shared sources) and output layout (same
+        n_out / spectra shapes). WITH capacity= the pump serves a
+        CHANGING population at the fixed lane shape — the reference's
+        one-callback-mixes-a-changing-voice-set architecture
+        (sound_system.zig:113-121 playSound inserts, 164-171 finished
+        sweep, 123-172 one callback serves all) at serving scale:
+        stream() on a live pump takes a free lane and ACTIVATES at the
+        chunk boundary where its first traced spectra land (conv state
+        reset, cursor 0 — its first chunk is bit-identical to a fresh
+        solo stream's), handle.close() deactivates the lane and frees
+        the slot; neither recompiles anything. Capacity pumps require
+        warmup() and the stacked respectra path (binaural cohorts
+        sharing one HRTF — batch_respectra auto/True). WITHOUT
+        capacity the cohort is FIXED while the pump runs (register
+        every stream before warmup(); per-lane-mailbox cohorts like
+        speaker rigs live here). A lane that stops consuming (dead
+        sink) has its oldest chunk dropped past pump_max_buffer_chunks
+        (handle.pump_dropped counts; the next read declicks the
+        splice) so one stalled client never blocks the cohort."""
         self.cfg = cfg
         self._arrays = scene_arrays
         self._srcs = jnp.asarray(
@@ -256,11 +324,18 @@ class BatchedAcoustics:
         if capacity is not None and capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.capacity = capacity
-        if render_pump and capacity is not None:
+        # capacity mode: stable lane slots — each handle keeps ONE index
+        # into the traced batch and the pump's stacked state for its
+        # whole life, so join/leave never shifts another lane's conv
+        # state (list-position indexing would)
+        self._free_slots = list(range(capacity))[::-1] if capacity else []
+        if render_pump and capacity is not None and batch_respectra is False:
             raise ValueError(
-                "render_pump needs a fixed cohort (the stacked conv "
-                "state is per-lane); use capacity=None and register "
-                "every stream before warmup()"
+                "render_pump with capacity lanes rides the STACKED "
+                "respectra publish (the pump adopts the whole (L, ...) "
+                "spectra array at chunk boundaries; per-lane mailboxes "
+                "cannot describe an empty slot) — leave batch_respectra "
+                "at None/True (binaural cohorts sharing one HRTF)"
             )
         self.render_pump = bool(render_pump)
         self.pump_chunk_blocks = int(pump_chunk_blocks)
@@ -276,6 +351,24 @@ class BatchedAcoustics:
         self._pump_lanes = None  # fixed handle list while pumping
         self._pump_states = None  # stacked RealConvState (L, S, n_out, ...)
         self._pump_cur = None  # stacked spectra the lanes render with
+        # slot -> handle (or None for a free/empty lane) while the pump
+        # is fixed; in exact-cohort mode slot i == _pump_lanes[i]
+        self._pump_slot_handles = None
+        # slots whose first traced spectra are waiting in _pump_next:
+        # the tick that adopts them resets their lane (state zeros,
+        # cursor 0, no fade) and flips the handle active (all under
+        # _pump_cv)
+        self._pump_pending_activate: set[int] = set()
+        # shared dry arena the pump renders from, stashed at setup so
+        # ticks survive the founding lane leaving: (dry_dev, len_dev,
+        # loop_dev, n_out) + host copies for join-time validation
+        self._pump_arena = None
+        self._pump_dry_host = None
+        # _pump_setup exclusivity: warmup() (user thread) and the pump
+        # loop's no-warmup fallback may race to fix the lanes; the
+        # loop also gates ticking on _pump_states, which setup
+        # therefore assigns LAST (after the warm dispatch + prefill)
+        self._pump_setup_lock = threading.Lock()
         # stacked-publish mailbox: ((re, im) stacked (L, ...), dirty
         # flags) from the latest round, freshest wins (see
         # _publish_traced — per-lane slicing measured ~200 ms of relay
@@ -381,9 +474,12 @@ class BatchedAcoustics:
     def stream(self, renderer) -> _StreamHandle:
         """Register an IRStreamRenderer; returns its request/render facade.
         With capacity= this is safe on a LIVE coordinator (the lane shape
-        is fixed, no recompile); without, prefer registering before
-        warmup()."""
-        if self.capacity is not None and len(self._handles) >= self.capacity:
+        is fixed, no recompile) — including while the render pump runs
+        (the new stream takes a free lane slot and ACTIVATES at the
+        chunk boundary where its first traced spectra land; until then
+        ready() is False and render() blocks). Without capacity, prefer
+        registering before warmup()."""
+        if self.capacity is not None and not self._free_slots:
             raise ValueError(
                 f"coordinator is at capacity ({self.capacity}); close() a "
                 "stream first or raise capacity"
@@ -405,19 +501,79 @@ class BatchedAcoustics:
                 "replaces the renderer's own"
             )
         h = _StreamHandle(self, renderer)
+        if self.capacity is not None:
+            with self._pump_cv:
+                if not self._free_slots:
+                    raise ValueError(
+                        f"coordinator is at capacity ({self.capacity}); "
+                        "close() a stream first or raise capacity"
+                    )
+                h.slot = self._free_slots.pop()
+                if self.render_pump and self._pump_states is not None:
+                    # joining a LIVE pump: the lane renders from the
+                    # shared arena with the cohort's stacked respectra,
+                    # so the newcomer must match both
+                    try:
+                        self._validate_pump_join(renderer)
+                    except Exception:
+                        self._free_slots.append(h.slot)
+                        h.slot = None
+                        raise
+                    self._pump_slot_handles[h.slot] = h
         self._handles.append(h)
         return h
 
-    def _remove(self, handle: _StreamHandle) -> None:
-        if self._pump_lanes is not None and handle in self._pump_lanes:
+    def _validate_pump_join(self, r) -> None:
+        """A stream joining a live capacity pump must share the pump's
+        dry arena, output layout, and HRTF (caller holds _pump_cv)."""
+        dry, slen, sloop = self._pump_dry_host
+        if r._dry is None:
             raise ValueError(
-                "render_pump cohorts are fixed while the pump runs; "
-                "stop the coordinator before closing streams"
+                "add_source() the renderer BEFORE stream() when joining "
+                "a live render pump (the pump renders every lane from "
+                "one shared dry arena)"
             )
-        try:
-            self._handles.remove(handle)
-        except ValueError:
-            pass  # already closed
+        if not (np.array_equal(r._dry, dry)
+                and np.array_equal(np.asarray(r._src_len_dev), slen)
+                and np.array_equal(np.asarray(r._src_loop_dev), sloop)):
+            raise ValueError(
+                "pump lanes must share the dry source tables (same "
+                "samples, gains, loop flags) — the joining renderer's "
+                "arena differs from the pump's"
+            )
+        if r.n_out != self._pump_arena[3] or r._decoder is not None:
+            raise ValueError("pump lanes must share n_out (binaural)")
+        hl, hr = self._respectra_hrtf
+        if not (r.hrtf_l.shape == hl.shape
+                and bool(jnp.all(r.hrtf_l == hl))
+                and bool(jnp.all(r.hrtf_r == hr))):
+            raise ValueError(
+                "pump lanes share ONE stacked respectra — the joining "
+                "renderer's HRTF differs from the cohort's"
+            )
+
+    def _remove(self, handle: _StreamHandle) -> None:
+        if (self.capacity is None and self._pump_lanes is not None
+                and handle in self._pump_lanes):
+            raise ValueError(
+                "render_pump cohorts are fixed while the pump runs "
+                "(exact-cohort mode); use capacity= for live "
+                "join/leave, or stop the coordinator first"
+            )
+        with self._pump_cv:
+            try:
+                self._handles.remove(handle)
+            except ValueError:
+                return  # already closed
+            if handle.slot is not None:
+                if (self._pump_slot_handles is not None
+                        and self._pump_slot_handles[handle.slot] is handle):
+                    self._pump_slot_handles[handle.slot] = None
+                self._pump_pending_activate.discard(handle.slot)
+                handle._pump_active = False
+                self._free_slots.append(handle.slot)
+                handle.slot = None
+            self._pump_cv.notify_all()
 
     def set_scene_arrays(self, arrays) -> None:
         """Swap the shared device geometry (e.g. rigid_transform_arrays
@@ -476,25 +632,29 @@ class BatchedAcoustics:
         )
 
     def _listener_batch(self, handles) -> jnp.ndarray:
-        """(L, 3) listener positions; with capacity, padded to the fixed
-        (capacity, 3) lane shape (first live pose repeated — the pad
-        lanes' results are discarded)."""
-        lst = np.stack([h._pose[0] for h in handles])
-        if self.capacity is not None and len(handles) < self.capacity:
-            pad = np.broadcast_to(
-                lst[0], (self.capacity - len(handles), 3)
-            )
-            lst = np.concatenate([lst, pad], axis=0)
+        """(L, 3) listener positions. With capacity the batch is SLOT-
+        ordered at the fixed (capacity, 3) lane shape: row h.slot holds
+        h's pose for the handle's whole life (the pump's stacked conv
+        state is indexed by the same slots, so lane identity must never
+        shift with cohort membership); free/unposed slots carry the
+        first live pose repeated (their results are discarded)."""
+        if self.capacity is None:
+            return jnp.asarray(np.stack([h._pose[0] for h in handles]))
+        lst = np.broadcast_to(
+            handles[0]._pose[0], (self.capacity, 3)
+        ).copy()
+        for h in handles:
+            lst[h.slot] = h._pose[0]
         return jnp.asarray(lst)
 
     def _orient_batch(self, handles) -> jnp.ndarray:
         o = np.asarray(self._orients(handles))
-        if self.capacity is not None and len(handles) < self.capacity:
-            pad = np.broadcast_to(
-                o[0], (self.capacity - len(handles), 4)
-            )
-            o = np.concatenate([o, pad], axis=0)
-        return jnp.asarray(o)
+        if self.capacity is None:
+            return jnp.asarray(o)
+        out = np.broadcast_to(o[0], (self.capacity, 4)).copy()
+        for h, row in zip(handles, o):
+            out[h.slot] = row
+        return jnp.asarray(out)
 
     @staticmethod
     def _orients(handles):
@@ -584,10 +744,24 @@ class BatchedAcoustics:
             # (benchmarks/pump_ab.py: the pump dispatch itself is a flat
             # ~28 ms at L=8/16/24 and the L=24 trace 42 ms — the rest of
             # the 238 ms/round was this glue). One mailbox swap instead;
-            # per-lane crossfades ride the dirty flags.
+            # per-lane crossfades ride the dirty flags (SLOT-indexed —
+            # the pump's lanes are slots, not list positions).
             re, im = self._respectra_all(amb, self._orient_batch(handles))
+            L = self.capacity or len(handles)
+            flags = [False] * L
+            acts = set()
             with self._pump_cv:
-                self._pump_next = ((re, im), list(dirty))
+                for i, h in enumerate(handles):
+                    j = h.slot if self.capacity is not None else i
+                    flags[j] = bool(dirty[i])
+                    if (dirty[i] and self._pump_states is not None
+                            and not h._pump_active):
+                        # first traced spectra for a lane that joined a
+                        # LIVE pump: the adopting tick activates it
+                        # (state reset + cursor 0 + no fade)
+                        acts.add(j)
+                self._pump_next = ((re, im), flags)
+                self._pump_pending_activate |= acts
                 self._pump_cv.notify_all()
             for i, h in enumerate(handles):
                 if dirty[i]:
@@ -605,7 +779,8 @@ class BatchedAcoustics:
                 if not dirty[i]:
                     continue
                 pos, yaw, pitch = h._pose
-                h._publish(pos, yaw, pitch, amb[i], (re[i], im[i]))
+                j = h.slot if self.capacity is not None else i
+                h._publish(pos, yaw, pitch, amb[j], (re[j], im[j]))
         else:
             for i, h in enumerate(handles):
                 if not dirty[i]:
@@ -613,29 +788,39 @@ class BatchedAcoustics:
                 pos, yaw, pitch = h._pose
                 # respectra on THIS thread (a device dispatch — never on
                 # the audio thread), swap deferred through the mailbox
+                j = h.slot if self.capacity is not None else i
                 orient = jnp.asarray(quat.quat_from_roll_pitch_yaw(
                     np.float32(pitch), np.float32(yaw), np.float32(0.0)
                 ))
                 if h.r._decoder is not None:
                     spectra = _respectra_speakers(
-                        amb[i], orient, h.r._decoder, self.cfg.block_size
+                        amb[j], orient, h.r._decoder, self.cfg.block_size
                     )
                 else:
                     spectra = _respectra(
-                        amb[i], orient, h.r.hrtf_l, h.r.hrtf_r,
+                        amb[j], orient, h.r.hrtf_l, h.r.hrtf_r,
                         self.cfg.block_size,
                     )
-                h._publish(pos, yaw, pitch, amb[i], spectra)
+                h._publish(pos, yaw, pitch, amb[j], spectra)
 
     # -- render pump -----------------------------------------------------------
 
     def _pump_setup(self, warm: bool = False) -> None:
-        """Fix the pump cohort and build its stacked device state:
+        """Fix the pump's lane shape and build its stacked device state:
         (L,)-stacked conv states (zeros — a fresh stream), (L,)-stacked
-        current spectra, per-lane cursors. warm=True also compiles the
-        pump executable with one discarded dispatch."""
+        current spectra, per-lane cursors. L = capacity when set (lanes
+        beyond the registered streams start FREE — a later stream()
+        takes one with no recompile), else the exact registered cohort.
+        warm=True also compiles the pump executable with one discarded
+        dispatch."""
         from ..ops import conv_partitioned as cp
 
+        with self._pump_setup_lock:
+            if self._pump_states is not None:
+                return  # another thread already fixed the lanes
+            self._pump_setup_locked(cp, warm)
+
+    def _pump_setup_locked(self, cp, warm: bool) -> None:
         lanes = list(self._handles)
         if not lanes:
             raise ValueError("render_pump needs at least one stream")
@@ -651,6 +836,13 @@ class BatchedAcoustics:
         with self._pump_cv:
             stacked = self._pump_next
             self._pump_next = None
+            self._pump_pending_activate = set()
+        if self.capacity is not None and stacked is None:
+            raise RuntimeError(
+                "render_pump with capacity lanes needs warmup() first: "
+                "the pump's (capacity, ...) stacked spectra come from "
+                "the warmup round's batched respectra publish"
+            )
         if stacked is None and any(r._spectra is None for r in rs):
             raise RuntimeError(
                 "every pump lane needs spectra before the pump starts — "
@@ -676,6 +868,7 @@ class BatchedAcoustics:
                 raise ValueError("pump lanes must share spectra shapes")
         S = r0._dry_dev.shape[0]
         B = self.cfg.block_size
+        L = self.capacity or len(lanes)
         for h in lanes:
             with h.lock:
                 # the pump starts from each lane's CURRENT spectra; any
@@ -684,29 +877,44 @@ class BatchedAcoustics:
             h._buf = []
             h._buf_off = 0
             h._buf_n = 0
+            h._pump_active = True
+        slot_handles = [None] * L
+        for i, h in enumerate(lanes):
+            slot_handles[h.slot if self.capacity is not None else i] = h
+        self._pump_slot_handles = slot_handles
         self._pump_lanes = lanes
+        # the dry arena outlives any single lane (capacity mode: the
+        # founding stream may close while the pump keeps serving)
+        self._pump_arena = (
+            r0._dry_dev, r0._src_len_dev, r0._src_loop_dev, r0.n_out
+        )
+        self._pump_dry_host = (
+            r0._dry.copy(),
+            np.asarray(r0._src_len_dev).copy(),
+            np.asarray(r0._src_loop_dev).copy(),
+        )
         if stacked is not None:
             # stacked-publish mode: the warmup (or first) round's
             # batched respectra output IS the pump's spectra — per-lane
-            # slices are never materialized
+            # slices are never materialized (capacity mode: the trace
+            # batch is already (capacity, ...), free slots ride pad rows
+            # whose PCM is never deposited)
             self._pump_cur = stacked[0]
         else:
             self._pump_cur = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[h.r._spectra for h in lanes]
             )
         P = self._pump_cur[0].shape[-2]
-        self._pump_states = cp.conv_init_real(
-            (len(lanes), S, r0.n_out), P, B
-        )
-        self._pump_cursors = [0] * len(lanes)
+        states = cp.conv_init_real((L, S, r0.n_out), P, B)
+        self._pump_cursors = [0] * L
         if warm:
             from .ir_stream import _stream_blocks_pump
 
             ys, st = _stream_blocks_pump(
                 r0._dry_dev, r0._src_len_dev, r0._src_loop_dev,
-                jnp.zeros(len(lanes), jnp.int32), self._pump_states,
+                jnp.zeros(L, jnp.int32), states,
                 self._pump_cur, self._pump_cur,
-                jnp.zeros(len(lanes), bool),
+                jnp.zeros(L, bool),
                 K=self.pump_chunk_blocks, B=B, n_out=r0.n_out,
             )
             pcm = np.asarray(ys)  # force the compile + execute NOW
@@ -717,24 +925,39 @@ class BatchedAcoustics:
                 # chunk ahead of the clock instead of racing the pump's
                 # first post-start tick (a 24-stream run measured a
                 # single startup underrun exactly there)
-                self._pump_states = st
+                states = st
                 self._deposit(pcm)
+        # assign LAST: the pump loop gates on _pump_states, and a
+        # coordinator entered before warmup() has its pump thread live
+        # during this setup (engine/netserve.py start() does exactly
+        # that) — everything above must be consistent before it ticks
+        self._pump_states = states
 
     def _pump_tick(self) -> None:
         """ONE pump iteration: adopt every lane's pending spectra at
-        this chunk boundary, render every lane's next chunk in one
-        dispatch, deposit the PCM in the per-lane buffers. Synchronous
-        and thread-free so tests can drive it deterministically; the
-        pump thread is just pacing around this."""
+        this chunk boundary (activating any lane whose FIRST spectra
+        just landed: state reset via _mask_lanes, cursor 0, no fade —
+        its first chunk is bit-identical to a fresh solo stream's),
+        render every lane's next chunk in one dispatch, deposit the PCM
+        in the per-lane buffers. Synchronous and thread-free so tests
+        can drive it deterministically; the pump thread is just pacing
+        around this."""
         from .ir_stream import _stream_blocks_pump
 
-        lanes = self._pump_lanes
-        r0 = lanes[0].r
+        dry_dev, len_dev, loop_dev, n_out = self._pump_arena
         B = self.cfg.block_size
         K = self.pump_chunk_blocks
+        L = len(self._pump_cursors)
         with self._pump_cv:
             nxt = self._pump_next
             self._pump_next = None
+            acts = ()
+            if nxt is not None and self._pump_pending_activate:
+                # activations ride a publish: their spectra are in nxt
+                # (any later publish re-traces every posed lane, so a
+                # freshest-wins overwrite still carries them)
+                acts = tuple(self._pump_pending_activate)
+                self._pump_pending_activate = set()
         if nxt is not None:
             # stacked publish (binaural cohorts — _respectra_all): adopt
             # the round's (L, ...) respectra arrays whole; dirty lanes
@@ -742,10 +965,27 @@ class BatchedAcoustics:
             prev = self._pump_cur
             self._pump_cur = nxt[0]
             fades = np.asarray(nxt[1], bool)
+            if acts:
+                keep = np.ones(L, bool)
+                for s in acts:
+                    keep[s] = False
+                    fades[s] = False  # fresh stream: no old spectra
+                    self._pump_cursors[s] = 0
+                self._pump_states = _mask_lanes(
+                    self._pump_states, jnp.asarray(keep)
+                )
+                with self._pump_cv:
+                    for s in acts:
+                        h = self._pump_slot_handles[s]
+                        if h is not None:
+                            h._pump_active = True
+                    self._pump_cv.notify_all()
         elif self._respectra_all is None:
-            # per-lane mailbox mode (speaker rigs / per-stream HRTFs):
-            # adopt each lane's pending spectra and restack
-            fades = np.zeros(len(lanes), bool)
+            # per-lane mailbox mode (speaker rigs / per-stream HRTFs;
+            # exact-cohort pumps only — capacity pumps are stacked by
+            # construction): adopt each lane's pending spectra, restack
+            lanes = self._pump_lanes
+            fades = np.zeros(L, bool)
             specs = [None] * len(lanes)
             for i, h in enumerate(lanes):
                 with h.lock:
@@ -760,27 +1000,30 @@ class BatchedAcoustics:
                     lambda *xs: jnp.stack(xs), *specs
                 )
         else:
-            fades = np.zeros(len(lanes), bool)
+            fades = np.zeros(L, bool)
             prev = self._pump_cur
         ys, self._pump_states = _stream_blocks_pump(
-            r0._dry_dev, r0._src_len_dev, r0._src_loop_dev,
+            dry_dev, len_dev, loop_dev,
             jnp.asarray(np.asarray(self._pump_cursors, np.int32)),
             self._pump_states, prev, self._pump_cur,
             jnp.asarray(fades),
-            K=K, B=B, n_out=r0.n_out,
+            K=K, B=B, n_out=n_out,
         )
         self._deposit(np.asarray(ys))  # (L, K, B, n_out) — ONE transfer
 
     def _deposit(self, pcm: np.ndarray) -> None:
-        """Append one pumped chunk of PCM to every lane's buffer and
-        advance the lane cursors (shared by _pump_tick and the warmup
-        prefill)."""
-        lanes = self._pump_lanes
+        """Append one pumped chunk of PCM to every ACTIVE lane's buffer
+        and advance the lane cursors (shared by _pump_tick and the
+        warmup prefill). Free/inactive slots render pad audio that is
+        simply not deposited."""
         K, B = self.pump_chunk_blocks, self.cfg.block_size
-        n_out = lanes[0].r.n_out
+        n_out = self._pump_arena[3]
         with self._pump_cv:
-            for i, h in enumerate(lanes):
+            for i in range(len(self._pump_cursors)):
                 self._pump_cursors[i] += K * B
+            for i, h in enumerate(self._pump_slot_handles):
+                if h is None or not h._pump_active:
+                    continue
                 h._buf.append(pcm[i].reshape(K * B, n_out))
                 h._buf_n += K * B
                 # a read bigger than the buffer cap must still be
@@ -792,18 +1035,26 @@ class BatchedAcoustics:
                 while len(h._buf) > allowed:
                     # stalled consumer: drop its OLDEST chunk so one
                     # dead sink never blocks the cohort (live-stream
-                    # semantics; netserve evicts the peer separately)
+                    # semantics; netserve evicts the peer separately).
+                    # The consumer's next read splices across the gap
+                    # with a one-block declick ramp (_pump_read) and
+                    # pump_dropped counts what it skipped.
                     old = h._buf.pop(0)
                     h._buf_n -= len(old) - h._buf_off
                     h._buf_off = 0
                     h.pump_dropped += 1
+                    h._splice = True
             self.pump_ticks += 1
             self._pump_cv.notify_all()
 
     def _pump_loop(self) -> None:
-        lanes = None
         while not self._stop_evt.is_set():
             if self._pump_states is None:
+                if self.capacity is not None:
+                    # capacity pumps are fixed by warmup() (the stacked
+                    # respectra seed); just wait for it
+                    time.sleep(0.005)
+                    continue
                 # no warmup(): wait for the first round to publish
                 # spectra to every lane, then fix the cohort
                 try:
@@ -816,15 +1067,26 @@ class BatchedAcoustics:
                     with self._pump_cv:
                         self._pump_cv.notify_all()
                     return
-            lanes = self._pump_lanes
             target = self.pump_buffer_chunks * self.pump_chunk_blocks \
                 * self.cfg.block_size
             with self._pump_cv:
-                # produce until every lane is buffered past BOTH the
-                # read-ahead target and any blocked reader's demand
-                while (not self._stop_evt.is_set()
-                       and min(h._buf_n - max(target, h._want)
-                               for h in lanes) >= 0):
+                # produce until every ACTIVE lane is buffered past BOTH
+                # the read-ahead target and any blocked reader's demand;
+                # also wake for a pending activation (the joining lane
+                # is not active yet, but its first chunk must not wait
+                # on the rest of the cohort draining)
+                while not self._stop_evt.is_set():
+                    if (self._pump_pending_activate
+                            and self._pump_next is not None):
+                        break
+                    active = [
+                        h for h in self._pump_slot_handles
+                        if h is not None and h._pump_active
+                    ]
+                    if active and min(
+                        h._buf_n - max(target, h._want) for h in active
+                    ) < 0:
+                        break
                     self._pump_cv.wait(timeout=0.05)
             if self._stop_evt.is_set():
                 return
@@ -840,7 +1102,17 @@ class BatchedAcoustics:
         """Pop n samples of this lane's pumped PCM (blocking until the
         pump has produced them; raises if the pump died or stalled
         >30 s). The pop is pure host memory — the render thread never
-        dispatches."""
+        dispatches.
+
+        Drop semantics: if the pump dropped this lane's oldest chunk(s)
+        since the last read (a stalled consumer past
+        pump_max_buffer_chunks — handle.pump_dropped counts), the
+        stream SKIPS forward and this read declicks the splice: its
+        first block_size samples ramp linearly from the last emitted
+        sample into the post-gap audio, bounding the boundary
+        discontinuity to |gap jump|/block_size per sample instead of a
+        full-amplitude click (tested:
+        tests/test_serving.py::test_render_pump_drop_declick)."""
         deadline = time.monotonic() + 30.0
         parts = []
         with self._pump_cv:
@@ -873,8 +1145,17 @@ class BatchedAcoustics:
                 if handle._buf_off == len(c):
                     handle._buf.pop(0)
                     handle._buf_off = 0
+            splice = handle._splice
+            handle._splice = False
             self._pump_cv.notify_all()  # wake the pump's pacing wait
-        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+        out = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        if splice and handle._last_out is not None:
+            out = np.array(out)  # parts may view buffered chunks
+            W = min(self.cfg.block_size, len(out))
+            a = (np.arange(1, W + 1, dtype=np.float32) / W)[:, None]
+            out[:W] = a * out[:W] + (1.0 - a) * handle._last_out
+        handle._last_out = np.array(out[-1])
+        return out
 
     def _loop(self) -> None:
         while not self._stop_evt.is_set():
@@ -917,7 +1198,10 @@ class BatchedAcoustics:
             self._pump_thread.join(timeout=30.0)
             self._pump_thread = None
             self._pump_lanes = None  # cohort unfixed: close() allowed again
+            self._pump_slot_handles = None
+            self._pump_states = None  # a re-enter re-fixes the lanes
             self._pump_next = None
+            self._pump_pending_activate = set()
         if self.error is not None:
             raise self.error
         return False

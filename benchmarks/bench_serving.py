@@ -16,12 +16,27 @@ queue. Two update architectures:
   dispatch queue cost per round is ~constant in N.
 
 Run: python benchmarks/bench_serving.py [seconds=10] [max_streams=4]
-     [--batched] [--pump] [--mxu | --kernel | --nee] [--only=N]
+     [--batched] [--pump] [--pacer] [--capacity[=N]]
+     [--mxu | --kernel | --nee] [--only=N]
 --pump (implies --batched) also batches the RENDER dispatches: one
 render-pump thread produces every stream's next chunk in ONE dispatch
 (engine/serving.py render_pump=True) and streams pop host PCM — the
 per-second dispatch count stops scaling with N (the r3 24-stream wall
 was exactly that scaling).
+--pacer (implies --pump) consolidates the HOST side too: instead of 2
+threads per stream (native-sink pull + walkthrough producer — ~130
+threads at 64 streams on the 1-core bench host, the r4-measured
+collapse), ONE pacer thread services every lane: at each lane's
+absolute chunk deadline it pops the pumped PCM if buffered (pure host
+memory) or counts an underrun, and issues the lane's pose updates at
+~5 Hz. Total host threads = pacer + pump + acoustic round = 3,
+regardless of N — this is the configuration that measures the CHIP's
+serving capacity rather than the bench host's thread ceiling.
+--capacity[=N] (with --pump) runs the pump in capacity-lane mode (the
+production join/leave shape netserve serves through; N defaults to the
+stream count) and performs a mid-run JOIN: one extra stream joins the
+live pump halfway through and is paced like the rest — proving the
+serving capacity is reachable by the production-shaped server.
 --nee runs the batched trace through the in-kernel multi-listener NEE
 (trace_irs_pallas_multi_listener_nee: ONE path pass per 4-listener
 chunk, VMEM-resident per-listener shadow/emission/binning — neither the
@@ -61,8 +76,15 @@ def main():
     from audio_raytracing_tpu.models.scene import Scene, box_room
 
     pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    pump = "--pump" in sys.argv[1:]
+    pacer = "--pacer" in sys.argv[1:]
+    pump = "--pump" in sys.argv[1:] or pacer
     batched = "--batched" in sys.argv[1:] or pump
+    capacity_opt = None  # None = exact cohort; -1 = n per sweep point
+    for a in sys.argv[1:]:
+        if a == "--capacity":
+            capacity_opt = -1
+        elif a.startswith("--capacity="):
+            capacity_opt = int(a.split("=", 1)[1])
     isect = "mt"
     if "--mxu" in sys.argv[1:]:
         isect = "mxu"
@@ -85,6 +107,107 @@ def main():
     scene = (Scene.from_obj(obj, cfg) if obj.exists()
              else Scene.from_triangles(box_room(), cfg))
 
+    from audio_raytracing_tpu.app.walkthrough import synth_pad
+
+    def pacer_run(coord, handles, seconds, capacity):
+        """ONE host thread services every lane: pops each lane's pumped
+        chunk at its absolute sample-clock deadline (pure host memory;
+        a missing chunk counts an underrun instead of blocking the
+        cohort) and issues ~5 Hz pose updates. With capacity, one extra
+        stream JOINS the live pump at half-time and is paced like the
+        rest. Host threads: this pacer + the pump + the acoustic round
+        — 3 total regardless of N."""
+        sr = cfg.sample_rate
+        chunk = 64 * cfg.block_size
+        upd_dt = 0.2
+        lanes = list(handles)
+        consumed = [0] * len(lanes)
+        under = [0] * len(lanes)
+        missed = [False] * len(lanes)
+        next_upd = [0.0] * len(lanes)
+        anchors = None
+        joiner_idx = None
+        with coord:
+            t0 = time.monotonic()
+            t_end = t0 + seconds
+            anchors = [t0] * len(lanes)
+            join_at = t0 + seconds / 2 if capacity is not None else None
+            while True:
+                now = time.monotonic()
+                if now >= t_end:
+                    break
+                if join_at is not None and now >= join_at:
+                    join_at = None
+                    r = IRStreamRenderer(
+                        scene, cfg, n_rays=1 << 15, max_bounces=6
+                    )
+                    r.add_source(synth_pad(cfg.sample_rate),
+                                 np.zeros(3, np.float32), gain=0.5)
+                    j = coord.stream(r)
+                    p, yaw = circle_path(now - t0 + 1.7 * len(lanes))
+                    j.request(np.float32(p), yaw=yaw)
+                    joiner_idx = len(lanes)
+                    lanes.append(j)
+                    consumed.append(None)  # clock starts at activation
+                    under.append(0)
+                    missed.append(False)
+                    next_upd.append(now - t0)
+                    anchors.append(None)
+                nxt = t_end
+                for i, h in enumerate(lanes):
+                    if consumed[i] is None:
+                        if h.ready():
+                            consumed[i] = 0
+                            anchors[i] = time.monotonic()
+                        else:
+                            continue  # joiner awaiting activation
+                    due = anchors[i] + consumed[i] / sr
+                    if now >= due:
+                        if h.available() >= chunk:
+                            h.render(chunk)
+                            consumed[i] += chunk
+                            missed[i] = False
+                            due = anchors[i] + consumed[i] / sr
+                        else:
+                            if not missed[i]:
+                                under[i] += 1
+                                missed[i] = True
+                            due = now + 0.002
+                    nxt = min(nxt, due)
+                    tu = t0 + next_upd[i]
+                    if now >= tu:
+                        p, yaw = circle_path(now - t0 + 1.7 * i)
+                        h.request(np.float32(p), yaw=yaw)
+                        next_upd[i] += upd_dt
+                        tu = t0 + next_upd[i]
+                    nxt = min(nxt, tu)
+                dt = nxt - time.monotonic()
+                if dt > 0:
+                    time.sleep(min(dt, 0.05))
+        wall = time.monotonic() - t0
+        row = {
+            "underruns": [u for u in under],
+            "realtime_factor": [
+                round((c or 0) / (wall * sr), 2) for c in consumed
+            ],
+            "retraces": [h.retraces for h in lanes],
+            "updates": [h.updates for h in lanes],
+            "wall_s": round(wall, 1),
+            "pacer": True,
+            "trace_rounds": coord.rounds,
+            "pump_ticks": coord.pump_ticks,
+            "pump_dropped": [h.pump_dropped for h in lanes],
+        }
+        if joiner_idx is not None:
+            row["joiner"] = {
+                "activated": consumed[joiner_idx] is not None,
+                "chunks": (consumed[joiner_idx] or 0) // chunk,
+                "underruns": under[joiner_idx],
+            }
+        if coord.error is not None:
+            row["errors"] = [repr(coord.error)[:200]]
+        return row
+
     out = {}
     n = only or 1
     while n <= max_streams:
@@ -96,6 +219,10 @@ def main():
         ]
         coord = None
         handles = [None] * n
+        capacity = None
+        if capacity_opt is not None and pump:
+            # +1 lane so the mid-run join has a free slot
+            capacity = (n + 1) if capacity_opt == -1 else capacity_opt
         if batched:
             from audio_raytracing_tpu.engine.serving import BatchedAcoustics
 
@@ -103,20 +230,25 @@ def main():
                 scene.device_arrays(), [np.zeros(3, np.float32)], cfg=cfg,
                 n_rays=1 << 15, max_bounces=6, intersector=isect,
                 # pump chunk = the walkthrough's render chunk (64 blocks)
-                render_pump=pump,
+                render_pump=pump, capacity=capacity,
             )
             handles = [coord.stream(r) for r in renderers]
             if pump:
                 # pump lanes need their dry sources BEFORE warmup (the
-                # pump fixes the cohort and stacks one (S, N) arena);
-                # same pad the walkthrough would add, so run_walkthrough
-                # skips its own add_source
-                from audio_raytracing_tpu.app.walkthrough import synth_pad
-
+                # pump fixes the lane shape and stacks one (S, N)
+                # arena); same pad the walkthrough would add, so
+                # run_walkthrough skips its own add_source
                 for r in renderers:
                     r.add_source(synth_pad(cfg.sample_rate),
                                  np.zeros(3, np.float32), gain=0.5)
             coord.warmup([circle_path(1.7 * i) for i in range(n)])
+        if pacer:
+            row = pacer_run(coord, handles, seconds, capacity)
+            out[f"n{n}"] = row
+            print(f"[serving] {n} streams: {row}", file=sys.stderr,
+                  flush=True)
+            n *= 2
+            continue
 
         def one(i):
             # phase-offset orbits so re-traces don't all land on the same
@@ -165,7 +297,8 @@ def main():
         "metric": "concurrent_realtime_streams",
         "value": max(ok) if ok else 0,
         "unit": "streams",
-        "extra": {"batched": batched, "pump": pump, **out},
+        "extra": {"batched": batched, "pump": pump, "pacer": pacer,
+                  "capacity": capacity_opt, **out},
     }))
 
 
