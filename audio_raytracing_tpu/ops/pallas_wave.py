@@ -86,18 +86,39 @@ def _pick_block_grid(plane_bytes: int, budget_bytes: int = 10 * 2**20) -> int:
 # footprint is ~27 padded planes (the 400^3 compile reported 21.88M
 # scoped at plane=819 KB -> 26.7 planes), so planes past ~16M/27 cannot
 # compile AT ANY slab thickness. 320^3 (plane 491 KB -> ~13M) is the
-# largest bench grid that fits; 400^3 (819 KB) does not.
+# largest bench grid that fits at full planes; BIGGER planes now tile
+# along y (r5: _step_kernel_grid_ytiled — the r4 VERDICT's named lift),
+# so 256x512x512 and 512^3 engage the kernel instead of silently
+# falling back to XLA.
 _GRID_KERNEL_MAX_PLANE_BYTES = (16 * 2**20) // 27
+
+# y-tiled kernel: target tile-plane size. Chosen inside the measured
+# sweet spot of the untiled kernel's bench grids (~256-512 KB planes);
+# tiles re-fetch 2 halo rows of p/occ + 1 of vy per Ty rows, so bigger
+# tiles cost less halo traffic but more VMEM.
+_YTILE_TARGET_PLANE_BYTES = 512 * 2**10
+
+
+def _pick_ytile(ny_p: int, nz_p: int) -> int:
+    """Largest power-of-two row-tile (multiple of 8, <= ny_p) whose
+    (Ty, nz_pad) f32 plane fits the target; the scoped-VMEM cap is the
+    hard bound."""
+    ty = 8
+    while (ty * 2 <= ny_p
+           and ty * 2 * nz_p * 4 <= _YTILE_TARGET_PLANE_BYTES):
+        ty *= 2
+    return ty
 
 
 def grid_kernel_feasible(shape) -> bool:
     """Can the grid-pipelined kernel compile for this domain shape?
-    False when one (ny_pad, nz_pad) f32 plane is too large for the
-    scoped-VMEM budget even at slab thickness 1 — wave_run's auto mode
-    then stays on the XLA solver instead of dying in Mosaic."""
+    With y tiling the per-block plane is (Ty >= 8, nz_pad); only a
+    z extent so large that even an 8-row tile plane exceeds the
+    scoped-VMEM budget is infeasible — wave_run's auto mode then stays
+    on the XLA solver instead of dying in Mosaic."""
     _, ny, nz = shape
-    plane_bytes = _round_up(ny, 8) * _round_up(nz, 128) * 4
-    return plane_bytes <= _GRID_KERNEL_MAX_PLANE_BYTES
+    nz_p = _round_up(nz, 128)
+    return 8 * nz_p * 4 <= _GRID_KERNEL_MAX_PLANE_BYTES
 
 
 def _roll(x, shift: int, axis: int):
@@ -438,13 +459,202 @@ def _step_kernel_grid(
         )
 
 
-def _pad_domain_grid(occ: np.ndarray, block: int | None):
+def _step_kernel_grid_ytiled(
+    coef_ref,  # (1, 8) SMEM: k, a_w, b_w, kp, pulse_t
+    p_mid, p_xlo, p_xhi, p_ylo, p_yhi,
+    occ_mid, occ_xlo, occ_xhi, occ_ylo, occ_yhi,
+    vx_mid, vx_xlo, vy_mid, vy_ylo, vz_mid,  # VMEM blocks
+    p_out, vx_out, vy_out, vz_out,  # VMEM output blocks
+    rec_ref,  # (1, 1) SMEM out
+    *, B: int, Ty: int, ny_p: int, src, lst, nz: int,
+):
+    """One (x-slab, y-tile) block of the leapfrog step — the grid
+    kernel for planes too large for scoped VMEM (r4 VERDICT #3: the
+    (512, 512) plane cap). Identical update rules to _step_kernel_grid;
+    the y shifts that were in-VMEM rolls with wrap masks become
+    explicit halo rows (p/occ: one row each side of the tile; vy: the
+    low row), with the two degenerate halos handled by GLOBAL-index
+    masks exactly like the x pad face:
+
+      * the row BELOW the domain (the index map clamps tile 0's low
+        halo onto row 0): vyn there is the unpadded solver's
+        zero-filled shift -> masked to 0 (global row == -1),
+      * the row ABOVE the last (clamp duplicates row ny_p-1): o_hi is
+        masked to 0 (global row == ny_p-1), reproducing the domain-edge
+        wall — the same mask the untiled kernel applies to its wrapped
+        roll entry.
+
+    Interpret-mode equality vs the XLA solver pins all of it
+    (tests/test_pallas_wave.py y-tiled cases)."""
+    k = coef_ref[0, 0]
+    a_w = coef_ref[0, 1]
+    b_w = coef_ref[0, 2]
+    kp = coef_ref[0, 3]
+    pulse_t = coef_ref[0, 4]
+    si, sj, sk = src
+    li, lj, lk = lst
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    i0 = i * B
+    j0 = j * Ty
+
+    ext_shape = (B + 1, Ty, nz)
+    mid_shape = (B, Ty, nz)
+    m_zlast = _mask_ne(mid_shape, 2, nz - 1)
+    m_z0 = _mask_ne(mid_shape, 2, 0)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        rec_ref[0, 0] = jnp.float32(0.0)
+
+    P = jnp.concatenate([p_xlo[...], p_mid[...], p_xhi[...]], axis=0)
+    O = jnp.concatenate([occ_xlo[...], occ_mid[...], occ_xhi[...]], axis=0)
+    VX = jnp.concatenate([vx_xlo[...], vx_mid[...]], axis=0)
+    Pm = P[1 : B + 1]
+    Om = O[1 : B + 1]
+
+    # x faces (mid rows only — the x halos never need y halos)
+    a, bl, br = _face_terms(O[0 : B + 1], O[1 : B + 2], a_w, b_w, k)
+    vxe = a * VX + bl * P[0 : B + 1] + br * P[1 : B + 2]
+    vxe = vxe * _mask_ne(ext_shape, 0, B - 1, offset=i0 - 1)
+    div = vxe[1:] - vxe[:-1]
+
+    # y faces for rows [j0-1, j0+Ty): halo-extended arrays instead of
+    # rolls; the shifted difference then needs no wrap mask
+    Py = jnp.concatenate([p_ylo[...], Pm, p_yhi[...]], axis=1)
+    Oy = jnp.concatenate([occ_ylo[...], Om, occ_yhi[...]], axis=1)
+    VY = jnp.concatenate([vy_ylo[...], vy_mid[...]], axis=1)
+    yext = (B, Ty + 1, nz)
+    o_hi = Oy[:, 1 : Ty + 2] * _mask_ne(yext, 1, ny_p - 1, offset=j0 - 1)
+    a, bl, br = _face_terms(Oy[:, 0 : Ty + 1], o_hi, a_w, b_w, k)
+    vyn = a * VY + bl * Py[:, 0 : Ty + 1] + br * Py[:, 1 : Ty + 2]
+    vyn = vyn * _mask_ne(yext, 1, -1, offset=j0 - 1)
+    div = div + (vyn[:, 1:] - vyn[:, :-1])
+
+    # z faces (full extent in-block, rolls + wrap masks as before)
+    o_hi = _roll(Om, -1, 2) * m_zlast
+    a, bl, br = _face_terms(Om, o_hi, a_w, b_w, k)
+    vzn = a * vz_mid[...] + bl * Pm + br * _roll(Pm, -1, 2)
+    div = div + (vzn - _roll(vzn, 1, 2) * m_z0)
+
+    pn = (Pm - kp * div) * Om
+
+    src_block, src_l = divmod(si, B)
+    src_tile, src_r = divmod(sj, Ty)
+    lst_block, lst_l = divmod(li, B)
+    lst_tile, lst_r = divmod(lj, Ty)
+
+    def _plane_mask(r, kk):
+        return jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (Ty, nz), 0) == r)
+            & (jax.lax.broadcasted_iota(jnp.int32, (Ty, nz), 1) == kk),
+            jnp.float32(1.0), jnp.float32(0.0),
+        )
+
+    p_out[...] = pn
+    vx_out[...] = vxe[1:]
+    vy_out[...] = vyn[:, 1:]
+    vz_out[...] = vzn
+
+    @pl.when((i == src_block) & (j == src_tile))
+    def _():
+        p_out[src_l] = p_out[src_l] + pulse_t * _plane_mask(src_r, sk)
+
+    @pl.when((i == lst_block) & (j == lst_tile))
+    def _():
+        rec_ref[0, 0] = rec_ref[0, 0] + jnp.sum(
+            p_out[lst_l] * _plane_mask(lst_r, lk)
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B", "Ty", "n_blocks", "src", "lst", "interpret"),
+)
+def _run_scan_pallas_grid_ytiled(
+    occ_p, pulse, k, a_w, b_w, kp, *, B, Ty, n_blocks, src, lst, interpret
+):
+    """One lax.scan of the y-tiled grid-pipelined step over the whole
+    simulation. Grid = (x blocks incl. 2 pad blocks, y tiles)."""
+    shape = occ_p.shape
+    nx_p, ny_p, nz = shape
+    n_tiles = ny_p // Ty
+    kernel = functools.partial(
+        _step_kernel_grid_ytiled, B=B, Ty=Ty, ny_p=ny_p, src=src, lst=lst,
+        nz=nz,
+    )
+    f32 = jnp.float32
+    mid = pl.BlockSpec((B, Ty, nz), lambda i, j: (i, j, 0),
+                       memory_space=pltpu.VMEM)
+    xlo = pl.BlockSpec(
+        (1, Ty, nz), lambda i, j: (jnp.maximum(i * B - 1, 0), j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    xhi = pl.BlockSpec(
+        (1, Ty, nz),
+        lambda i, j: (jnp.minimum((i + 1) * B, nx_p - 1), j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # y halo rows (block y-extent 1 => the index is in ELEMENT rows)
+    ylo = pl.BlockSpec(
+        (B, 1, nz), lambda i, j: (i, jnp.maximum(j * Ty - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    yhi = pl.BlockSpec(
+        (B, 1, nz),
+        lambda i, j: (i, jnp.minimum((j + 1) * Ty, ny_p - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    step_call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks + 2, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            mid, xlo, xhi, ylo, yhi,  # p
+            mid, xlo, xhi, ylo, yhi,  # occ
+            mid, xlo,  # vx
+            mid, ylo,  # vy
+            mid,  # vz
+        ],
+        out_specs=(
+            mid, mid, mid, mid,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(shape, f32),
+            jax.ShapeDtypeStruct(shape, f32),
+            jax.ShapeDtypeStruct(shape, f32),
+            jax.ShapeDtypeStruct(shape, f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ),
+        interpret=interpret,
+    )
+
+    def step(state, s_t):
+        p, vx, vy, vz = state
+        coef = jnp.stack([k, a_w, b_w, kp, s_t, 0.0, 0.0, 0.0]).reshape(1, 8)
+        p, vx, vy, vz, rec = step_call(
+            coef,
+            p, p, p, p, p,
+            occ_p, occ_p, occ_p, occ_p, occ_p,
+            vx, vx, vy, vy, vz,
+        )
+        return (p, vx, vy, vz), rec[0, 0]
+
+    zero = jnp.zeros(shape, f32)
+    return jax.lax.scan(step, (zero, zero, zero, zero), pulse)
+
+
+def _pad_domain_grid(occ: np.ndarray, block: int | None,
+                     ty: int | None = None):
     """(occ_padded, B, n_blocks): x gets one all-solid pad BLOCK below,
-    solid fill + one all-solid pad block above; y/z round to (8, 128)."""
+    solid fill + one all-solid pad block above; y/z round to (8, 128).
+    ty (y-tiled kernel): round y up to a tile multiple and budget the
+    slab thickness for the (Ty, nz_pad) TILE plane, not the full one."""
     nx, ny, nz = occ.shape
-    ny_p = _round_up(ny, 8)
+    ny_p = _round_up(ny, ty if ty is not None else 8)
     nz_p = _round_up(nz, 128)
-    plane_bytes = ny_p * nz_p * 4
+    plane_bytes = (ty if ty is not None else ny_p) * nz_p * 4
     B = block if block is not None else _pick_block_grid(plane_bytes)
     n_blocks = -(-nx // B)
     nx_p = (n_blocks + 2) * B
@@ -515,6 +725,198 @@ def _run_scan_pallas_grid(
     return jax.lax.scan(step, (zero, zero, zero, zero), pulse)
 
 
+def _step_kernel_shard(
+    coef_ref,  # (1, 8) SMEM f32: k, a_w, b_w, kp, pulse_t, not_first
+    io_ref,  # (1, 8) SMEM i32: si_loc, sj, sk, _, li_loc, lj, lk, _
+    p_mid, p_xlo, p_xhi, p_prev, p_next,
+    occ_mid, occ_xlo, occ_xhi, occ_prev, occ_next,
+    vx_mid, vx_xlo, vx_prev,
+    vy_mid, vz_mid,
+    p_out, vx_out, vy_out, vz_out,
+    rec_ref,  # (1, 1) SMEM out: this shard's listener pickup
+    *, B: int, n_blocks: int, ny: int, nz: int,
+):
+    """One x-slab of one leapfrog step on ONE SHARD of a domain-
+    decomposed grid (parallel/wave_sharded.py kernel="pallas").
+
+    Differences from _step_kernel_grid, all at the shard boundary:
+      * block 0's low halo and block n_blocks-1's high halo come from
+        the NEIGHBOR SHARDS (p_prev/p_next/occ_prev/occ_next/vx_prev,
+        exchanged by ppermute outside — non-cyclic, so chain ends get
+        zeros = the rigid outer boundary, exactly like the XLA sharded
+        solver); interior blocks read in-array planes via clamped index
+        maps and select per-block with jnp.where.
+      * the previous shard's NEW last vx face is recomputed locally
+        from (occ_prev, occ[0], p_prev, p[0], vx_prev) — same inputs,
+        same formula, same op order as the neighbor's own computation,
+        so the value is bit-identical and the two sequential ppermutes
+        of the XLA path collapse into one up-front exchange.
+      * rank 0 masks the face below global plane 0 (the unsharded
+        div's zero shift) via the not_first coefficient.
+      * source/listener are TRACED local indices in SMEM (iota-mask
+        compare per block; -1 = not owned -> mask is all zero), because
+        which shard owns them is a data question under shard_map.
+    """
+    k = coef_ref[0, 0]
+    a_w = coef_ref[0, 1]
+    b_w = coef_ref[0, 2]
+    kp = coef_ref[0, 3]
+    pulse_t = coef_ref[0, 4]
+    not_first = coef_ref[0, 5]
+    si = io_ref[0, 0]
+    sj = io_ref[0, 1]
+    sk = io_ref[0, 2]
+    li = io_ref[0, 4]
+    lj = io_ref[0, 5]
+    lk = io_ref[0, 6]
+    i = pl.program_id(0)
+    i0 = i * B
+
+    ext_shape = (B + 1, ny, nz)
+    mid_shape = (B, ny, nz)
+    m_ylast = _mask_ne(mid_shape, 1, ny - 1)
+    m_zlast = _mask_ne(mid_shape, 2, nz - 1)
+    m_y0 = _mask_ne(mid_shape, 1, 0)
+    m_z0 = _mask_ne(mid_shape, 2, 0)
+
+    @pl.when(i == 0)
+    def _():
+        rec_ref[0, 0] = jnp.float32(0.0)
+
+    lo_p = jnp.where(i == 0, p_prev[...], p_xlo[...])
+    hi_p = jnp.where(i == n_blocks - 1, p_next[...], p_xhi[...])
+    lo_o = jnp.where(i == 0, occ_prev[...], occ_xlo[...])
+    hi_o = jnp.where(i == n_blocks - 1, occ_next[...], occ_xhi[...])
+    lo_vx = jnp.where(i == 0, vx_prev[...], vx_xlo[...])
+    P = jnp.concatenate([lo_p, p_mid[...], hi_p], axis=0)
+    O = jnp.concatenate([lo_o, occ_mid[...], hi_o], axis=0)
+    VX = jnp.concatenate([lo_vx, vx_mid[...]], axis=0)
+    Pm = P[1 : B + 1]
+    Om = O[1 : B + 1]
+
+    # x faces [i0-1, i0+B): vxe[0] is the previous shard's last face
+    # (recomputed); on rank 0 it is the below-domain face -> zero
+    a, bl, br = _face_terms(O[0 : B + 1], O[1 : B + 2], a_w, b_w, k)
+    vxe = a * VX + bl * P[0 : B + 1] + br * P[1 : B + 2]
+    vxe = vxe * jnp.maximum(
+        not_first, _mask_ne(ext_shape, 0, -1, offset=i0 - 1)
+    )
+    div = vxe[1:] - vxe[:-1]
+
+    o_hi = _roll(Om, -1, 1) * m_ylast
+    a, bl, br = _face_terms(Om, o_hi, a_w, b_w, k)
+    vyn = a * vy_mid[...] + bl * Pm + br * _roll(Pm, -1, 1)
+    div = div + (vyn - _roll(vyn, 1, 1) * m_y0)
+
+    o_hi = _roll(Om, -1, 2) * m_zlast
+    a, bl, br = _face_terms(Om, o_hi, a_w, b_w, k)
+    vzn = a * vz_mid[...] + bl * Pm + br * _roll(Pm, -1, 2)
+    div = div + (vzn - _roll(vzn, 1, 2) * m_z0)
+
+    pn = (Pm - kp * div) * Om
+
+    # traced-index one-hot masks (local x indices; -1 masks everything)
+    xm = jax.lax.broadcasted_iota(jnp.int32, mid_shape, 0) + i0
+    ym = jax.lax.broadcasted_iota(jnp.int32, mid_shape, 1)
+    zm = jax.lax.broadcasted_iota(jnp.int32, mid_shape, 2)
+    src_m = jnp.where(
+        (xm == si) & (ym == sj) & (zm == sk), jnp.float32(1.0),
+        jnp.float32(0.0),
+    )
+    pn = pn + pulse_t * src_m
+    lst_m = jnp.where(
+        (xm == li) & (ym == lj) & (zm == lk), jnp.float32(1.0),
+        jnp.float32(0.0),
+    )
+    rec_ref[0, 0] = rec_ref[0, 0] + jnp.sum(pn * lst_m)
+
+    p_out[...] = pn
+    vx_out[...] = vxe[1:]
+    vy_out[...] = vyn
+    vz_out[...] = vzn
+
+
+def make_shard_step(Sx: int, ny: int, nz: int, block: int | None = None,
+                    interpret: bool = False):
+    """Build the per-shard, per-step pallas call for
+    parallel/wave_sharded.py kernel="pallas".
+
+    Returns (step_fn, B). step_fn(coef (1,8) f32, io (1,8) i32,
+    p, occ, vx, vy, vz  [local (Sx, ny, nz)],
+    p_prev, p_next, occ_prev, occ_next, vx_prev [(ny, nz) halo planes])
+    -> (p_n, vx_n, vy_n, vz_n, rec scalar).
+
+    ny/nz must already be padded to the (8, 128) tile (solid fill);
+    B is the largest power-of-two divisor of Sx within the VMEM budget.
+    """
+    plane_bytes = ny * nz * 4
+    if plane_bytes > _GRID_KERNEL_MAX_PLANE_BYTES:
+        raise ValueError(
+            f"shard plane ({ny}, {nz}) exceeds the scoped-VMEM budget "
+            "(y tiling is not plumbed through the sharded kernel yet); "
+            "use kernel='xla'"
+        )
+    B = block if block is not None else _pick_block_grid(plane_bytes)
+    while Sx % B:
+        B //= 2
+    B = max(B, 1)
+    n_blocks = Sx // B
+    kernel = functools.partial(
+        _step_kernel_shard, B=B, n_blocks=n_blocks, ny=ny, nz=nz,
+    )
+    f32 = jnp.float32
+    mid = pl.BlockSpec((B, ny, nz), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    xlo = pl.BlockSpec(
+        (1, ny, nz), lambda i: (jnp.maximum(i * B - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    xhi = pl.BlockSpec(
+        (1, ny, nz), lambda i: (jnp.minimum((i + 1) * B, Sx - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo = pl.BlockSpec((1, ny, nz), lambda i: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    step_call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            mid, xlo, xhi, halo, halo,  # p
+            mid, xlo, xhi, halo, halo,  # occ
+            mid, xlo, halo,  # vx
+            mid,  # vy
+            mid,  # vz
+        ],
+        out_specs=(
+            mid, mid, mid, mid,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Sx, ny, nz), f32),
+            jax.ShapeDtypeStruct((Sx, ny, nz), f32),
+            jax.ShapeDtypeStruct((Sx, ny, nz), f32),
+            jax.ShapeDtypeStruct((Sx, ny, nz), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ),
+        interpret=interpret,
+    )
+
+    def step_fn(coef, io, p, occ, vx, vy, vz,
+                p_prev, p_next, occ_prev, occ_next, vx_prev):
+        p_n, vx_n, vy_n, vz_n, rec = step_call(
+            coef, io,
+            p, p, p, p_prev[None], p_next[None],
+            occ, occ, occ, occ_prev[None], occ_next[None],
+            vx, vx, vx_prev[None],
+            vy, vz,
+        )
+        return p_n, vx_n, vy_n, vz_n, rec[0, 0]
+
+    return step_fn, B
+
+
 def wave_run_pallas(
     domain: WaveDomain,
     src_cell: tuple,
@@ -530,6 +932,7 @@ def wave_run_pallas(
     interpret: bool = False,
     return_state: bool = False,
     mode: str = "grid",
+    block_y: int | None = None,
 ):
     """models/wave.py::wave_run on the fused Pallas step kernel.
 
@@ -541,7 +944,12 @@ def wave_run_pallas(
     mode="grid" (default): the grid-pipelined kernel — the x-slab loop
     is the pallas grid, Mosaic double-buffers every block, and halo
     planes arrive as separate (1, ny, nz) inputs (~44-56 B/cell of HBM
-    traffic). mode="dma": the r2 manual-DMA kernel (start/wait per slab,
+    traffic). When one (ny_pad, nz_pad) plane exceeds the scoped-VMEM
+    cap (~606 KB — the r4 (512, 512)-plane wall), the plane TILES along
+    y (grid = (x blocks, y tiles); p/occ fetch one halo row per side,
+    vy one low row) so 256x512x512 and 512^3 engage the kernel.
+    block_y forces a tile height (testing; must be a multiple of 8).
+    mode="dma": the r2 manual-DMA kernel (start/wait per slab,
     no compute/DMA overlap — measured 0.75-1.08x the XLA solver; kept
     for A/Bs).
     """
@@ -571,17 +979,36 @@ def wave_run_pallas(
     if mode == "grid" and not grid_kernel_feasible(occ.shape):
         raise ValueError(
             f"grid kernel cannot compile for domain {occ.shape}: one "
-            "padded (ny, nz) f32 plane exceeds Mosaic's scoped-VMEM "
-            "budget even at slab thickness 1 "
+            "padded 8-row (8, nz) f32 tile plane exceeds Mosaic's "
+            "scoped-VMEM budget even at slab thickness 1 "
             f"(max ~{_GRID_KERNEL_MAX_PLANE_BYTES // 1024} KB/plane); "
             "use the XLA solver (models/wave.py::wave_run(kernel='xla'))"
         )
     if mode == "grid":
-        occ_p, B, n_blocks = _pad_domain_grid(occ, block)
+        nx, ny, nz = occ.shape
+        ny_p8 = _round_up(ny, 8)
+        nz_p = _round_up(nz, 128)
+        tiled = block_y is not None or (
+            ny_p8 * nz_p * 4 > _GRID_KERNEL_MAX_PLANE_BYTES
+        )
+        if not tiled:
+            occ_p, B, n_blocks = _pad_domain_grid(occ, block)
+            run = _run_scan_pallas_grid
+        else:
+            ty = block_y if block_y is not None else _pick_ytile(
+                _round_up(ny, 8), nz_p
+            )
+            if ty % 8 or ty * nz_p * 4 > _GRID_KERNEL_MAX_PLANE_BYTES:
+                raise ValueError(
+                    f"block_y={ty} must be a multiple of 8 with a "
+                    "(block_y, nz_pad) plane under "
+                    f"~{_GRID_KERNEL_MAX_PLANE_BYTES // 1024} KB"
+                )
+            occ_p, B, n_blocks = _pad_domain_grid(occ, block, ty=ty)
+            run = functools.partial(_run_scan_pallas_grid_ytiled, Ty=ty)
         x_off = B
         src = (int(src_cell[0]) + B, int(src_cell[1]), int(src_cell[2]))
         lst = (int(lst_cell[0]) + B, int(lst_cell[1]), int(lst_cell[2]))
-        run = _run_scan_pallas_grid
     else:
         occ_p, B, n_blocks = _pad_domain(occ, block)
         x_off = 1

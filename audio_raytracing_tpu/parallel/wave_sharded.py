@@ -72,12 +72,29 @@ def wave_run_sharded(
     fc: float | None = None,
     pulse=None,
     dt: float | None = None,
+    kernel: str = "auto",
+    block: int | None = None,
+    pallas_interpret: bool = False,
 ) -> WaveIR:
     """Sharded twin of models/wave.py::wave_run over ``mesh[axis]``.
 
     Numerically identical to the unsharded solver (same coefficients,
     same rigid outer boundary); the grid's x extent is padded with solid
-    cells to a multiple of the shard count."""
+    cells to a multiple of the shard count.
+
+    kernel: "xla" (the elementwise shard step above), "pallas" (each
+    shard's slab steps through the fused grid-pipelined slab kernel —
+    ops/pallas_wave.py::make_shard_step — with the same one-plane
+    ppermute halos; this is where the kernel's single-chip win composes
+    with slab scaling on real multi-chip hardware), or "auto" (pallas
+    under the same measured rule as models/wave.py::wave_run: >= ~12M
+    cells per SHARD on a TPU backend and a plane that fits scoped
+    VMEM). The two paths are numerically equivalent (the shard-boundary
+    face is recomputed from the identical inputs in the identical op
+    order); tests/test_wave_sharded.py pins pallas-vs-unsharded on the
+    8-device CPU mesh in interpret mode."""
+    if kernel not in ("auto", "xla", "pallas"):
+        raise ValueError(f"kernel must be auto/xla/pallas, got {kernel!r}")
     d_shards = mesh.shape[axis]
     occ_np = _pad_x_to_multiple(np.asarray(domain.occ, np.float32), d_shards)
     dx = float(domain.dx)
@@ -98,14 +115,102 @@ def wave_run_sharded(
     k = dt / dx
     a_w, b_w = wall_impedance_coefficients(alpha, c, dt, dx)
 
+    fwd = [(r, r + 1) for r in range(d_shards - 1)]  # to the next shard
+    bwd = [(r + 1, r) for r in range(d_shards - 1)]  # to the previous
+
+    use_pallas = kernel == "pallas"
+    if kernel == "auto":
+        from ..ops.pallas_wave import (
+            _GRID_KERNEL_MAX_PLANE_BYTES,
+            _round_up,
+        )
+
+        plane_ok = (
+            _round_up(occ_np.shape[1], 8) * _round_up(occ_np.shape[2], 128)
+            * 4 <= _GRID_KERNEL_MAX_PLANE_BYTES
+        )
+        cells_per_shard = int(np.prod(occ_np.shape)) // d_shards
+        use_pallas = (
+            cells_per_shard >= 12_000_000
+            and plane_ok
+            and jax.default_backend() == "tpu"
+        )
+    if use_pallas:
+        from ..ops.pallas_wave import _round_up, make_shard_step
+
+        nx, ny0, nz0 = occ_np.shape
+        ny_p, nz_p = _round_up(ny0, 8), _round_up(nz0, 128)
+        occ_pp = np.zeros((nx, ny_p, nz_p), np.float32)
+        occ_pp[:, :ny0, :nz0] = occ_np
+        Sx = nx // d_shards
+        step_fn, _B = make_shard_step(
+            Sx, ny_p, nz_p, block=block, interpret=pallas_interpret
+        )
+        si, sj, sk = (int(x) for x in src_cell)
+        li, lj, lk = (int(x) for x in lst_cell)
+        kf = jnp.float32(k)
+        awf = jnp.float32(a_w)
+        bwf = jnp.float32(b_w)
+        kpf = jnp.float32(kp)
+        z32 = jnp.float32(0.0)
+
+        def local_pl(occ_l, pulse_r):
+            r = jax.lax.axis_index(axis)
+            occ_prev = jax.lax.ppermute(occ_l[-1], axis, fwd)
+            occ_next = jax.lax.ppermute(occ_l[0], axis, bwd)
+            not_first = (r != 0).astype(jnp.float32)
+            si_l = jnp.where(si // Sx == r, jnp.int32(si % Sx),
+                             jnp.int32(-1))
+            li_l = jnp.where(li // Sx == r, jnp.int32(li % Sx),
+                             jnp.int32(-1))
+            io = jnp.stack([
+                si_l, jnp.int32(sj), jnp.int32(sk), jnp.int32(0),
+                li_l, jnp.int32(lj), jnp.int32(lk), jnp.int32(0),
+            ]).reshape(1, 8)
+
+            def step(state, s_t):
+                p, vx, vy, vz = state
+                # both halos in ONE up-front exchange pair per step: the
+                # neighbor's NEW last vx face is recomputed in-kernel
+                # from (p_prev, vx_prev, occ halos) — bit-identical
+                p_next = jax.lax.ppermute(p[0], axis, bwd)
+                both_prev = jax.lax.ppermute(
+                    jnp.stack([p[-1], vx[-1]]), axis, fwd
+                )
+                coef = jnp.stack([
+                    kf, awf, bwf, kpf, s_t, not_first, z32, z32,
+                ]).reshape(1, 8)
+                p, vx, vy, vz, rec = step_fn(
+                    coef, io, p, occ_l, vx, vy, vz,
+                    both_prev[0], p_next, occ_prev, occ_next,
+                    both_prev[1],
+                )
+                return (p, vx, vy, vz), jax.lax.psum(rec, axis)
+
+            zero = jnp.zeros_like(occ_l)
+            _, rec = jax.lax.scan(step, (zero, zero, zero, zero), pulse_r)
+            return rec
+
+        spec = P(axis)
+        # check_vma=False: pallas_call's ShapeDtypeStructs carry no
+        # varying-mesh-axes annotation, which the default vma checker
+        # rejects inside shard_map
+        fn = jax.shard_map(
+            local_pl, mesh=mesh, in_specs=(spec, P()), out_specs=P(),
+            check_vma=False,
+        )
+        sharding = NamedSharding(mesh, spec)
+        rec = fn(
+            jax.device_put(jnp.asarray(occ_pp), sharding), pulse
+        )
+        return WaveIR(pressure=rec, dt=float(dt), pulse=pulse, t0=t0)
+
     occ = jnp.asarray(occ_np)
     src_mask = np.zeros(occ_np.shape, np.float32)
     src_mask[tuple(int(i) for i in src_cell)] = 1.0
     lst_mask = np.zeros(occ_np.shape, np.float32)
     lst_mask[tuple(int(i) for i in lst_cell)] = 1.0
 
-    fwd = [(r, r + 1) for r in range(d_shards - 1)]  # to the next shard
-    bwd = [(r + 1, r) for r in range(d_shards - 1)]  # to the previous
 
     def local(occ_l, src_l, lst_l, pulse_r):
         # the x-face occupancy halo is static: exchange it once, outside

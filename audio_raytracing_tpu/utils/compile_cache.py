@@ -21,10 +21,18 @@ import os
 
 def enable(cache_dir) -> None:
     """Idempotently point jax's persistent compilation cache at
-    `cache_dir`. Safe on any backend/version: a mismatched entry is a
-    clean cache miss, never an error."""
+    `cache_dir`. MOSTLY safe on any backend/version: a mismatched entry
+    is normally a clean cache miss — EXCEPT XLA:CPU AOT entries built on
+    a different machine, which load with only a machine-features WARNING
+    and can then wedge or SIGILL (observed 2026-08-21: a CPU smoke run
+    of bench_netserve loaded the committed benchmarks cache's
+    cross-machine CPU artifacts and the pump dispatch hung forever).
+    Set ARTPU_NO_COMPILE_CACHE=1 to skip enabling (CPU smoke runs of the
+    TPU benches should)."""
     import jax
 
+    if os.environ.get("ARTPU_NO_COMPILE_CACHE") == "1":
+        return
     cache_dir = str(cache_dir)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -34,9 +34,11 @@ regardless of N — this is the configuration that measures the CHIP's
 serving capacity rather than the bench host's thread ceiling.
 --capacity[=N] (with --pump) runs the pump in capacity-lane mode (the
 production join/leave shape netserve serves through; N defaults to the
-stream count) and performs a mid-run JOIN: one extra stream joins the
-live pump halfway through and is paced like the rest — proving the
-serving capacity is reachable by the production-shaped server.
+stream count) and performs a mid-run LEAVE + JOIN: at half time one
+stream closes its lane and a NEW stream joins the live pump, reusing
+the freed slot (activation = conv-state reset at a chunk boundary),
+and is paced like the rest — proving the serving capacity is reachable
+by the production-shaped join/leave server with zero recompiles.
 --nee runs the batched trace through the in-kernel multi-listener NEE
 (trace_irs_pallas_multi_listener_nee: ONE path pass per 4-listener
 chunk, VMEM-resident per-listener shadow/emission/binning — neither the
@@ -125,8 +127,10 @@ def main():
         under = [0] * len(lanes)
         missed = [False] * len(lanes)
         next_upd = [0.0] * len(lanes)
+        closed = [False] * len(lanes)
         anchors = None
         joiner_idx = None
+        leaver_idx = None
         with coord:
             t0 = time.monotonic()
             t_end = t0 + seconds
@@ -138,6 +142,11 @@ def main():
                     break
                 if join_at is not None and now >= join_at:
                     join_at = None
+                    # LEAVE: lane 0 exits the live pump (its slot frees)
+                    leaver_idx = 0
+                    closed[0] = True
+                    lanes[0].close()
+                    # JOIN: a brand-new stream takes the freed slot
                     r = IRStreamRenderer(
                         scene, cfg, n_rays=1 << 15, max_bounces=6
                     )
@@ -153,8 +162,11 @@ def main():
                     missed.append(False)
                     next_upd.append(now - t0)
                     anchors.append(None)
+                    closed.append(False)
                 nxt = t_end
                 for i, h in enumerate(lanes):
+                    if closed[i]:
+                        continue
                     if consumed[i] is None:
                         if h.ready():
                             consumed[i] = 0
@@ -204,6 +216,15 @@ def main():
                 "chunks": (consumed[joiner_idx] or 0) // chunk,
                 "underruns": under[joiner_idx],
             }
+        if leaver_idx is not None:
+            # the leaver was paced for the first half only: its rt
+            # reads ~0.5 by construction; what matters is 0 underruns
+            # while it was live and that its slot was reused
+            row["leaver"] = {
+                "chunks": (consumed[leaver_idx] or 0) // chunk,
+                "underruns": under[leaver_idx],
+                "slot_reused": lanes[joiner_idx].slot is not None,
+            }
         if coord.error is not None:
             row["errors"] = [repr(coord.error)[:200]]
         return row
@@ -221,8 +242,10 @@ def main():
         handles = [None] * n
         capacity = None
         if capacity_opt is not None and pump:
-            # +1 lane so the mid-run join has a free slot
-            capacity = (n + 1) if capacity_opt == -1 else capacity_opt
+            # exactly n lanes: the mid-run join reuses the slot the
+            # mid-run leave frees (and L=n keeps the executable shapes
+            # identical to the fixed-cohort runs' compile-cache entries)
+            capacity = n if capacity_opt == -1 else capacity_opt
         if batched:
             from audio_raytracing_tpu.engine.serving import BatchedAcoustics
 

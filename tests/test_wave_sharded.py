@@ -63,3 +63,45 @@ def test_sharded_cross_boundary_source_listener():
     )
     # the arrival actually made it across the mesh
     assert np.abs(np.asarray(sh.pressure)).max() > 1e-4
+
+
+def test_sharded_pallas_kernel_matches_unsharded():
+    """kernel="pallas": each shard steps through the fused slab kernel
+    (ops/pallas_wave.py::make_shard_step, interpret mode) with one
+    up-front ppermute halo exchange per step — must match the unsharded
+    XLA solver like the elementwise shard step does. Source and
+    listener in different shards; walls via the box boundary; ragged
+    B (Sx=4 with block=4 -> 1 block, and block=1 -> 4 blocks)."""
+    dom = _box_domain(32, 14, 12)
+    mesh = make_mesh(8, ("x",))
+    src, lst = (5, 5, 5), (26, 9, 7)
+    n_steps = 200
+    ref = W.wave_run(dom, src, lst, n_steps, c=C, alpha=0.25, fc=120.0)
+    for blk in (4, 1):
+        sh = wave_run_sharded(
+            dom, src, lst, n_steps, mesh, c=C, alpha=0.25, fc=120.0,
+            kernel="pallas", block=blk, pallas_interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh.pressure), np.asarray(ref.pressure),
+            rtol=0, atol=3e-6,
+        )
+    assert np.abs(np.asarray(ref.pressure)).max() > 1e-3
+
+
+def test_sharded_pallas_matches_xla_sharded_bitwise_path():
+    """The pallas shard path vs the XLA shard path on the SAME mesh:
+    the recomputed shard-boundary face must agree to f32 reassociation
+    noise (the kernel recomputes the neighbor's last vx face from
+    identical inputs in the identical op order)."""
+    dom = _box_domain(24, 10, 12)
+    mesh = make_mesh(8, ("x",))
+    src, lst = (3, 4, 6), (20, 6, 5)
+    n_steps = 150
+    a = wave_run_sharded(dom, src, lst, n_steps, mesh, alpha=0.3,
+                         fc=150.0, kernel="xla")
+    b = wave_run_sharded(dom, src, lst, n_steps, mesh, alpha=0.3,
+                         fc=150.0, kernel="pallas", pallas_interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(b.pressure), np.asarray(a.pressure), rtol=0, atol=2e-7
+    )
