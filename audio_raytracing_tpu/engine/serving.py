@@ -631,7 +631,27 @@ class BatchedAcoustics:
             )(ambs, orients)
         )
 
-    def _listener_batch(self, handles) -> jnp.ndarray:
+    def _round_cohort(self):
+        """Snapshot (handles, slots) for one round UNDER _pump_cv: a
+        handle closing concurrently (netserve evicts from client
+        threads) nulls h.slot, and a None slot used as an index would
+        silently corrupt the whole batch (numpy's arr[None] is an axis
+        insert, not an error). The slot captured here stays valid for
+        the round even if the handle closes mid-round — worst case one
+        discarded lane trace (or, if the slot is re-taken within the
+        same ~100 ms round, one stale crossfade that the next round
+        corrects)."""
+        with self._pump_cv:
+            handles = list(self._handles)
+            if self.capacity is None:
+                return handles, list(range(len(handles)))
+            pairs = [
+                (h, h.slot) for h in handles
+                if h._pose is not None and h.slot is not None
+            ]
+            return [h for h, _ in pairs], [s for _, s in pairs]
+
+    def _listener_batch(self, handles, slots) -> jnp.ndarray:
         """(L, 3) listener positions. With capacity the batch is SLOT-
         ordered at the fixed (capacity, 3) lane shape: row h.slot holds
         h's pose for the handle's whole life (the pump's stacked conv
@@ -643,17 +663,17 @@ class BatchedAcoustics:
         lst = np.broadcast_to(
             handles[0]._pose[0], (self.capacity, 3)
         ).copy()
-        for h in handles:
-            lst[h.slot] = h._pose[0]
+        for h, s in zip(handles, slots):
+            lst[s] = h._pose[0]
         return jnp.asarray(lst)
 
-    def _orient_batch(self, handles) -> jnp.ndarray:
+    def _orient_batch(self, handles, slots) -> jnp.ndarray:
         o = np.asarray(self._orients(handles))
         if self.capacity is None:
             return jnp.asarray(o)
         out = np.broadcast_to(o[0], (self.capacity, 4)).copy()
-        for h, row in zip(handles, o):
-            out[h.slot] = row
+        for row, s in zip(o, slots):
+            out[s] = row
         return jnp.asarray(out)
 
     @staticmethod
@@ -679,14 +699,15 @@ class BatchedAcoustics:
             pos, yaw = p[0], p[1]
             pitch = float(p[2]) if len(p) > 2 else 0.0
             h._pose = (np.asarray(pos, np.float32), float(yaw), pitch)
+        handles, slots = self._round_cohort()
         amb = self._trace_all(
-            self._arrays, self._srcs, self._listener_batch(self._handles)
+            self._arrays, self._srcs, self._listener_batch(handles, slots)
         )
         float(jnp.sum(amb))  # host transfer: force the compile + execute
         self._setup_respectra()
         if self._respectra_all is not None:
             re, _ = self._respectra_all(
-                amb, self._orient_batch(self._handles)
+                amb, self._orient_batch(handles, slots)
             )
             float(jnp.sum(re))
         if self.render_pump:
@@ -694,7 +715,7 @@ class BatchedAcoustics:
             # compile + run the pump executable once and discard —
             # the first live chunk must not pay the build
             self._publish_traced(
-                self._handles, amb, [True] * len(self._handles)
+                handles, amb, [True] * len(handles), slots
             )
             for h in self._handles:
                 with h.lock:
@@ -702,12 +723,13 @@ class BatchedAcoustics:
             self._pump_setup(warm=True)
 
     def _round(self) -> None:
-        handles = list(self._handles)
+        # snapshot under the lock: slots stay valid for the whole round
+        # even if a handle closes concurrently (see _round_cohort).
+        # In capacity mode a just-joined stream without a pose yet must
+        # not stall the others — it joins the round after its first
+        # request()
+        handles, slots = self._round_cohort()
         if self.capacity is not None:
-            # dynamic cohort: a just-joined stream without a pose yet
-            # must not stall the others — it joins the round after its
-            # first request()
-            handles = [h for h in handles if h._pose is not None]
             if not handles:
                 return
         elif not handles or any(h._pose is None for h in handles):
@@ -723,18 +745,28 @@ class BatchedAcoustics:
         # unchanged pose; their lanes are the cheap NEE part of the trace,
         # and their update() below is a pose-cache no-op)
         amb = self._trace_all(
-            self._arrays, self._srcs, self._listener_batch(handles)
+            self._arrays, self._srcs, self._listener_batch(handles, slots)
         )
         if self._respectra_cohort != len(self._handles):
             self._setup_respectra()
-        self._publish_traced(handles, amb, dirty)
+        self._publish_traced(handles, amb, dirty, slots)
         self.rounds += 1
 
-    def _publish_traced(self, handles, amb, dirty) -> None:
+    def _publish_traced(self, handles, amb, dirty, slots) -> None:
         """Decode the round's traced ambisonic IRs to per-stream
         partitioned spectra and publish through each dirty stream's
         mailbox (also used by warmup() in pump mode to seed every lane
-        before the first pump dispatch)."""
+        before the first pump dispatch). slots: the round's slot
+        snapshot (_round_cohort) — lane indices into amb/the stacked
+        respectra."""
+        if (self.render_pump and self.capacity is not None
+                and self._respectra_all is None):
+            # capacity pumps are stacked-only; _respectra_all can only
+            # be None here when the cohort emptied mid-round (every
+            # snapshot handle closed and _setup_respectra saw zero
+            # streams) — nothing live to publish to, and the
+            # per-handle fallback below must not run for pump lanes
+            return
         if self.render_pump and self._respectra_all is not None:
             # STACKED publish: the pump consumes the (L, ...) respectra
             # arrays whole, so slicing them per lane here would only
@@ -746,19 +778,26 @@ class BatchedAcoustics:
             # the 238 ms/round was this glue). One mailbox swap instead;
             # per-lane crossfades ride the dirty flags (SLOT-indexed —
             # the pump's lanes are slots, not list positions).
-            re, im = self._respectra_all(amb, self._orient_batch(handles))
+            re, im = self._respectra_all(
+                amb, self._orient_batch(handles, slots)
+            )
             L = self.capacity or len(handles)
             flags = [False] * L
             acts = set()
             with self._pump_cv:
                 for i, h in enumerate(handles):
-                    j = h.slot if self.capacity is not None else i
+                    j = slots[i]
                     flags[j] = bool(dirty[i])
                     if (dirty[i] and self._pump_states is not None
-                            and not h._pump_active):
+                            and not h._pump_active
+                            and self._pump_slot_handles is not None
+                            and self._pump_slot_handles[j] is h):
                         # first traced spectra for a lane that joined a
                         # LIVE pump: the adopting tick activates it
-                        # (state reset + cursor 0 + no fade)
+                        # (state reset + cursor 0 + no fade). The
+                        # slot-identity check skips a handle that
+                        # closed mid-round (its slot may already
+                        # belong to someone else)
                         acts.add(j)
                 self._pump_next = ((re, im), flags)
                 self._pump_pending_activate |= acts
@@ -774,12 +813,14 @@ class BatchedAcoustics:
         if self._respectra_all is not None:
             # 2 dispatches per round total: per-stream adoption below is
             # pure bookkeeping + an atomic swap
-            re, im = self._respectra_all(amb, self._orient_batch(handles))
+            re, im = self._respectra_all(
+                amb, self._orient_batch(handles, slots)
+            )
             for i, h in enumerate(handles):
                 if not dirty[i]:
                     continue
                 pos, yaw, pitch = h._pose
-                j = h.slot if self.capacity is not None else i
+                j = slots[i]
                 h._publish(pos, yaw, pitch, amb[j], (re[j], im[j]))
         else:
             for i, h in enumerate(handles):
@@ -788,7 +829,7 @@ class BatchedAcoustics:
                 pos, yaw, pitch = h._pose
                 # respectra on THIS thread (a device dispatch — never on
                 # the audio thread), swap deferred through the mailbox
-                j = h.slot if self.capacity is not None else i
+                j = slots[i]
                 orient = jnp.asarray(quat.quat_from_roll_pitch_yaw(
                     np.float32(pitch), np.float32(yaw), np.float32(0.0)
                 ))

@@ -85,7 +85,8 @@ class _ClientState:
             self.t_last = now
 
 
-def run_point(n, seconds, pump, evict, scene, cfg, sr):
+def run_point(n, seconds, pump, evict, scene, cfg, sr, intersector,
+              n_rays=1 << 15, pose_hz=5.0):
     import numpy as np
 
     from audio_raytracing_tpu.app.walkthrough import circle_path, synth_pad
@@ -94,10 +95,10 @@ def run_point(n, seconds, pump, evict, scene, cfg, sr):
     chunk_s = 64 * cfg.block_size / sr  # pump chunk == frame == 64 blocks
     srv = AcousticServer(
         scene, [(synth_pad(sr), np.zeros(3, np.float32))], cfg=cfg,
-        n_rays=1 << 15, max_bounces=6, capacity=n + 1,
+        n_rays=n_rays, max_bounces=6, capacity=n + 1,
         chunk_s=chunk_s, lead_s=0.3, pace=True,
         send_timeout_s=3.0, sndbuf=65536,
-        render_pump=pump,
+        render_pump=pump, intersector=intersector,
     )
     sel = selectors.DefaultSelector()
     clients = []
@@ -144,7 +145,7 @@ def run_point(n, seconds, pump, evict, scene, cfg, sr):
                     continue
                 st.feed(data, time.monotonic())
             if now >= next_pose:
-                next_pose = now + 0.2
+                next_pose = now + 1.0 / pose_hz
                 t_rel = now - t0
                 for i, st in enumerate(clients):
                     if not st.reading or st.error:
@@ -229,10 +230,34 @@ def main():
     scene = (Scene.from_obj(obj, cfg) if obj.exists()
              else Scene.from_triangles(box_room(), cfg))
     sr = cfg.sample_rate
+    # the in-kernel multi-listener NEE tracer keeps acoustic rounds at
+    # tens of ms at L~50 (the mt route's ~1 s rounds starve the pump's
+    # dispatch cadence through the serialized relay — measured in the
+    # r5 pacer bring-up); CPU smoke runs fall back to mt
+    import jax
+
+    intersector = ("pallas_nee" if jax.default_backend() == "tpu"
+                   else "mt")
+    n_rays = 1 << 15
+    pose_hz = 5.0
+    for a in sys.argv[1:]:
+        if a.startswith("--intersector="):
+            intersector = a.split("=", 1)[1]
+        elif a.startswith("--rays="):
+            # CPU smoke runs: full-size traces starve the CPU backend
+            # (5 Hz x ~1.2 s rounds leave the pump no compute)
+            n_rays = int(a.split("=", 1)[1])
+        elif a.startswith("--pose-hz="):
+            # CPU smoke runs: continuous rounds oversubscribe the CPU
+            # cores and the pump chunk dispatch crawls (measured: 0.5 Hz
+            # poses -> 84 ticks/15 s; 5 Hz -> 1 tick/20 s). The TPU is
+            # unaffected (rounds are tens of ms of device time).
+            pose_hz = float(a.split("=", 1)[1])
 
     out = {}
     for n in counts:
-        row = run_point(n, seconds, pump, evict, scene, cfg, sr)
+        row = run_point(n, seconds, pump, evict, scene, cfg, sr,
+                        intersector, n_rays=n_rays, pose_hz=pose_hz)
         out[f"n{n}"] = row
         print(f"[netserve] {n} clients: {row}", file=sys.stderr, flush=True)
     ok = [

@@ -97,9 +97,20 @@ def main():
         # chunk, VMEM-resident shadow/emit/binning per listener
         isect = "pallas_nee"
     only = None
+    chunk_blocks = 64
+    update_hz = 5.0
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = int(a.split("=", 1)[1])
+        elif a.startswith("--chunk-blocks="):
+            # bigger pump chunks amortize the per-dispatch relay hop
+            # (and the per-tick host transfer) over more audio; latency
+            # grows with the chunk
+            chunk_blocks = int(a.split("=", 1)[1])
+        elif a.startswith("--update-hz="):
+            # pose-update (and thus re-trace round) rate per stream;
+            # every round holds the serialized relay for ~hop+device
+            update_hz = float(a.split("=", 1)[1])
     seconds = float(pos_args[0]) if pos_args else 10.0
     max_streams = int(pos_args[1]) if len(pos_args) > 1 else 4
     if only is not None:
@@ -120,8 +131,8 @@ def main():
         rest. Host threads: this pacer + the pump + the acoustic round
         — 3 total regardless of N."""
         sr = cfg.sample_rate
-        chunk = 64 * cfg.block_size
-        upd_dt = 0.2
+        chunk = chunk_blocks * cfg.block_size
+        upd_dt = 1.0 / update_hz
         lanes = list(handles)
         consumed = [0] * len(lanes)
         under = [0] * len(lanes)
@@ -252,8 +263,10 @@ def main():
             coord = BatchedAcoustics(
                 scene.device_arrays(), [np.zeros(3, np.float32)], cfg=cfg,
                 n_rays=1 << 15, max_bounces=6, intersector=isect,
-                # pump chunk = the walkthrough's render chunk (64 blocks)
+                # pump chunk = the walkthrough's render chunk (64
+                # blocks) unless --chunk-blocks overrides
                 render_pump=pump, capacity=capacity,
+                pump_chunk_blocks=chunk_blocks,
             )
             handles = [coord.stream(r) for r in renderers]
             if pump:

@@ -750,6 +750,63 @@ def test_render_pump_capacity_join_validation():
     assert {h1.slot, h2.slot} == {1, 2}
 
 
+def test_round_survives_concurrent_close():
+    """Regression: a handle closing DURING a round (netserve evicts from
+    client threads) nulls its slot; the round must keep using its
+    snapshot slots instead of reading h.slot mid-flight (numpy's
+    arr[None] is an axis insert, so the old code silently corrupted
+    the batch or exploded in the respectra). Exercised by closing a
+    stream from inside the round's trace call."""
+    scene = make_scene()
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        coalesce_s=0.0, capacity=3,
+    )
+    renderers, handles = [], []
+    for _ in range(2):
+        r = IRStreamRenderer(scene, CFG)
+        r.add_source(tone(), pos=SRC)
+        handles.append(coord.stream(r))
+        renderers.append(r)
+    coord.warmup(POSES)
+    for h, (pos, yaw) in zip(handles, POSES):
+        h.request(pos, yaw=yaw)
+
+    orig = coord._trace_all
+
+    def tracing(*a, **k):
+        out = orig(*a, **k)
+        handles[1].close()  # mid-round: after the snapshot, before publish
+        return out
+
+    coord._trace_all = tracing
+    coord._round()  # must not raise
+    assert handles[0].updates == 1
+    assert handles[1].slot is None
+
+    # pump flavor: the closed lane's freed slot must NOT be activated
+    # by the in-flight round (slot-identity check in _publish_traced)
+    coord2, renderers2, handles2 = make_pump_coord(
+        scene, 1, capacity=3, pump_prefill=False
+    )
+    coord2.warmup(POSES[:1])
+    r3 = IRStreamRenderer(scene, CFG)
+    r3.add_source(tone(), pos=SRC)
+    h3 = coord2.stream(r3)
+    h3.request(np.float32([0.8, 0.2, -1.2]), yaw=1.1)
+    orig2 = coord2._trace_all
+
+    def tracing2(*a, **k):
+        out = orig2(*a, **k)
+        h3.close()
+        return out
+
+    coord2._trace_all = tracing2
+    coord2._round()
+    assert coord2._pump_pending_activate == set()
+
+
 def test_render_pump_drop_declick():
     """VERDICT r4 weak #6: a stalled consumer's drops must not emit a
     raw discontinuity. The read after a drop splices with a one-block
