@@ -158,10 +158,11 @@ def _stream_blocks(dry, src_len, src_loop, cursor, state,
     return ys, state
 
 
-@partial(jax.jit, static_argnames=("K", "B", "n_out"))
+@partial(jax.jit, static_argnames=("K", "B", "n_out", "out_s16"))
 def _stream_blocks_pump(dry, src_len, src_loop, cursors, states,
                         spectra_old, spectra_new, fades,
-                        K: int, B: int, n_out: int):
+                        K: int, B: int, n_out: int,
+                        out_s16: bool = False):
     """EVERY lane's next K-block chunk in ONE dispatch — the serving
     render pump's kernel (engine/serving.py::BatchedAcoustics
     render_pump=True). The reference's audio callback renders all
@@ -186,8 +187,19 @@ def _stream_blocks_pump(dry, src_len, src_loop, cursors, states,
     with its own crossfade_first flag exactly (tested:
     tests/test_serving.py pump bit-match).
 
+    out_s16: quantize the PCM to s16 ON DEVICE (round-to-nearest,
+    clipped — the definition tests pin against np.rint on the f32
+    output). The serving pump's host transfer through this
+    environment's relay runs at ~33 MB/s and is the measured per-chip
+    lane binder (benchmarks/pump_ab.py full-PCM rows: L=48 tick
+    128.8 ms of which ~89 ms is the 3 MB f32 transfer, vs the 185.8 ms
+    chunk); s16 halves the bytes — and it IS the network wire format
+    (engine/netserve.py), so the serving path pays no fidelity it was
+    not already paying.
+
     cursors (L,) i32; states/spectra stacked (L, ...); fades (L,) bool.
-    Returns (ys (L, K, B, n_out), new states)."""
+    Returns (ys (L, K, B, n_out) f32 — or int16 with out_s16, new
+    states)."""
 
     def chunk_one(cursor, state, so1, sn1, fade):
         pos = cursor + jnp.arange(K * B, dtype=jnp.int32)
@@ -210,8 +222,13 @@ def _stream_blocks_pump(dry, src_len, src_loop, cursors, states,
         ys = jnp.concatenate([y0[None], ys], axis=0)  # (K, S, n_out, B)
         return jnp.sum(ys, axis=1).transpose(0, 2, 1), state1
 
-    return jax.vmap(chunk_one)(cursors, states, spectra_old, spectra_new,
-                               fades)
+    ys, st = jax.vmap(chunk_one)(cursors, states, spectra_old,
+                                 spectra_new, fades)
+    if out_s16:
+        ys = jnp.clip(
+            jnp.round(ys * 32767.0), -32768.0, 32767.0
+        ).astype(jnp.int16)
+    return ys, st
 
 
 class IRStreamRenderer:

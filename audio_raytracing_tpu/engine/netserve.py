@@ -124,6 +124,11 @@ class AcousticServer:
             pump_chunk_blocks=self.chunk_blocks,
             pump_buffer_chunks=pump_buffer_chunks,
             pump_max_buffer_chunks=pump_max_buffer_chunks,
+            # s16 IS the wire format: quantize on device, halve the
+            # device->host PCM transfer (the measured lane binder
+            # through a slow link), and skip the per-frame host
+            # float->s16 conversion in every writer thread
+            pump_pcm="s16" if render_pump else "f32",
             src_directivities=[
                 s.get("directivity") for s in self._sources
             ] if any(s.get("directivity") for s in self._sources) else None,
@@ -304,8 +309,13 @@ class AcousticServer:
                     )
                     if ahead > 0:
                         time.sleep(ahead)
-                y = handle.render(n)  # (n, 2) float32
-                pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+                y = handle.render(n)  # (n, 2) f32 — or s16 (pump mode)
+                if y.dtype == np.int16:
+                    pcm = y  # device-quantized; little-endian host
+                else:
+                    pcm = np.clip(
+                        y * 32767.0, -32768, 32767
+                    ).astype("<i2")
                 conn.sendall(_FRAME_HDR.pack(seq, n) + pcm.tobytes())
                 seq += 1
                 sent += n

@@ -226,7 +226,8 @@ class BatchedAcoustics:
                  pump_chunk_blocks: int = 64,
                  pump_buffer_chunks: int = 2,
                  pump_max_buffer_chunks: int = 6,
-                 pump_prefill: bool = True):
+                 pump_prefill: bool = True,
+                 pump_pcm: str = "f32"):
         """intersector: "mt"/"mxu" use the shared-path XLA tracer (one path
         pass + L NEE lanes — the cheapest round); "pallas" scans the fused
         kernel over the listener batch (ops/pallas_trace.py::
@@ -303,7 +304,17 @@ class BatchedAcoustics:
         speaker rigs live here). A lane that stops consuming (dead
         sink) has its oldest chunk dropped past pump_max_buffer_chunks
         (handle.pump_dropped counts; the next read declicks the
-        splice) so one stalled client never blocks the cohort."""
+        splice) so one stalled client never blocks the cohort.
+
+        pump_pcm: "f32" (default — render() pops float32, bit-matching
+        the solo path) or "s16" — the pump quantizes to s16 ON DEVICE
+        (round-to-nearest, clipped; exactly np.rint of the f32 PCM)
+        and render() pops int16. Halves the device->host PCM transfer,
+        which is the measured per-chip lane binder through this
+        environment's ~33 MB/s relay (benchmarks/pump_ab.py: the L=48
+        f32 tick is 128.8 ms — ~89 ms of it the 3 MB transfer — vs the
+        185.8 ms chunk), and s16 is already the network wire format
+        (engine/netserve.py serves it without any host conversion)."""
         self.cfg = cfg
         self._arrays = scene_arrays
         self._srcs = jnp.asarray(
@@ -346,6 +357,9 @@ class BatchedAcoustics:
         # streams start a chunk ahead of the clock; False = discard it
         # (deterministic tick/chunk accounting for tests)
         self.pump_prefill = bool(pump_prefill)
+        if pump_pcm not in ("f32", "s16"):
+            raise ValueError(f"pump_pcm must be f32/s16, got {pump_pcm!r}")
+        self.pump_pcm = pump_pcm
         self._pump_cv = threading.Condition()
         self._pump_thread = None
         self._pump_lanes = None  # fixed handle list while pumping
@@ -957,6 +971,7 @@ class BatchedAcoustics:
                 self._pump_cur, self._pump_cur,
                 jnp.zeros(L, bool),
                 K=self.pump_chunk_blocks, B=B, n_out=r0.n_out,
+                out_s16=self.pump_pcm == "s16",
             )
             pcm = np.asarray(ys)  # force the compile + execute NOW
             if self.pump_prefill:
@@ -1049,6 +1064,7 @@ class BatchedAcoustics:
             self._pump_states, prev, self._pump_cur,
             jnp.asarray(fades),
             K=K, B=B, n_out=n_out,
+            out_s16=self.pump_pcm == "s16",
         )
         self._deposit(np.asarray(ys))  # (L, K, B, n_out) — ONE transfer
 
@@ -1194,7 +1210,12 @@ class BatchedAcoustics:
             out = np.array(out)  # parts may view buffered chunks
             W = min(self.cfg.block_size, len(out))
             a = (np.arange(1, W + 1, dtype=np.float32) / W)[:, None]
-            out[:W] = a * out[:W] + (1.0 - a) * handle._last_out
+            ramp = (a * out[:W].astype(np.float32)
+                    + (1.0 - a) * handle._last_out.astype(np.float32))
+            # s16 pump: the ramp re-quantizes (same np.rint convention
+            # as the device conversion)
+            out[:W] = (np.rint(ramp).astype(out.dtype)
+                       if out.dtype == np.int16 else ramp)
         handle._last_out = np.array(out[-1])
         return out
 

@@ -99,6 +99,9 @@ def main():
     only = None
     chunk_blocks = 64
     update_hz = 5.0
+    s16 = "--s16" in sys.argv[1:]  # device-quantized s16 pump PCM:
+    # halves the device->host transfer (the measured relay-link lane
+    # binder, pump_ab full-PCM rows) — the netserve wire format
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = int(a.split("=", 1)[1])
@@ -179,7 +182,12 @@ def main():
                     if closed[i]:
                         continue
                     if consumed[i] is None:
-                        if h.ready():
+                        # joiner clock anchors at FIRST AUDIO (like a
+                        # netserve client starting playback on its
+                        # first frame), not at lane activation — the
+                        # activation tick's chunk is still in flight
+                        # when ready() flips
+                        if h.ready() and h.available() >= chunk:
                             consumed[i] = 0
                             anchors[i] = time.monotonic()
                         else:
@@ -267,6 +275,7 @@ def main():
                 # blocks) unless --chunk-blocks overrides
                 render_pump=pump, capacity=capacity,
                 pump_chunk_blocks=chunk_blocks,
+                pump_pcm="s16" if s16 else "f32",
             )
             handles = [coord.stream(r) for r in renderers]
             if pump:

@@ -750,6 +750,30 @@ def test_render_pump_capacity_join_validation():
     assert {h1.slot, h2.slot} == {1, 2}
 
 
+def test_render_pump_s16_matches_quantized_f32():
+    """pump_pcm="s16" (the netserve wire format, quantized ON DEVICE to
+    halve the PCM host transfer) is exactly np.rint(f32 * 32767)
+    clipped, per chunk, against an identical f32 pump — and render()
+    pops int16."""
+    scene = make_scene()
+    pcm = {}
+    for mode in ("f32", "s16"):
+        coord, renderers, handles = make_pump_coord(
+            scene, 2, pump_prefill=False, pump_pcm=mode
+        )
+        coord.warmup(POSES)
+        K, B = coord.pump_chunk_blocks, CFG.block_size
+        coord._pump_tick()
+        coord._pump_tick()
+        pcm[mode] = [coord._pump_read(h, 2 * K * B) for h in handles]
+    for f, s in zip(pcm["f32"], pcm["s16"]):
+        assert s.dtype == np.int16 and f.dtype == np.float32
+        want = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(
+            np.int16
+        )
+        assert np.array_equal(s, want)
+
+
 def test_round_survives_concurrent_close():
     """Regression: a handle closing DURING a round (netserve evicts from
     client threads) nulls its slot; the round must keep using its
