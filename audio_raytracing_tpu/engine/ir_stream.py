@@ -273,8 +273,14 @@ class IRStreamRenderer:
             )
         else:
             hl, hr = hrtf if hrtf is not None else default_hrtf()
-        self.hrtf_l = jnp.asarray(hl)
-        self.hrtf_r = jnp.asarray(hr)
+        # host copies first, device arrays LAZY: a serving join
+        # (engine/netserve.py accepts a client -> one renderer) must
+        # not pay device uploads through a slow link for arrays the
+        # stacked pump never reads per-lane — and join validation
+        # compares these host copies with zero device traffic
+        self._hrtf_host = (np.asarray(hl, np.float32),
+                           np.asarray(hr, np.float32))
+        self._hrtf_dev = None
         self.sh_order = sh_order
         if speaker_dirs is not None:
             if sh_order is not None:
@@ -305,6 +311,9 @@ class IRStreamRenderer:
         self.intersector = intersector
         self._sources: list[dict] = []
         self._dry = None  # (S, N) padded dry signals
+        self._src_len_host = None  # (S,) int32 true lengths
+        self._src_loop_host = None  # (S,) bool
+        self._dry_dev_cache = None  # lazy (dry, len, loop) device triple
         self._cursor = 0
         self._spectra = None  # (S, n_out, P, F)
         self._spectra_prev = None
@@ -342,20 +351,59 @@ class IRStreamRenderer:
                 for s in self._sources
             ]
         ).astype(np.float32)
-        # device arena: render chunks gather their dry blocks ON DEVICE
-        # from an int32 cursor (_stream_blocks) — one transfer here, no
-        # per-chunk host assembly (the 16-stream serving host is 1-core)
-        self._dry_dev = jnp.asarray(self._dry)
-        self._src_len_dev = jnp.asarray(
-            [len(s["samples"]) for s in self._sources], jnp.int32
+        self._src_len_host = np.asarray(
+            [len(s["samples"]) for s in self._sources], np.int32
         )
-        self._src_loop_dev = jnp.asarray(
+        self._src_loop_host = np.asarray(
             [s["loop"] for s in self._sources], bool
         )
+        self._dry_dev_cache = None  # lazy: see _dry_dev
         self._spectra = None  # force re-trace
         self._amb_cache = None
         self._trace_key = None
         return len(self._sources) - 1
+
+    # device arena: render chunks gather their dry blocks ON DEVICE from
+    # an int32 cursor (_stream_blocks) — one transfer at FIRST USE, no
+    # per-chunk host assembly (the 16-stream serving host is 1-core).
+    # Lazy because serving joins create one renderer per client and the
+    # stacked pump renders every lane from the FOUNDING lane's arena:
+    # uploading 48 identical (S, 44100) arrays through a slow relay
+    # measured ~10 s of join storm (r5 netserve bench bring-up).
+    @property
+    def _dry_dev(self):
+        if self._dry_dev_cache is None:
+            self._dry_dev_cache = (
+                jnp.asarray(self._dry),
+                jnp.asarray(self._src_len_host),
+                jnp.asarray(self._src_loop_host),
+            )
+        return self._dry_dev_cache[0]
+
+    @property
+    def _src_len_dev(self):
+        self._dry_dev  # materialize the triple
+        return self._dry_dev_cache[1]
+
+    @property
+    def _src_loop_dev(self):
+        self._dry_dev
+        return self._dry_dev_cache[2]
+
+    # HRTF device arrays, same lazy pattern (hosts in _hrtf_host)
+    @property
+    def hrtf_l(self):
+        if self._hrtf_dev is None:
+            self._hrtf_dev = (jnp.asarray(self._hrtf_host[0]),
+                              jnp.asarray(self._hrtf_host[1]))
+        return self._hrtf_dev[0]
+
+    @property
+    def hrtf_r(self):
+        if self._hrtf_dev is None:
+            self._hrtf_dev = (jnp.asarray(self._hrtf_host[0]),
+                              jnp.asarray(self._hrtf_host[1]))
+        return self._hrtf_dev[1]
 
     def set_source_pos(self, idx: int, pos) -> None:
         self._sources[idx]["pos"] = np.asarray(pos, np.float32)

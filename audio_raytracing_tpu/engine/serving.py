@@ -390,6 +390,11 @@ class BatchedAcoustics:
         self._pump_next = None
         self._pump_cursors = None  # per-lane python-int sample cursors
         self.pump_ticks = 0
+        # observability: cumulative wall seconds inside _pump_tick /
+        # _round — avg tick cost = pump_tick_s / pump_ticks (the
+        # serving capacity math in benchmarks/RESULTS.md runs on these)
+        self.pump_tick_s = 0.0
+        self.round_s = 0.0
         self._handles: list[_StreamHandle] = []
         self._evt = threading.Event()
         self._stop_evt = threading.Event()
@@ -398,7 +403,7 @@ class BatchedAcoustics:
         self.error = None
         self._batch_respectra_opt = batch_respectra
         self._respectra_all = None
-        self._respectra_hrtf = None  # (hl, hr) the vmap jit captured
+        self._respectra_hrtf_host = None  # host (hl, hr) the vmap captured
         self._respectra_cohort = -1  # stream count the vmap was built for
         n_bounce, config = self.max_bounces, cfg
         amb_of = jax.vmap(lambda e, d: ambisonic_ir(ImpulseResponse(e, d)))
@@ -539,7 +544,11 @@ class BatchedAcoustics:
 
     def _validate_pump_join(self, r) -> None:
         """A stream joining a live capacity pump must share the pump's
-        dry arena, output layout, and HRTF (caller holds _pump_cv)."""
+        dry arena, output layout, and HRTF. HOST-memory comparisons
+        ONLY (caller holds _pump_cv, and netserve joins arrive in
+        bursts): device compares per join measured as a ~10 s join
+        storm at 48 clients through the relay — every array compared
+        here has a host copy kept exactly for this."""
         dry, slen, sloop = self._pump_dry_host
         if r._dry is None:
             raise ValueError(
@@ -548,8 +557,8 @@ class BatchedAcoustics:
                 "one shared dry arena)"
             )
         if not (np.array_equal(r._dry, dry)
-                and np.array_equal(np.asarray(r._src_len_dev), slen)
-                and np.array_equal(np.asarray(r._src_loop_dev), sloop)):
+                and np.array_equal(r._src_len_host, slen)
+                and np.array_equal(r._src_loop_host, sloop)):
             raise ValueError(
                 "pump lanes must share the dry source tables (same "
                 "samples, gains, loop flags) — the joining renderer's "
@@ -557,10 +566,9 @@ class BatchedAcoustics:
             )
         if r.n_out != self._pump_arena[3] or r._decoder is not None:
             raise ValueError("pump lanes must share n_out (binaural)")
-        hl, hr = self._respectra_hrtf
-        if not (r.hrtf_l.shape == hl.shape
-                and bool(jnp.all(r.hrtf_l == hl))
-                and bool(jnp.all(r.hrtf_r == hr))):
+        hl, hr = self._respectra_hrtf_host
+        if not (np.array_equal(r._hrtf_host[0], hl)
+                and np.array_equal(r._hrtf_host[1], hr)):
             raise ValueError(
                 "pump lanes share ONE stacked respectra — the joining "
                 "renderer's HRTF differs from the cohort's"
@@ -610,13 +618,16 @@ class BatchedAcoustics:
         if self._batch_respectra_opt is False or not self._handles:
             return
         rs = [h.r for h in self._handles]
+        # HOST-memory equality only: this runs on the round thread mid-
+        # serving whenever the cohort changes, and device compares here
+        # each cost a relay round trip (part of the measured netserve
+        # join storm)
         ok = all(
             r.n_out == 2 and r._decoder is None and r.sh_order is None
             for r in rs
         ) and all(
-            r.hrtf_l.shape == rs[0].hrtf_l.shape
-            and bool(jnp.all(r.hrtf_l == rs[0].hrtf_l))
-            and bool(jnp.all(r.hrtf_r == rs[0].hrtf_r))
+            np.array_equal(r._hrtf_host[0], rs[0]._hrtf_host[0])
+            and np.array_equal(r._hrtf_host[1], rs[0]._hrtf_host[1])
             for r in rs[1:]
         )
         if not ok:
@@ -627,18 +638,19 @@ class BatchedAcoustics:
                     "per-stream HRTF sets)"
                 )
             return
-        hl, hr, block = rs[0].hrtf_l, rs[0].hrtf_r, self.cfg.block_size
-        if (prev is not None and self._respectra_hrtf is not None
-                and self._respectra_hrtf[0].shape == hl.shape
-                and bool(jnp.all(self._respectra_hrtf[0] == hl))
-                and bool(jnp.all(self._respectra_hrtf[1] == hr))):
+        hl_h, hr_h = rs[0]._hrtf_host
+        block = self.cfg.block_size
+        if (prev is not None and self._respectra_hrtf_host is not None
+                and np.array_equal(self._respectra_hrtf_host[0], hl_h)
+                and np.array_equal(self._respectra_hrtf_host[1], hr_h)):
             # cohort changed but the HRTF didn't: keep the SAME jit
             # object (a fresh jax.jit has an empty cache — with
             # capacity the shapes are stable and this keeps join/leave
             # recompile-free)
             self._respectra_all = prev
             return
-        self._respectra_hrtf = (hl, hr)
+        hl, hr = rs[0].hrtf_l, rs[0].hrtf_r
+        self._respectra_hrtf_host = (hl_h.copy(), hr_h.copy())
         self._respectra_all = jax.jit(
             lambda ambs, orients: jax.vmap(
                 lambda a, o: _respectra(a, o, hl, hr, block)
@@ -908,10 +920,10 @@ class BatchedAcoustics:
             if r.n_out != r0.n_out:
                 raise ValueError("pump lanes must share n_out")
             if not (np.array_equal(r._dry, r0._dry)
-                    and np.array_equal(np.asarray(r._src_len_dev),
-                                       np.asarray(r0._src_len_dev))
-                    and np.array_equal(np.asarray(r._src_loop_dev),
-                                       np.asarray(r0._src_loop_dev))):
+                    and np.array_equal(r._src_len_host,
+                                       r0._src_len_host)
+                    and np.array_equal(r._src_loop_host,
+                                       r0._src_loop_host)):
                 raise ValueError(
                     "pump lanes must share the dry source tables (same "
                     "samples, gains, loop flags) — the pump renders all "
@@ -945,8 +957,8 @@ class BatchedAcoustics:
         )
         self._pump_dry_host = (
             r0._dry.copy(),
-            np.asarray(r0._src_len_dev).copy(),
-            np.asarray(r0._src_loop_dev).copy(),
+            r0._src_len_host.copy(),
+            r0._src_loop_host.copy(),
         )
         if stacked is not None:
             # stacked-publish mode: the warmup (or first) round's
@@ -1148,7 +1160,9 @@ class BatchedAcoustics:
             if self._stop_evt.is_set():
                 return
             try:
+                t0 = time.monotonic()
                 self._pump_tick()
+                self.pump_tick_s += time.monotonic() - t0
             except Exception as e:  # noqa: BLE001
                 self.error = e
                 with self._pump_cv:
@@ -1228,7 +1242,9 @@ class BatchedAcoustics:
                 time.sleep(self.coalesce_s)
             self._evt.clear()
             try:
+                tr = time.monotonic()
                 self._round()
+                self.round_s += time.monotonic() - tr
             except Exception as e:  # noqa: BLE001 — surface, don't hang streams
                 self.error = e
                 return

@@ -4,7 +4,7 @@ AcousticServer — the capacity figure for the SERVED path, not just the
 in-process harness (engine/netserve.py; VERDICT r4 next #4).
 
 Server architecture under test: AcousticServer(render_pump=True,
-capacity=N+1) — one acoustic-round thread (one batched trace per
+capacity=N) — one acoustic-round thread (one batched trace per
 round), one render-pump thread (one device dispatch renders EVERY
 client's next chunk), one paced writer thread per client (pops host
 PCM, sends at the sample clock with lead_s of jitter buffer), one
@@ -95,7 +95,7 @@ def run_point(n, seconds, pump, evict, scene, cfg, sr, intersector,
     chunk_s = 64 * cfg.block_size / sr  # pump chunk == frame == 64 blocks
     srv = AcousticServer(
         scene, [(synth_pad(sr), np.zeros(3, np.float32))], cfg=cfg,
-        n_rays=n_rays, max_bounces=6, capacity=n + 1,
+        n_rays=n_rays, max_bounces=6, capacity=n,
         chunk_s=chunk_s, lead_s=0.3, pace=True,
         send_timeout_s=3.0, sndbuf=65536,
         render_pump=pump, intersector=intersector,
@@ -187,6 +187,14 @@ def run_point(n, seconds, pump, evict, scene, cfg, sr, intersector,
             row["coord_error"] = repr(srv.coord.error)[:300]
         if pump:
             row["pump_ticks"] = srv.coord.pump_ticks
+            if srv.coord.pump_ticks:
+                row["avg_tick_ms"] = round(
+                    srv.coord.pump_tick_s / srv.coord.pump_ticks * 1e3, 1
+                )
+        if srv.coord.rounds:
+            row["avg_round_ms"] = round(
+                srv.coord.round_s / srv.coord.rounds * 1e3, 1
+            )
         if evict:
             # the wedged peer must be evicted (its lane freed) while
             # everyone else kept flowing

@@ -227,6 +227,12 @@ def main():
             "pacer": True,
             "trace_rounds": coord.rounds,
             "pump_ticks": coord.pump_ticks,
+            "avg_tick_ms": round(
+                coord.pump_tick_s / max(1, coord.pump_ticks) * 1e3, 1
+            ),
+            "avg_round_ms": round(
+                coord.round_s / max(1, coord.rounds) * 1e3, 1
+            ),
             "pump_dropped": [h.pump_dropped for h in lanes],
         }
         if joiner_idx is not None:
