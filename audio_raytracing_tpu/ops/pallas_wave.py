@@ -92,11 +92,14 @@ def _pick_block_grid(plane_bytes: int, budget_bytes: int = 10 * 2**20) -> int:
 # falling back to XLA.
 _GRID_KERNEL_MAX_PLANE_BYTES = (16 * 2**20) // 27
 
-# y-tiled kernel: target tile-plane size. Chosen inside the measured
-# sweet spot of the untiled kernel's bench grids (~256-512 KB planes);
-# tiles re-fetch 2 halo rows of p/occ + 1 of vy per Ty rows, so bigger
-# tiles cost less halo traffic but more VMEM.
-_YTILE_TARGET_PLANE_BYTES = 512 * 2**10
+# y-tiled kernel: target tile-plane size. The tiled kernel's measured
+# scoped-VMEM footprint is ~37 tile-planes at B=1 (the 256x512x512
+# Ty=256 compile reported 18.76M at tile-plane 512 KB — the y-halo
+# band concats add ~10 plane-units of temporaries over the untiled
+# kernel's 27), so the hard cap is ~16M/37 = 440 KB; 320 KB targets
+# comfortable margin. Tiles re-fetch 2 8-row halo bands of p/occ + 1
+# of vy per Ty rows, so bigger tiles cost less halo traffic.
+_YTILE_TARGET_PLANE_BYTES = 320 * 2**10
 
 
 def _pick_ytile(ny_p: int, nz_p: int) -> int:
@@ -520,10 +523,20 @@ def _step_kernel_grid_ytiled(
     div = vxe[1:] - vxe[:-1]
 
     # y faces for rows [j0-1, j0+Ty): halo-extended arrays instead of
-    # rolls; the shifted difference then needs no wrap mask
-    Py = jnp.concatenate([p_ylo[...], Pm, p_yhi[...]], axis=1)
-    Oy = jnp.concatenate([occ_ylo[...], Om, occ_yhi[...]], axis=1)
-    VY = jnp.concatenate([vy_ylo[...], vy_mid[...]], axis=1)
+    # rolls; the shifted difference then needs no wrap mask. The halo
+    # arrives as an 8-ROW BAND (Mosaic requires sublane block dims
+    # divisible by 8): the low band is the previous tile's last 8 rows
+    # (needed row = band row 7), the high band the next tile's first 8
+    # (row 0); at the domain edges the clamped bands carry garbage
+    # rows whose use is global-index-masked below, exactly like the
+    # clamped single-row maps were.
+    Py = jnp.concatenate(
+        [p_ylo[:, 7:8], Pm, p_yhi[:, 0:1]], axis=1
+    )
+    Oy = jnp.concatenate(
+        [occ_ylo[:, 7:8], Om, occ_yhi[:, 0:1]], axis=1
+    )
+    VY = jnp.concatenate([vy_ylo[:, 7:8], vy_mid[...]], axis=1)
     yext = (B, Ty + 1, nz)
     o_hi = Oy[:, 1 : Ty + 2] * _mask_ne(yext, 1, ny_p - 1, offset=j0 - 1)
     a, bl, br = _face_terms(Oy[:, 0 : Ty + 1], o_hi, a_w, b_w, k)
@@ -595,14 +608,17 @@ def _run_scan_pallas_grid_ytiled(
         lambda i, j: (jnp.minimum((i + 1) * B, nx_p - 1), j, 0),
         memory_space=pltpu.VMEM,
     )
-    # y halo rows (block y-extent 1 => the index is in ELEMENT rows)
+    # y halo BANDS: 8-row blocks (Mosaic sublane constraint), indexed
+    # in 8-row units — the previous tile's last band / the next tile's
+    # first band; kernel uses band rows 7 / 0
+    t8 = Ty // 8
     ylo = pl.BlockSpec(
-        (B, 1, nz), lambda i, j: (i, jnp.maximum(j * Ty - 1, 0), 0),
+        (B, 8, nz), lambda i, j: (i, jnp.maximum(j * t8 - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
     yhi = pl.BlockSpec(
-        (B, 1, nz),
-        lambda i, j: (i, jnp.minimum((j + 1) * Ty, ny_p - 1), 0),
+        (B, 8, nz),
+        lambda i, j: (i, jnp.minimum((j + 1) * t8, ny_p // 8 - 1), 0),
         memory_space=pltpu.VMEM,
     )
     step_call = pl.pallas_call(

@@ -107,8 +107,10 @@ def test_ytile_picker_and_feasibility():
         grid_kernel_feasible,
     )
 
-    # 512^3: tile plane 256*512*4 = 512 KB on target -> Ty=256, 2 tiles
-    assert _pick_ytile(512, 512) == 256
+    # 512^3: tile plane 128*512*4 = 256 KB under the 320 KB target
+    # (the 512 KB Ty=256 tile measured 18.76M scoped VMEM on hardware
+    # -> OOM past the 16M cap) -> Ty=128, 4 tiles
+    assert _pick_ytile(512, 512) == 128
     # the r4-infeasible square planes are now feasible
     assert grid_kernel_feasible((256, 512, 512))
     assert grid_kernel_feasible((512, 512, 512))
