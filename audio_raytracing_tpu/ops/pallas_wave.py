@@ -744,34 +744,38 @@ def _run_scan_pallas_grid(
 def _step_kernel_shard(
     coef_ref,  # (1, 8) SMEM f32: k, a_w, b_w, kp, pulse_t, not_first
     io_ref,  # (1, 8) SMEM i32: si_loc, sj, sk, _, li_loc, lj, lk, _
-    p_mid, p_xlo, p_xhi, p_prev, p_next,
-    occ_mid, occ_xlo, occ_xhi, occ_prev, occ_next,
+    p_mid, p_xlo, p_xhi, p_prev, p_next, p_ylo, p_yhi,
+    occ_mid, occ_xlo, occ_xhi, occ_prev, occ_next, occ_ylo, occ_yhi,
     vx_mid, vx_xlo, vx_prev,
-    vy_mid, vz_mid,
+    vy_mid, vy_ylo, vz_mid,
     p_out, vx_out, vy_out, vz_out,
     rec_ref,  # (1, 1) SMEM out: this shard's listener pickup
-    *, B: int, n_blocks: int, ny: int, nz: int,
+    *, B: int, n_blocks: int, Ty: int, ny_p: int, nz: int,
 ):
-    """One x-slab of one leapfrog step on ONE SHARD of a domain-
-    decomposed grid (parallel/wave_sharded.py kernel="pallas").
+    """One (x-slab, y-tile) block of one leapfrog step on ONE SHARD of
+    a domain-decomposed grid (parallel/wave_sharded.py kernel="pallas").
 
-    Differences from _step_kernel_grid, all at the shard boundary:
-      * block 0's low halo and block n_blocks-1's high halo come from
-        the NEIGHBOR SHARDS (p_prev/p_next/occ_prev/occ_next/vx_prev,
-        exchanged by ppermute outside — non-cyclic, so chain ends get
-        zeros = the rigid outer boundary, exactly like the XLA sharded
-        solver); interior blocks read in-array planes via clamped index
-        maps and select per-block with jnp.where.
-      * the previous shard's NEW last vx face is recomputed locally
-        from (occ_prev, occ[0], p_prev, p[0], vx_prev) — same inputs,
-        same formula, same op order as the neighbor's own computation,
-        so the value is bit-identical and the two sequential ppermutes
-        of the XLA path collapse into one up-front exchange.
-      * rank 0 masks the face below global plane 0 (the unsharded
-        div's zero shift) via the not_first coefficient.
-      * source/listener are TRACED local indices in SMEM (iota-mask
-        compare per block; -1 = not owned -> mask is all zero), because
-        which shard owns them is a data question under shard_map.
+    The x direction is the _step_kernel_grid shard variant: block 0's
+    low halo and block n_blocks-1's high halo come from the NEIGHBOR
+    SHARDS (p_prev/p_next/occ_prev/occ_next/vx_prev, exchanged by one
+    up-front ppermute pair per step — non-cyclic, so chain ends get
+    zeros = the rigid outer boundary); interior blocks read in-array
+    planes via clamped index maps, selected per-block with jnp.where.
+    The previous shard's NEW last vx face is recomputed locally from
+    (occ_prev, occ[0], p_prev, p[0], vx_prev) — identical inputs,
+    identical op order, so the value is bit-identical to the
+    neighbor's own computation. Rank 0 masks the face below global
+    plane 0 via the not_first coefficient.
+
+    The y direction is the _step_kernel_grid_ytiled machinery (8-row
+    halo BANDS, degenerate edge halos global-index-masked to the
+    exact wall / zero-shift semantics), so shard planes larger than
+    scoped VMEM tile instead of falling back to XLA; a single tile
+    (Ty = ny_p) reproduces the untiled shard kernel.
+
+    source/listener are TRACED local indices in SMEM (iota-mask
+    compare per block; -1 = not owned -> mask is all zero), because
+    which shard owns them is a data question under shard_map.
     """
     k = coef_ref[0, 0]
     a_w = coef_ref[0, 1]
@@ -786,16 +790,16 @@ def _step_kernel_shard(
     lj = io_ref[0, 5]
     lk = io_ref[0, 6]
     i = pl.program_id(0)
+    j = pl.program_id(1)
     i0 = i * B
+    j0 = j * Ty
 
-    ext_shape = (B + 1, ny, nz)
-    mid_shape = (B, ny, nz)
-    m_ylast = _mask_ne(mid_shape, 1, ny - 1)
+    ext_shape = (B + 1, Ty, nz)
+    mid_shape = (B, Ty, nz)
     m_zlast = _mask_ne(mid_shape, 2, nz - 1)
-    m_y0 = _mask_ne(mid_shape, 1, 0)
     m_z0 = _mask_ne(mid_shape, 2, 0)
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
         rec_ref[0, 0] = jnp.float32(0.0)
 
@@ -819,10 +823,20 @@ def _step_kernel_shard(
     )
     div = vxe[1:] - vxe[:-1]
 
-    o_hi = _roll(Om, -1, 1) * m_ylast
-    a, bl, br = _face_terms(Om, o_hi, a_w, b_w, k)
-    vyn = a * vy_mid[...] + bl * Pm + br * _roll(Pm, -1, 1)
-    div = div + (vyn - _roll(vyn, 1, 1) * m_y0)
+    # y faces via 8-row halo bands (see _step_kernel_grid_ytiled)
+    Py = jnp.concatenate(
+        [p_ylo[:, 7:8], Pm, p_yhi[:, 0:1]], axis=1
+    )
+    Oy = jnp.concatenate(
+        [occ_ylo[:, 7:8], Om, occ_yhi[:, 0:1]], axis=1
+    )
+    VY = jnp.concatenate([vy_ylo[:, 7:8], vy_mid[...]], axis=1)
+    yext = (B, Ty + 1, nz)
+    o_hi = Oy[:, 1 : Ty + 2] * _mask_ne(yext, 1, ny_p - 1, offset=j0 - 1)
+    a, bl, br = _face_terms(Oy[:, 0 : Ty + 1], o_hi, a_w, b_w, k)
+    vyn = a * VY + bl * Py[:, 0 : Ty + 1] + br * Py[:, 1 : Ty + 2]
+    vyn = vyn * _mask_ne(yext, 1, -1, offset=j0 - 1)
+    div = div + (vyn[:, 1:] - vyn[:, :-1])
 
     o_hi = _roll(Om, -1, 2) * m_zlast
     a, bl, br = _face_terms(Om, o_hi, a_w, b_w, k)
@@ -831,9 +845,9 @@ def _step_kernel_shard(
 
     pn = (Pm - kp * div) * Om
 
-    # traced-index one-hot masks (local x indices; -1 masks everything)
+    # traced-index one-hot masks (local x / global y, z; -1 = unowned)
     xm = jax.lax.broadcasted_iota(jnp.int32, mid_shape, 0) + i0
-    ym = jax.lax.broadcasted_iota(jnp.int32, mid_shape, 1)
+    ym = jax.lax.broadcasted_iota(jnp.int32, mid_shape, 1) + j0
     zm = jax.lax.broadcasted_iota(jnp.int32, mid_shape, 2)
     src_m = jnp.where(
         (xm == si) & (ym == sj) & (zm == sk), jnp.float32(1.0),
@@ -848,12 +862,26 @@ def _step_kernel_shard(
 
     p_out[...] = pn
     vx_out[...] = vxe[1:]
-    vy_out[...] = vyn
+    vy_out[...] = vyn[:, 1:]
     vz_out[...] = vzn
 
 
+def _pick_ytile_divisor(ny_p: int, nz: int) -> int:
+    """Largest y-tile of the form 8*d with d | (ny_p/8) whose
+    (Ty, nz) f32 plane fits the target (8 always divides — the
+    fallback)."""
+    m = ny_p // 8
+    best = 8
+    for d in range(1, m + 1):
+        if m % d == 0:
+            ty = 8 * d
+            if ty * nz * 4 <= _YTILE_TARGET_PLANE_BYTES:
+                best = max(best, ty)
+    return best
+
+
 def make_shard_step(Sx: int, ny: int, nz: int, block: int | None = None,
-                    interpret: bool = False):
+                    interpret: bool = False, block_y: int | None = None):
     """Build the per-shard, per-step pallas call for
     parallel/wave_sharded.py kernel="pallas".
 
@@ -863,46 +891,71 @@ def make_shard_step(Sx: int, ny: int, nz: int, block: int | None = None,
     -> (p_n, vx_n, vy_n, vz_n, rec scalar).
 
     ny/nz must already be padded to the (8, 128) tile (solid fill);
-    B is the largest power-of-two divisor of Sx within the VMEM budget.
+    B is the largest power-of-two divisor of Sx within the VMEM
+    budget. Planes larger than the scoped-VMEM target TILE along y
+    (Ty = the largest 8*d divisor of ny under the target; block_y
+    forces it for tests), so sharded 512^3-class domains run the
+    kernel too.
     """
-    plane_bytes = ny * nz * 4
-    if plane_bytes > _GRID_KERNEL_MAX_PLANE_BYTES:
+    if 8 * nz * 4 > _GRID_KERNEL_MAX_PLANE_BYTES:
         raise ValueError(
-            f"shard plane ({ny}, {nz}) exceeds the scoped-VMEM budget "
-            "(y tiling is not plumbed through the sharded kernel yet); "
-            "use kernel='xla'"
+            f"shard plane ({ny}, {nz}): even an 8-row y-tile exceeds "
+            "the scoped-VMEM budget; use kernel='xla'"
         )
-    B = block if block is not None else _pick_block_grid(plane_bytes)
+    if block_y is not None:
+        Ty = block_y
+        if Ty % 8 or ny % Ty:
+            raise ValueError(
+                f"block_y={Ty} must be a multiple of 8 dividing ny={ny}"
+            )
+    elif ny * nz * 4 <= _YTILE_TARGET_PLANE_BYTES:
+        Ty = ny
+    else:
+        Ty = _pick_ytile_divisor(ny, nz)
+    n_tiles = ny // Ty
+    B = block if block is not None else _pick_block_grid(Ty * nz * 4)
     while Sx % B:
         B //= 2
     B = max(B, 1)
     n_blocks = Sx // B
     kernel = functools.partial(
-        _step_kernel_shard, B=B, n_blocks=n_blocks, ny=ny, nz=nz,
+        _step_kernel_shard, B=B, n_blocks=n_blocks, Ty=Ty, ny_p=ny,
+        nz=nz,
     )
     f32 = jnp.float32
-    mid = pl.BlockSpec((B, ny, nz), lambda i: (i, 0, 0),
+    mid = pl.BlockSpec((B, Ty, nz), lambda i, j: (i, j, 0),
                        memory_space=pltpu.VMEM)
     xlo = pl.BlockSpec(
-        (1, ny, nz), lambda i: (jnp.maximum(i * B - 1, 0), 0, 0),
+        (1, Ty, nz), lambda i, j: (jnp.maximum(i * B - 1, 0), j, 0),
         memory_space=pltpu.VMEM,
     )
     xhi = pl.BlockSpec(
-        (1, ny, nz), lambda i: (jnp.minimum((i + 1) * B, Sx - 1), 0, 0),
+        (1, Ty, nz),
+        lambda i, j: (jnp.minimum((i + 1) * B, Sx - 1), j, 0),
         memory_space=pltpu.VMEM,
     )
-    halo = pl.BlockSpec((1, ny, nz), lambda i: (0, 0, 0),
+    halo = pl.BlockSpec((1, Ty, nz), lambda i, j: (0, j, 0),
                         memory_space=pltpu.VMEM)
+    t8 = Ty // 8
+    ylo = pl.BlockSpec(
+        (B, 8, nz), lambda i, j: (i, jnp.maximum(j * t8 - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    yhi = pl.BlockSpec(
+        (B, 8, nz),
+        lambda i, j: (i, jnp.minimum((j + 1) * t8, ny // 8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
     step_call = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(n_blocks, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            mid, xlo, xhi, halo, halo,  # p
-            mid, xlo, xhi, halo, halo,  # occ
+            mid, xlo, xhi, halo, halo, ylo, yhi,  # p
+            mid, xlo, xhi, halo, halo, ylo, yhi,  # occ
             mid, xlo, halo,  # vx
-            mid,  # vy
+            mid, ylo,  # vy
             mid,  # vz
         ],
         out_specs=(
@@ -923,10 +976,11 @@ def make_shard_step(Sx: int, ny: int, nz: int, block: int | None = None,
                 p_prev, p_next, occ_prev, occ_next, vx_prev):
         p_n, vx_n, vy_n, vz_n, rec = step_call(
             coef, io,
-            p, p, p, p_prev[None], p_next[None],
-            occ, occ, occ, occ_prev[None], occ_next[None],
+            p, p, p, p_prev[None], p_next[None], p, p,
+            occ, occ, occ, occ_prev[None], occ_next[None], occ, occ,
             vx, vx, vx_prev[None],
-            vy, vz,
+            vy, vy,
+            vz,
         )
         return p_n, vx_n, vy_n, vz_n, rec[0, 0]
 

@@ -74,6 +74,7 @@ def wave_run_sharded(
     dt: float | None = None,
     kernel: str = "auto",
     block: int | None = None,
+    block_y: int | None = None,
     pallas_interpret: bool = False,
 ) -> WaveIR:
     """Sharded twin of models/wave.py::wave_run over ``mesh[axis]``.
@@ -120,19 +121,15 @@ def wave_run_sharded(
 
     use_pallas = kernel == "pallas"
     if kernel == "auto":
-        from ..ops.pallas_wave import (
-            _GRID_KERNEL_MAX_PLANE_BYTES,
-            _round_up,
-        )
+        from ..ops.pallas_wave import grid_kernel_feasible
 
-        plane_ok = (
-            _round_up(occ_np.shape[1], 8) * _round_up(occ_np.shape[2], 128)
-            * 4 <= _GRID_KERNEL_MAX_PLANE_BYTES
-        )
         cells_per_shard = int(np.prod(occ_np.shape)) // d_shards
         use_pallas = (
             cells_per_shard >= 12_000_000
-            and plane_ok
+            # shard planes larger than scoped VMEM now TILE along y
+            # inside make_shard_step; only an enormous z extent is
+            # infeasible
+            and grid_kernel_feasible(occ_np.shape)
             and jax.default_backend() == "tpu"
         )
     if use_pallas:
@@ -144,7 +141,8 @@ def wave_run_sharded(
         occ_pp[:, :ny0, :nz0] = occ_np
         Sx = nx // d_shards
         step_fn, _B = make_shard_step(
-            Sx, ny_p, nz_p, block=block, interpret=pallas_interpret
+            Sx, ny_p, nz_p, block=block, interpret=pallas_interpret,
+            block_y=block_y,
         )
         si, sj, sk = (int(x) for x in src_cell)
         li, lj, lk = (int(x) for x in lst_cell)

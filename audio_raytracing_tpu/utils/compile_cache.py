@@ -16,7 +16,29 @@ executables are big and churn, so that directory is gitignored).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def host_key() -> str:
+    """Short fingerprint of THIS host's CPU (x86 feature flags when
+    available). XLA:CPU cache entries are machine-code AOT results:
+    loading one built on a different host logs only a machine-features
+    warning and can then SIGILL (a full-suite run segfaulted inside
+    compilation_cache.get_executable_and_time when the workspace moved
+    hosts between rounds). Keying the CPU cache dir by this makes a
+    host move land on a fresh directory instead."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":")[1].split()))
+                    break
+    except OSError:
+        flags = platform.processor() or platform.machine()
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
 
 
 def enable(cache_dir) -> None:

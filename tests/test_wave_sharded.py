@@ -105,3 +105,24 @@ def test_sharded_pallas_matches_xla_sharded_bitwise_path():
     np.testing.assert_allclose(
         np.asarray(b.pressure), np.asarray(a.pressure), rtol=0, atol=2e-7
     )
+
+
+def test_sharded_pallas_ytiled_matches_unsharded():
+    """block_y forces y tiling in the shard kernel (the path sharded
+    512^3-class domains take): 16 rows at block_y=8 -> 2 y-tiles per
+    shard, source and listener in different tiles AND different
+    shards."""
+    dom = _box_domain(32, 16, 12)
+    mesh = make_mesh(8, ("x",))
+    src, lst = (5, 3, 5), (26, 13, 7)
+    n_steps = 200
+    ref = W.wave_run(dom, src, lst, n_steps, c=C, alpha=0.2, fc=120.0)
+    sh = wave_run_sharded(
+        dom, src, lst, n_steps, mesh, c=C, alpha=0.2, fc=120.0,
+        kernel="pallas", block=2, block_y=8, pallas_interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.pressure), np.asarray(ref.pressure),
+        rtol=0, atol=3e-6,
+    )
+    assert np.abs(np.asarray(ref.pressure)).max() > 1e-3

@@ -231,6 +231,49 @@ def main():
 
         steps.append(("serving_round", serving_step))
 
+        # the render pump's device work at the measured serving scale:
+        # ONE dispatch renders every lane's next 64-block chunk
+        # (L=48 lanes, s16 wire PCM — engine/serving.py render_pump).
+        # Device time only: the wall-clock tick is dominated by this
+        # environment's relay PCM link (4-33 MB/s, varies ~8x between
+        # windows — benchmarks/RESULTS.md r5), so the budget gate pins
+        # the part a deployment keeps
+        from audio_raytracing_tpu.app.walkthrough import synth_pad
+        from audio_raytracing_tpu.engine.ir_stream import (
+            IRStreamRenderer,
+            _stream_blocks_pump,
+        )
+        from audio_raytracing_tpu.ops import conv_partitioned as cp
+
+        pr = IRStreamRenderer(scene, cfg, n_rays=1 << 15, max_bounces=6)
+        pr.add_source(synth_pad(cfg.sample_rate), np.zeros(3, np.float32),
+                      gain=0.5)
+        pr.update(np.float32([1.5, 0.0, 0.0]), yaw=0.3)
+        Lp, Kp, Bp = 48, 64, cfg.block_size
+        pump_spec = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (Lp,) + x.shape), pr._spectra
+        )
+        Pp = pr._spectra[0].shape[-2]
+        pump_state = [cp.conv_init_real(
+            (Lp, pr._dry_dev.shape[0], pr.n_out), Pp, Bp
+        )]
+        pump_i = [0]
+
+        def pump_tick_step():
+            pump_i[0] += 1
+            cursors = jnp.full(
+                Lp, (pump_i[0] * Kp * Bp) % 100000, jnp.int32
+            )
+            ys, pump_state[0] = _stream_blocks_pump(
+                pr._dry_dev, pr._src_len_dev, pr._src_loop_dev,
+                cursors, pump_state[0], pump_spec, pump_spec,
+                jnp.zeros(Lp, bool),
+                K=Kp, B=Bp, n_out=pr.n_out, out_s16=True,
+            )
+            np.asarray(ys)  # the real tick materializes the PCM
+
+        steps.append(("pump_tick", pump_tick_step))
+
     # warm up (compile outside the profile so the trace shows steady state)
     for name, fn in steps:
         t0 = time.perf_counter()
