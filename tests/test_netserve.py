@@ -21,6 +21,25 @@ CFG = dataclasses.replace(
 SRC = np.float32([1.0, 0.5, 0.5])
 
 
+@pytest.fixture(autouse=True)
+def _no_persistent_compile_cache():
+    """Full-suite CPU runs segfaulted TWICE (r5) inside
+    compilation_cache.get_executable_and_time during this module's
+    coordinator warmup at ~50% of the suite — DESERIALIZING a
+    persistent-cache entry against ~an hour of accumulated process
+    state — while every test passes in isolation and in a
+    serving+netserve-only run. Unlike test_pallas_trace's
+    clear_caches() defense (which guards a COMPILE crash and would
+    force MORE disk loads here), this module simply opts out of the
+    persistent cache: its programs are small (tiny CFG), recompiles
+    cost seconds."""
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
 def tone():
     return (
         0.5 * np.sin(2 * np.pi * 440 * np.arange(4000) / 44100)
