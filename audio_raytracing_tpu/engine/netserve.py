@@ -313,8 +313,12 @@ class AcousticServer:
                 if y.dtype == np.int16:
                     pcm = y  # device-quantized; little-endian host
                 else:
+                    # np.rint: the SAME round-to-nearest convention as
+                    # the device s16 pump, so the wire bits don't
+                    # depend on which server mode produced them (the
+                    # old truncating astype differed by up to 1 LSB)
                     pcm = np.clip(
-                        y * 32767.0, -32768, 32767
+                        np.rint(y * 32767.0), -32768, 32767
                     ).astype("<i2")
                 conn.sendall(_FRAME_HDR.pack(seq, n) + pcm.tobytes())
                 seq += 1

@@ -81,7 +81,14 @@ class _StreamHandle:
     worker thread's lifecycle belongs to the coordinator (`with coord:`),
     not to any single stream."""
 
+    _uid_counter = 0
+
     def __init__(self, coord: "BatchedAcoustics", renderer):
+        # monotonic identity for cohort-membership keys (id() can be
+        # reused after GC, which would silently skip a respectra
+        # requalification on a leave+join)
+        _StreamHandle._uid_counter += 1
+        self.uid = _StreamHandle._uid_counter
         self.coord = coord
         self.r = renderer
         self.lock = threading.Lock()  # spectra swap vs stream read
@@ -403,8 +410,17 @@ class BatchedAcoustics:
         self.error = None
         self._batch_respectra_opt = batch_respectra
         self._respectra_all = None
+        # the last-built vmapped respectra jit, kept across a cohort
+        # emptying (its jax.jit cache is what keeps join/leave
+        # recompile-free — rebuilding a fresh jit object would pay a
+        # full compile on the next round)
+        self._respectra_prev_jit = None
         self._respectra_hrtf_host = None  # host (hl, hr) the vmap captured
-        self._respectra_cohort = -1  # stream count the vmap was built for
+        # cohort IDENTITY the vmap was built for — membership, not a
+        # count: a same-size leave+join must re-qualify the cohort
+        # (the newcomer may carry a different HRTF or a speaker
+        # decoder; a count check silently kept the old tenant's)
+        self._respectra_cohort = ()
         n_bounce, config = self.max_bounces, cfg
         amb_of = jax.vmap(lambda e, d: ambisonic_ir(ImpulseResponse(e, d)))
 
@@ -609,11 +625,16 @@ class BatchedAcoustics:
 
     # -- rounds --------------------------------------------------------------
 
+    def _cohort_key(self):
+        """Identity of the current stream membership (order-free)."""
+        return frozenset(h.uid for h in self._handles)
+
     def _setup_respectra(self) -> None:
         """Build (or decline) the cohort-wide vmapped respectra for the
-        current stream set; re-run whenever the cohort changes."""
-        self._respectra_cohort = len(self._handles)
-        prev = self._respectra_all
+        current stream set; re-run whenever cohort MEMBERSHIP changes
+        (not just its size — see _respectra_cohort)."""
+        self._respectra_cohort = self._cohort_key()
+        prev = self._respectra_all or self._respectra_prev_jit
         self._respectra_all = None
         if self._batch_respectra_opt is False or not self._handles:
             return
@@ -648,6 +669,7 @@ class BatchedAcoustics:
             # capacity the shapes are stable and this keeps join/leave
             # recompile-free)
             self._respectra_all = prev
+            self._respectra_prev_jit = prev
             return
         hl, hr = rs[0].hrtf_l, rs[0].hrtf_r
         self._respectra_hrtf_host = (hl_h.copy(), hr_h.copy())
@@ -656,6 +678,7 @@ class BatchedAcoustics:
                 lambda a, o: _respectra(a, o, hl, hr, block)
             )(ambs, orients)
         )
+        self._respectra_prev_jit = self._respectra_all
 
     def _round_cohort(self):
         """Snapshot (handles, slots) for one round UNDER _pump_cv: a
@@ -704,13 +727,16 @@ class BatchedAcoustics:
 
     @staticmethod
     def _orients(handles):
-        return jnp.asarray(np.stack([
+        # HOST array: _orient_batch scatters rows by slot on host and
+        # does the single device upload itself (a jnp round-trip here
+        # cost two pointless relay hops per round)
+        return np.stack([
             np.asarray(quat.quat_from_roll_pitch_yaw(
                 np.float32(h._pose[2]), np.float32(h._pose[1]),
                 np.float32(0.0),
             ), np.float32)
             for h in handles
-        ]))
+        ])
 
     def warmup(self, poses) -> None:
         """Seed every stream's pose ((pos, yaw[, pitch]) per stream, in
@@ -773,7 +799,7 @@ class BatchedAcoustics:
         amb = self._trace_all(
             self._arrays, self._srcs, self._listener_batch(handles, slots)
         )
-        if self._respectra_cohort != len(self._handles):
+        if self._respectra_cohort != self._cohort_key():
             self._setup_respectra()
         self._publish_traced(handles, amb, dirty, slots)
         self.rounds += 1
@@ -888,7 +914,13 @@ class BatchedAcoustics:
             self._pump_setup_locked(cp, warm)
 
     def _pump_setup_locked(self, cp, warm: bool) -> None:
-        lanes = list(self._handles)
+        with self._pump_cv:
+            # snapshot under the cv: stream() also mutates _handles /
+            # slots under it, so the founding-lane set is consistent;
+            # anyone who joins DURING this setup is swept into the slot
+            # table at the end (inactive — the normal activation flow
+            # serves them)
+            lanes = list(self._handles)
         if not lanes:
             raise ValueError("render_pump needs at least one stream")
         rs = [h.r for h in lanes]
@@ -905,6 +937,19 @@ class BatchedAcoustics:
             self._pump_next = None
             self._pump_pending_activate = set()
         if self.capacity is not None and stacked is None:
+            if self._respectra_all is None and any(
+                r._spectra is None for r in rs
+            ):
+                # warmup ran but _setup_respectra DECLINED the cohort
+                # (per-stream HRTFs / speaker rigs under
+                # batch_respectra=None auto) — say so instead of the
+                # misleading "needs warmup() first"
+                raise RuntimeError(
+                    "render_pump with capacity lanes needs the stacked "
+                    "respectra path, and this cohort does not qualify "
+                    "(binaural streams sharing ONE HRTF required; see "
+                    "batch_respectra)"
+                )
             raise RuntimeError(
                 "render_pump with capacity lanes needs warmup() first: "
                 "the pump's (capacity, ...) stacked spectra come from "
@@ -944,12 +989,16 @@ class BatchedAcoustics:
             h._buf = []
             h._buf_off = 0
             h._buf_n = 0
-            h._pump_active = True
-        slot_handles = [None] * L
-        for i, h in enumerate(lanes):
-            slot_handles[h.slot if self.capacity is not None else i] = h
-        self._pump_slot_handles = slot_handles
-        self._pump_lanes = lanes
+        with self._pump_cv:
+            for h in lanes:
+                h._pump_active = True
+            slot_handles = [None] * L
+            for i, h in enumerate(lanes):
+                slot_handles[
+                    h.slot if self.capacity is not None else i
+                ] = h
+            self._pump_slot_handles = slot_handles
+            self._pump_lanes = lanes
         # the dry arena outlives any single lane (capacity mode: the
         # founding stream may close while the pump keeps serving)
         self._pump_arena = (
@@ -995,6 +1044,19 @@ class BatchedAcoustics:
                 # single startup underrun exactly there)
                 states = st
                 self._deposit(pcm)
+        if self.capacity is not None:
+            with self._pump_cv:
+                # sweep in anyone who joined while this setup ran:
+                # stream() saw _pump_states None then, so it neither
+                # validated them nor registered their slot — without
+                # this they would be orphaned (never activate, render()
+                # times out). They stay INACTIVE; a round publish
+                # activates them like any live join.
+                for h in self._handles:
+                    if h in lanes or h.slot is None:
+                        continue
+                    self._validate_pump_join(h.r)
+                    self._pump_slot_handles[h.slot] = h
         # assign LAST: the pump loop gates on _pump_states, and a
         # coordinator entered before warmup() has its pump thread live
         # during this setup (engine/netserve.py start() does exactly
@@ -1048,10 +1110,12 @@ class BatchedAcoustics:
                         if h is not None:
                             h._pump_active = True
                     self._pump_cv.notify_all()
-        elif self._respectra_all is None:
+        elif self._respectra_all is None and self.capacity is None:
             # per-lane mailbox mode (speaker rigs / per-stream HRTFs;
-            # exact-cohort pumps only — capacity pumps are stacked by
-            # construction): adopt each lane's pending spectra, restack
+            # exact-cohort pumps ONLY — a capacity pump whose
+            # _respectra_all momentarily nulled (cohort emptied
+            # mid-round) must NOT iterate the stale founding _pump_lanes
+            # here; it falls to the plain branch below instead)
             lanes = self._pump_lanes
             fades = np.zeros(L, bool)
             specs = [None] * len(lanes)

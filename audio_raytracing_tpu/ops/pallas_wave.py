@@ -102,17 +102,6 @@ _GRID_KERNEL_MAX_PLANE_BYTES = (16 * 2**20) // 27
 _YTILE_TARGET_PLANE_BYTES = 320 * 2**10
 
 
-def _pick_ytile(ny_p: int, nz_p: int) -> int:
-    """Largest power-of-two row-tile (multiple of 8, <= ny_p) whose
-    (Ty, nz_pad) f32 plane fits the target; the scoped-VMEM cap is the
-    hard bound."""
-    ty = 8
-    while (ty * 2 <= ny_p
-           and ty * 2 * nz_p * 4 <= _YTILE_TARGET_PLANE_BYTES):
-        ty *= 2
-    return ty
-
-
 def grid_kernel_feasible(shape) -> bool:
     """Can the grid-pipelined kernel compile for this domain shape?
     With y tiling the per-block plane is (Ty >= 8, nz_pad); only a
@@ -1065,7 +1054,11 @@ def wave_run_pallas(
             occ_p, B, n_blocks = _pad_domain_grid(occ, block)
             run = _run_scan_pallas_grid
         else:
-            ty = block_y if block_y is not None else _pick_ytile(
+            # divisor-aware pick: a power-of-two tile would force
+            # _pad_domain_grid to round ny up to the tile (+23-47%
+            # dead solid rows on awkward shapes); the largest 8*d
+            # divisor of the 8-rounded ny pads nothing extra
+            ty = block_y if block_y is not None else _pick_ytile_divisor(
                 _round_up(ny, 8), nz_p
             )
             if ty % 8 or ty * nz_p * 4 > _GRID_KERNEL_MAX_PLANE_BYTES:

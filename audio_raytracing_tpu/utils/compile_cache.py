@@ -33,11 +33,14 @@ def host_key() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 says "flags", aarch64 says "Features"
+                if line.startswith(("flags", "Features")):
                     flags = " ".join(sorted(line.split(":")[1].split()))
                     break
     except OSError:
-        flags = platform.processor() or platform.machine()
+        pass
+    if not flags:
+        flags = platform.processor() or platform.machine() or "unknown"
     return hashlib.sha256(flags.encode()).hexdigest()[:12]
 
 
@@ -55,6 +58,15 @@ def enable(cache_dir) -> None:
 
     if os.environ.get("ARTPU_NO_COMPILE_CACHE") == "1":
         return
+    if jax.default_backend() == "cpu":
+        # XLA:CPU entries are host machine code — never share them
+        # across hosts (the committed benchmarks cache is for TPU
+        # executables; a CPU run that loaded its cross-machine CPU
+        # entries wedged). A CPU-backed run gets a host-keyed subdir:
+        # still cached locally, never poisonous. Calling
+        # default_backend() here just front-loads the backend init the
+        # caller pays moments later anyway.
+        cache_dir = os.path.join(str(cache_dir), "cpu-" + host_key())
     cache_dir = str(cache_dir)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -33,18 +33,13 @@ jax.config.update("jax_num_cpu_devices", 8)
 # programs; re-runs deserialize them from disk instead (also lowers the
 # compiler-memory pressure behind the historical mid-suite segfaults —
 # see test_pallas_trace.py's cache-clearing fixture).
-from audio_raytracing_tpu.utils.compile_cache import (
-    enable as _enable_cc,
-    host_key as _cc_host_key,
-)
+from audio_raytracing_tpu.utils.compile_cache import enable as _enable_cc
 
-# host-keyed subdir: XLA:CPU entries are machine code — loading a
-# cache built on a different host (the workspace moves between rounds)
-# segfaulted a full-suite run (see utils/compile_cache.host_key)
-_enable_cc(
-    Path(__file__).resolve().parent / ".jax_compile_cache"
-    / _cc_host_key()
-)
+# enable() host-keys CPU-backed caches itself: XLA:CPU entries are
+# machine code, and loading a cache built on a different host (the
+# workspace moves between rounds) segfaulted a full-suite run (see
+# utils/compile_cache.host_key)
+_enable_cc(Path(__file__).resolve().parent / ".jax_compile_cache")
 
 import numpy as np
 import pytest

@@ -32,12 +32,16 @@ def _no_persistent_compile_cache():
     clear_caches() defense (which guards a COMPILE crash and would
     force MORE disk loads here), this module simply opts out of the
     persistent cache: its programs are small (tiny CFG), recompiles
-    cost seconds."""
+    cost seconds. NOTE: unsetting the cache DIR, not the enable flag —
+    a third suite run proved jax_enable_compilation_cache=False does
+    not gate the _cache_read path in this jax version (it segfaulted
+    in get_executable_and_time with the flag off)."""
     import jax
 
-    jax.config.update("jax_enable_compilation_cache", False)
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
     yield
-    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def tone():

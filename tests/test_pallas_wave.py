@@ -103,14 +103,17 @@ def test_pallas_wave_ytiled_ragged_y():
 def test_ytile_picker_and_feasibility():
     from audio_raytracing_tpu.ops.pallas_wave import (
         _GRID_KERNEL_MAX_PLANE_BYTES,
-        _pick_ytile,
+        _pick_ytile_divisor,
         grid_kernel_feasible,
     )
 
     # 512^3: tile plane 128*512*4 = 256 KB under the 320 KB target
     # (the 512 KB Ty=256 tile measured 18.76M scoped VMEM on hardware
     # -> OOM past the 16M cap) -> Ty=128, 4 tiles
-    assert _pick_ytile(512, 512) == 128
+    assert _pick_ytile_divisor(512, 512) == 128
+    # divisor-aware: non-power-of-two ny tiles WITHOUT extra padding
+    # (520 = 8*65 -> candidates 8,40,104,520; 104*512*4 = 208 KB fits)
+    assert _pick_ytile_divisor(520, 512) == 104
     # the r4-infeasible square planes are now feasible
     assert grid_kernel_feasible((256, 512, 512))
     assert grid_kernel_feasible((512, 512, 512))

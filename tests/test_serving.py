@@ -750,6 +750,61 @@ def test_render_pump_capacity_join_validation():
     assert {h1.slot, h2.slot} == {1, 2}
 
 
+def test_capacity_same_size_leave_join_requalifies_respectra():
+    """Regression (r5 review): the cohort respectra must re-qualify on
+    MEMBERSHIP change, not stream-count change — a same-size leave+join
+    where the newcomer carries a different HRTF silently rendered the
+    newcomer with the old tenant's HRTF (the stacked vmap still
+    captured it)."""
+    scene = make_scene()
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        coalesce_s=0.0, capacity=3,
+    )
+    renderers, handles = [], []
+    for _ in range(2):
+        r = IRStreamRenderer(scene, CFG)
+        r.add_source(tone(), pos=SRC)
+        handles.append(coord.stream(r))
+        renderers.append(r)
+    coord.warmup(POSES)
+    assert coord._respectra_all is not None  # shared-HRTF cohort
+
+    # same-size leave+join with a DIFFERENT HRTF
+    handles[1].close()
+    from audio_raytracing_tpu.engine.system import default_hrtf
+
+    hl, hr = default_hrtf()
+    odd = IRStreamRenderer(scene, CFG, hrtf=(hl * 0.5, hr * 0.5))
+    odd.add_source(tone(), pos=SRC)
+    h_odd = coord.stream(odd)
+    pos2, yaw2 = np.float32([0.3, 0.1, -0.4]), 0.9
+    h_odd.request(pos2, yaw=yaw2)
+    coord._round()
+    # mixed-HRTF cohort: the stacked path must have DECLINED (auto) and
+    # the newcomer's spectra must match a solo renderer with ITS hrtf
+    assert coord._respectra_all is None
+    solo = IRStreamRenderer(scene, CFG, hrtf=(hl * 0.5, hr * 0.5))
+    solo.add_source(tone(), pos=SRC)
+    solo.update(pos2, yaw=yaw2)
+    for got, want in zip(odd._spectra, solo._spectra):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6
+        )
+
+    # and a same-HRTF rejoin re-qualifies WITHOUT building a fresh jit
+    # (the cached jit object survives, keeping joins recompile-free)
+    h_odd.close()
+    r3 = IRStreamRenderer(scene, CFG)
+    r3.add_source(tone(), pos=SRC)
+    h3 = coord.stream(r3)
+    h3.request(pos2, yaw=yaw2)
+    coord._round()
+    assert coord._respectra_all is not None
+    assert coord._respectra_all is coord._respectra_prev_jit
+
+
 def test_render_pump_s16_matches_quantized_f32():
     """pump_pcm="s16" (the netserve wire format, quantized ON DEVICE to
     halve the PCM host transfer) is exactly np.rint(f32 * 32767)
