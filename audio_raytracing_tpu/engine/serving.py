@@ -27,10 +27,13 @@ do it (big batched dispatches over many small ones).
 
 Constraints (v1, asserted where cheap): every stream shares the scene
 geometry and the source configuration (positions + per-source
-directivity) given to the coordinator; first-order ambisonic streams
-only (sh_order renderers trace SH moments the multi-listener tracer
-does not emit); per-stream source motion is not coordinated (use
-per-stream AsyncAcoustics for that). Moving shared geometry IS
+directivity) given to the coordinator; per-stream source motion is not
+coordinated (use per-stream AsyncAcoustics for that). HOA cohorts
+(sh_order=N, r5): the XLA route traces per-listener SH moments in the
+shared path pass (models/ir.py::trace_ir_multi_listener sh_order) and
+each stream's update decodes through its own HOA respectra — pass
+sh_order= to the coordinator and register sh_order renderers; the
+pallas/mesh routes and the render pump stay first-order. Moving shared geometry IS
 supported: set_scene_arrays swaps the traced arrays and invalidates
 every stream's pose cache.
 """
@@ -229,6 +232,7 @@ class BatchedAcoustics:
                  batch_respectra: bool | None = None,
                  round_interval_s: float = 0.2,
                  capacity: int | None = None,
+                 sh_order: int | None = None,
                  render_pump: bool = False,
                  pump_chunk_blocks: int = 64,
                  pump_buffer_chunks: int = 2,
@@ -341,6 +345,20 @@ class BatchedAcoustics:
         self.round_interval_s = round_interval_s
         if capacity is not None and capacity < 1:
             raise ValueError("capacity must be >= 1")
+        self.sh_order = sh_order
+        if sh_order is not None and render_pump:
+            raise ValueError(
+                "render_pump rides the stacked binaural respectra; "
+                "HOA cohorts use the per-stream decode path (drop "
+                "render_pump or sh_order)"
+            )
+        if sh_order is not None and (
+            intersector not in ("mt", "mxu") or mesh is not None
+        ):
+            raise ValueError(
+                "sh_order cohorts are traced by the XLA multi-listener "
+                "route only (intersector='mt'/'mxu', no mesh)"
+            )
         self.capacity = capacity
         # capacity mode: stable lane slots — each handle keeps ONE index
         # into the traced batch and the pump's stacked state for its
@@ -487,20 +505,36 @@ class BatchedAcoustics:
         else:
             dirs = jnp.asarray(fibonacci_sphere(self.n_rays))
             isect = intersector
+            order = sh_order
+            if order is not None:
+                from ..models.ir import ambisonic_ir_hoa
+
+                amb_of_hoa = jax.vmap(
+                    lambda e, d, m: ambisonic_ir_hoa(
+                        ImpulseResponse(e, d, m)
+                    )
+                )
 
             def _trace_all(arrays, srcs, listeners):
                 # one multi-listener trace per source (python loop — n_src
                 # is static), each = one shared path pass + L NEE lanes;
-                # stacked to (L, S, 4, L_ir) first-order ambisonic IRs
+                # stacked to (L, S, C, L_ir) ambisonic IRs (C = 4 first
+                # order, n_sh(sh_order) for HOA cohorts)
                 ambs = []
                 for i in range(n_src):
                     ir = trace_ir_multi_listener(
                         arrays, srcs[i], listeners, cfg=config,
                         max_bounces=n_bounce, dirs=dirs, intersector=isect,
-                        src_directivity=dvts[i],
+                        src_directivity=dvts[i], sh_order=order,
                     )
-                    ambs.append(amb_of(ir.energy, ir.dir_sum))
-                return jnp.stack(ambs, axis=1)  # (L, S, 4, L_ir)
+                    if order is not None:
+                        ambs.append(
+                            amb_of_hoa(ir.energy, ir.dir_sum,
+                                       ir.sh_moments)
+                        )
+                    else:
+                        ambs.append(amb_of(ir.energy, ir.dir_sum))
+                return jnp.stack(ambs, axis=1)  # (L, S, C, L_ir)
 
         self._trace_all = jax.jit(_trace_all)
 
@@ -519,10 +553,11 @@ class BatchedAcoustics:
                 f"coordinator is at capacity ({self.capacity}); close() a "
                 "stream first or raise capacity"
             )
-        if renderer.sh_order is not None:
+        if renderer.sh_order != self.sh_order:
             raise ValueError(
-                "batched serving traces first-order ambisonic IRs; "
-                "sh_order streams need their own AsyncAcoustics"
+                "renderer sh_order must match the coordinator's "
+                f"({renderer.sh_order} vs {self.sh_order}) — the batched "
+                "trace emits one moment order for the whole cohort"
             )
         if renderer._ir_fn is not None:
             raise ValueError("custom ir_fn streams cannot be batch-traced")
@@ -880,12 +915,32 @@ class BatchedAcoustics:
                     continue
                 pos, yaw, pitch = h._pose
                 # respectra on THIS thread (a device dispatch — never on
-                # the audio thread), swap deferred through the mailbox
+                # the audio thread), swap deferred through the mailbox.
+                # The decode selection mirrors IRStreamRenderer.update
+                # exactly (incl. HOA cohorts — sh_order streams' amb
+                # rows are (n_sh, L_ir) moments)
                 j = slots[i]
                 orient = jnp.asarray(quat.quat_from_roll_pitch_yaw(
                     np.float32(pitch), np.float32(yaw), np.float32(0.0)
                 ))
-                if h.r._decoder is not None:
+                if h.r.sh_order is not None:
+                    from .ir_stream import (
+                        _respectra_hoa,
+                        _respectra_speakers_hoa,
+                    )
+
+                    if h.r._decoder is not None:
+                        spectra = _respectra_speakers_hoa(
+                            amb[j], orient, h.r._decoder,
+                            self.cfg.block_size, h.r.sh_order,
+                        )
+                    else:
+                        spectra = _respectra_hoa(
+                            amb[j], orient, h.r.hrtf_l, h.r.hrtf_r,
+                            self.cfg.block_size, h.r.sh_order,
+                            full_bank=h.r._full_bank,
+                        )
+                elif h.r._decoder is not None:
                     spectra = _respectra_speakers(
                         amb[j], orient, h.r._decoder, self.cfg.block_size
                     )

@@ -650,7 +650,7 @@ def trace_ir(
     jax.jit,
     static_argnames=(
         "cfg", "n_rays", "max_bounces", "total_rays", "include_direct",
-        "intersector", "scatter", "src_directivity",
+        "intersector", "scatter", "src_directivity", "sh_order",
     ),
 )
 def trace_ir_multi_listener(
@@ -666,6 +666,7 @@ def trace_ir_multi_listener(
     intersector: str = "mt",
     scatter: str = "segment",
     src_directivity=None,
+    sh_order: int | None = None,
 ) -> ImpulseResponse:
     """All listeners' IRs from ONE shared path trace.
 
@@ -675,7 +676,11 @@ def trace_ir_multi_listener(
     — runs per listener (vmapped). For L listeners this costs ~one path
     pass + L NEE passes instead of L full traces. Returns stacked
     ImpulseResponse with leading axis L: energy (L, n_bands, n_bins),
-    dir_sum (L, 3, n_bins).
+    dir_sum (L, 3, n_bins), and with sh_order=N also sh_moments
+    (L, n_sh, n_bins) — exactly trace_ir's energy-weighted SH payload
+    per listener, so HOA (sh_order) streams can be served by the
+    batched coordinator (engine/serving.py) instead of needing solo
+    AsyncAcoustics workers.
 
     Semantics per listener are exactly trace_ir's (same formulas, forward
     shadow rays); differentially tested against per-listener trace_ir.
@@ -709,6 +714,9 @@ def trace_ir_multi_listener(
     inv_n = 1.0 / float(total_rays or n_rays)
 
     n_bands = len(EQ_FREQS)
+    if sh_order is not None:
+        from ..ops.hoa import sh_basis
+
     tri_attrs = jnp.concatenate(
         [normals, jnp.sqrt(jnp.clip(1.0 - absorption, 0.0, 1.0))], axis=1
     )
@@ -756,9 +764,11 @@ def trace_ir_multi_listener(
         )
         e_c = amp_c * amp_c * inv_n
         u = (vertex - listener[None, :]) / jnp.maximum(d_l, 1e-20)[:, None]
-        payload = jnp.concatenate(
-            [e_c, u * jnp.mean(e_c, axis=-1, keepdims=True)], axis=-1
-        )
+        e_mean = jnp.mean(e_c, axis=-1, keepdims=True)
+        cols = [e_c, u * e_mean]
+        if sh_order is not None:
+            cols.append(sh_basis(u, sh_order) * e_mean)
+        payload = jnp.concatenate(cols, axis=-1)
         bins = jnp.where(
             visible, jnp.clip((d_total * spm * bps + 0.5), 0, n_bins - 1), n_bins
         )
@@ -791,19 +801,25 @@ def trace_ir_multi_listener(
         amp0 = jnp.ones((n_rays, n_bands), jnp.float32)
     carry0 = (org, dirs, amp0, jnp.zeros(n_rays), jnp.ones(n_rays, bool))
     _, seg_all = jax.lax.scan(bounce, carry0, None, length=max_bounces)
-    seg = jnp.sum(seg_all, axis=0)  # (L, n_bins, 7)
+    seg = jnp.sum(seg_all, axis=0)  # (L, n_bins, 7 [+ n_sh])
     energy = jnp.moveaxis(seg[:, :, :4], 1, 2)  # (L, 4, n_bins)
     dir_sum = jnp.moveaxis(seg[:, :, 4:7], 1, 2)
+    sh_mom = (
+        jnp.moveaxis(seg[:, :, 7:], 1, 2) if sh_order is not None else None
+    )
     if include_direct:
         d_ir = jax.vmap(
             lambda l: direct_ir(
                 scene_arrays, source, l, cfg=cfg,
-                src_directivity=src_directivity,
+                src_directivity=src_directivity, sh_order=sh_order,
             )
         )(listeners)
         energy = energy + d_ir.energy
         dir_sum = dir_sum + d_ir.dir_sum
-    return ImpulseResponse(energy=energy, dir_sum=dir_sum)
+        if sh_order is not None:
+            sh_mom = sh_mom + d_ir.sh_moments
+    return ImpulseResponse(energy=energy, dir_sum=dir_sum,
+                           sh_moments=sh_mom)
 
 
 def ambisonic_ir(ir: ImpulseResponse, eps: float = 1e-12):

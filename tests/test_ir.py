@@ -368,6 +368,42 @@ def test_multi_listener_matches_per_listener():
             )
 
 
+def test_multi_listener_sh_order_matches_per_listener():
+    """sh_order through the shared-path multi-listener trace (r5: lets
+    HOA streams ride the batched serving coordinator) — the per-listener
+    SH moments must match independent trace_ir(sh_order=N) calls."""
+    import dataclasses
+
+    from audio_raytracing_tpu.models.ir import trace_ir_multi_listener
+    from audio_raytracing_tpu.ops.hoa import n_sh
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ir_length=2048)
+    scene = Scene.from_triangles(box_room(size=(6.0, 3.0, 5.0)), cfg)
+    arrays = scene.device_arrays()
+    src = jnp.asarray([1.0, 0.5, 0.5])
+    listeners = jnp.asarray([[-1.0, -0.5, -1.0], [0.5, 0.0, 1.5]])
+    dirs = jnp.asarray(fibonacci_sphere(512))
+    order = 2
+    multi = trace_ir_multi_listener(
+        arrays, src, listeners, cfg=cfg, max_bounces=3, dirs=dirs,
+        sh_order=order,
+    )
+    assert multi.sh_moments.shape == (2, n_sh(order), cfg.ir_n_bins)
+    for i in range(2):
+        one = trace_ir(
+            arrays, src, listeners[i], cfg=cfg, max_bounces=3, dirs=dirs,
+            intersector="mt", sh_order=order,
+        )
+        np.testing.assert_allclose(
+            np.asarray(multi.energy[i]), np.asarray(one.energy),
+            rtol=1e-4, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(multi.sh_moments[i]), np.asarray(one.sh_moments),
+            rtol=1e-4, atol=1e-9,
+        )
+
+
 def test_hash_rng_scattering_variant():
     """trace_ir(scattering_rng='hash'): deterministic per seed, key-free,
     statistically consistent with the threefry family."""

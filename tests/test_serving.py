@@ -128,6 +128,55 @@ def test_batched_worker_thread_end_to_end():
     assert coord.error is None
 
 
+def test_batched_hoa_cohort_matches_solo_updates():
+    """sh_order cohorts (r5): the coordinator traces per-listener SH
+    moments in ONE shared-path dispatch and each stream decodes through
+    its own HOA respectra — spectra must match solo
+    IRStreamRenderer(sh_order=N).update at the same poses."""
+    import pytest
+
+    scene = make_scene()
+    order = 2
+    coord = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        coalesce_s=0.0, sh_order=order,
+    )
+    renderers, handles = [], []
+    for _ in range(2):
+        r = IRStreamRenderer(scene, CFG, sh_order=order)
+        r.add_source(tone(), pos=SRC)
+        handles.append(coord.stream(r))
+        renderers.append(r)
+    # order mismatch is rejected
+    with pytest.raises(ValueError, match="sh_order"):
+        coord.stream(IRStreamRenderer(scene, CFG))
+    coord.warmup(POSES)
+    for h, (pos, yaw) in zip(handles, POSES):
+        h.request(pos, yaw=yaw)
+    coord._round()
+    assert all(h.updates == 1 and h.retraces == 1 for h in handles)
+
+    for r, (pos, yaw) in zip(renderers, POSES):
+        solo = IRStreamRenderer(scene, CFG, sh_order=order)
+        solo.add_source(tone(), pos=SRC)
+        solo.update(pos, yaw=yaw)
+        for got, want in zip(r._spectra, solo._spectra):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6
+            )
+        a = r.render(512)
+        b = solo.render(512)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    # pump + HOA is explicitly unsupported
+    with pytest.raises(ValueError, match="render_pump"):
+        BatchedAcoustics(
+            scene.device_arrays(), [SRC], cfg=CFG, sh_order=order,
+            render_pump=True,
+        )
+
+
 def test_batched_serving_sharded_mesh():
     """mesh=("listeners","rays"): the round's one dispatch runs the
     sharded shared-path tracer across the virtual 8-device mesh and the
