@@ -88,7 +88,8 @@ class AcousticServer:
                  sndbuf: int | None = None,
                  render_pump: bool = False,
                  pump_buffer_chunks: int = 2,
-                 pump_max_buffer_chunks: int = 6):
+                 pump_max_buffer_chunks: int = 6,
+                 sh_order: int | None = None):
         """render_pump=True batches the RENDER dispatches too: one pump
         thread renders every connected client's next chunk in ONE device
         dispatch (engine/serving.py render_pump + capacity lanes —
@@ -97,7 +98,13 @@ class AcousticServer:
         measured-48-streams serving architecture made reachable through
         the TCP front door; the per-client threads become pure socket
         pacing (handle.render() pops host PCM). The pump chunk size is
-        chunk_s (one frame == one pump chunk)."""
+        chunk_s (one frame == one pump chunk).
+
+        sh_order=N serves higher-order-ambisonic acoustics over the
+        same wire: the shared trace emits order-N SH moments and each
+        client's lane decodes binaurally through the HOA respectra
+        (still 2-channel s16le frames; excludes render_pump — the
+        coordinator enforces it)."""
         self.scene = scene
         self.cfg = cfg
         self.n_rays = n_rays
@@ -110,6 +117,7 @@ class AcousticServer:
         self.send_timeout_s = send_timeout_s
         self.sndbuf = sndbuf
         self.render_pump = bool(render_pump)
+        self.sh_order = sh_order
         self._sources = [
             s if isinstance(s, dict) else {"samples": s[0], "pos": s[1]}
             for s in sources
@@ -121,6 +129,7 @@ class AcousticServer:
             intersector=intersector, capacity=capacity,
             round_interval_s=round_interval_s,
             render_pump=render_pump,
+            sh_order=sh_order,
             pump_chunk_blocks=self.chunk_blocks,
             pump_buffer_chunks=pump_buffer_chunks,
             pump_max_buffer_chunks=pump_max_buffer_chunks,
@@ -192,7 +201,7 @@ class AcousticServer:
     def _make_renderer(self) -> IRStreamRenderer:
         r = IRStreamRenderer(
             self.scene, self.cfg, n_rays=self.n_rays,
-            max_bounces=self.max_bounces,
+            max_bounces=self.max_bounces, sh_order=self.sh_order,
         )
         for s in self._sources:
             r.add_source(

@@ -257,3 +257,16 @@ def test_rejects_poseless_first_message():
         assert rest == b""
         s.close()
         assert srv.served == 0
+
+
+def test_hoa_server_streams_audio():
+    """sh_order server (r5): HOA acoustics over the same 2-channel wire
+    — the shared trace emits SH moments, lanes decode binaurally."""
+    with make_server(sh_order=2) as srv:
+        with AcousticNetClient(srv.host, srv.port) as c:
+            c.send_pose([0.5, 0.0, 0.5], yaw=0.7)
+            y = c.read(4096)
+        assert y.shape == (4096, 2)
+        assert float(np.abs(y).max()) > 1e-4
+        assert float(np.abs(y[:, 0] - y[:, 1]).max()) > 1e-5
+    assert srv.served == 1
