@@ -32,16 +32,24 @@ def _no_persistent_compile_cache():
     clear_caches() defense (which guards a COMPILE crash and would
     force MORE disk loads here), this module simply opts out of the
     persistent cache: its programs are small (tiny CFG), recompiles
-    cost seconds. NOTE: unsetting the cache DIR, not the enable flag —
-    a third suite run proved jax_enable_compilation_cache=False does
-    not gate the _cache_read path in this jax version (it segfaulted
-    in get_executable_and_time with the flag off)."""
+    cost seconds. NOTE the two failed defenses (suite runs 3 and 4):
+    jax_enable_compilation_cache=False does not gate the _cache_read
+    path in this jax version, and updating jax_compilation_cache_dir
+    alone is a no-op once the GLOBAL cache object initialized at suite
+    start (_cache_initialized) — reset_cache() must drop it so the
+    None dir takes effect. The crash itself is inside
+    backend.deserialize_executable on a same-run entry (the serving
+    trace's ~120 MB XLA:CPU executable) after ~an hour of process
+    state."""
     import jax
+    from jax._src import compilation_cache as _cc
 
     prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()  # drop the initialized global cache object
     yield
     jax.config.update("jax_compilation_cache_dir", prev)
+    _cc.reset_cache()
 
 
 def tone():

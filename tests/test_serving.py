@@ -6,6 +6,7 @@ import dataclasses
 import time
 
 import numpy as np
+import pytest
 
 from audio_raytracing_tpu.config import DEFAULT_CONFIG
 from audio_raytracing_tpu.engine.ir_stream import IRStreamRenderer
@@ -16,6 +17,24 @@ CFG = dataclasses.replace(
     DEFAULT_CONFIG, ir_length=2048, rays_per_source=512, max_bounces=3
 )
 SRC = np.float32([1.0, 0.5, 0.5])
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_compile_cache():
+    """Same defense as test_netserve's fixture (see its docstring for
+    the full postmortem): coordinator warmups deserialize large
+    same-run XLA:CPU cache entries, which segfaulted full-suite runs
+    after ~an hour of accumulated process state. This module opts out
+    of the persistent cache too — its programs are small."""
+    import jax
+    from jax._src import compilation_cache as _cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+    _cc.reset_cache()
 POSES = [
     (np.float32([-1.0, -0.5, -1.0]), 0.3),
     (np.float32([0.5, 0.0, 1.5]), -0.8),
