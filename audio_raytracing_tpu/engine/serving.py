@@ -31,9 +31,10 @@ directivity) given to the coordinator; per-stream source motion is not
 coordinated (use per-stream AsyncAcoustics for that). HOA cohorts
 (sh_order=N, r5): the XLA route traces per-listener SH moments in the
 shared path pass (models/ir.py::trace_ir_multi_listener sh_order) and
-each stream's update decodes through its own HOA respectra — pass
-sh_order= to the coordinator and register sh_order renderers; the
-pallas/mesh routes and the render pump stay first-order. Moving shared geometry IS
+binaural HOA cohorts sharing one bank batch their decode like
+first-order ones (the stacked respectra — and therefore the render
+pump — serve HOA too); speaker-rig HOA lanes take the per-stream
+decode path. The pallas/mesh trace routes stay first-order. Moving shared geometry IS
 supported: set_scene_arrays swaps the traced arrays and invalidates
 every stream's pose cache.
 """
@@ -346,12 +347,6 @@ class BatchedAcoustics:
         if capacity is not None and capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.sh_order = sh_order
-        if sh_order is not None and render_pump:
-            raise ValueError(
-                "render_pump rides the stacked binaural respectra; "
-                "HOA cohorts use the per-stream decode path (drop "
-                "render_pump or sh_order)"
-            )
         if sh_order is not None and (
             intersector not in ("mt", "mxu") or mesh is not None
         ):
@@ -677,20 +672,25 @@ class BatchedAcoustics:
         # HOST-memory equality only: this runs on the round thread mid-
         # serving whenever the cohort changes, and device compares here
         # each cost a relay round trip (part of the measured netserve
-        # join storm)
+        # join storm). Binaural cohorts qualify at any sh_order (the
+        # HOA decode emits the same (S, 2, P, F) spectra shapes, so the
+        # stacked publish — and the render pump — serve HOA too);
+        # stream() already pins every lane to the coordinator's order.
         ok = all(
-            r.n_out == 2 and r._decoder is None and r.sh_order is None
+            r.n_out == 2 and r._decoder is None
+            and r.sh_order == self.sh_order
             for r in rs
         ) and all(
             np.array_equal(r._hrtf_host[0], rs[0]._hrtf_host[0])
             and np.array_equal(r._hrtf_host[1], rs[0]._hrtf_host[1])
+            and r._full_bank == rs[0]._full_bank
             for r in rs[1:]
         )
         if not ok:
             if self._batch_respectra_opt is True:
                 raise ValueError(
-                    "batch_respectra needs plain binaural-stereo streams "
-                    "sharing one HRTF (no speaker rigs, no sh_order, no "
+                    "batch_respectra needs binaural-stereo streams "
+                    "sharing one HRTF/bank (no speaker rigs, no "
                     "per-stream HRTF sets)"
                 )
             return
@@ -708,10 +708,17 @@ class BatchedAcoustics:
             return
         hl, hr = rs[0].hrtf_l, rs[0].hrtf_r
         self._respectra_hrtf_host = (hl_h.copy(), hr_h.copy())
+        if self.sh_order is None:
+            one = lambda a, o: _respectra(a, o, hl, hr, block)  # noqa: E731
+        else:
+            from .ir_stream import _respectra_hoa
+
+            order, fb = self.sh_order, rs[0]._full_bank
+            one = lambda a, o: _respectra_hoa(  # noqa: E731
+                a, o, hl, hr, block, order, full_bank=fb
+            )
         self._respectra_all = jax.jit(
-            lambda ambs, orients: jax.vmap(
-                lambda a, o: _respectra(a, o, hl, hr, block)
-            )(ambs, orients)
+            lambda ambs, orients: jax.vmap(one)(ambs, orients)
         )
         self._respectra_prev_jit = self._respectra_all
 

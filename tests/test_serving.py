@@ -188,12 +188,33 @@ def test_batched_hoa_cohort_matches_solo_updates():
         b = solo.render(512)
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
-    # pump + HOA is explicitly unsupported
-    with pytest.raises(ValueError, match="render_pump"):
-        BatchedAcoustics(
-            scene.device_arrays(), [SRC], cfg=CFG, sh_order=order,
-            render_pump=True,
-        )
+    # the shared-bank binaural HOA cohort QUALIFIES for the stacked
+    # respectra (same (S, 2, P, F) spectra shapes), so the render pump
+    # serves HOA too: pump two order-2 streams and bit-match each lane
+    # against a solo renderer adopting its stacked slice
+    coord2 = BatchedAcoustics(
+        scene.device_arrays(), [SRC], cfg=CFG,
+        n_rays=CFG.rays_per_source, max_bounces=CFG.max_bounces,
+        coalesce_s=0.0, sh_order=order, render_pump=True,
+        pump_chunk_blocks=4, pump_prefill=False,
+    )
+    rs2, hs2 = [], []
+    for _ in range(2):
+        r = IRStreamRenderer(scene, CFG, sh_order=order)
+        r.add_source(tone(), pos=SRC)
+        hs2.append(coord2.stream(r))
+        rs2.append(r)
+    coord2.warmup(POSES)
+    assert coord2._respectra_all is not None
+    K, B = coord2.pump_chunk_blocks, CFG.block_size
+    coord2._pump_tick()
+    for i, (h, (pos, yaw)) in enumerate(zip(hs2, POSES)):
+        s = IRStreamRenderer(scene, CFG, sh_order=order)
+        s.add_source(tone(), pos=SRC)
+        s.apply_traced(pos, yaw, 0.0, None,
+                       lane_spectra(coord2._pump_cur, i))
+        got = coord2._pump_read(h, K * B)
+        assert np.array_equal(got, s.render(K * B))
 
 
 def test_batched_serving_sharded_mesh():
