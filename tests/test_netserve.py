@@ -47,6 +47,11 @@ def _no_persistent_compile_cache():
     prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
     _cc.reset_cache()  # drop the initialized global cache object
+    # AND the in-memory jit caches: with disk loads gone, suite run 5
+    # crashed in backend_compile_and_load itself — the original
+    # accumulated-state compiler segfault test_pallas_trace defends
+    # against the same way
+    jax.clear_caches()
     yield
     jax.config.update("jax_compilation_cache_dir", prev)
     _cc.reset_cache()

@@ -32,9 +32,12 @@ def _no_persistent_compile_cache():
     prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
     _cc.reset_cache()
+    jax.clear_caches()  # fresh compile arena too (see test_netserve)
     yield
     jax.config.update("jax_compilation_cache_dir", prev)
     _cc.reset_cache()
+
+
 POSES = [
     (np.float32([-1.0, -0.5, -1.0]), 0.3),
     (np.float32([0.5, 0.0, 1.5]), -0.8),
