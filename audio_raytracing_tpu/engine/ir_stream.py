@@ -508,28 +508,34 @@ class IRStreamRenderer:
         self.last_update_retraced = retrace
         self._orient_key = orient_key
         with profiling.span("ir_respectra"):
-            if self.sh_order is not None:
-                if self._decoder is not None:
-                    spectra = _respectra_speakers_hoa(
-                        self._amb_cache, orient, self._decoder,
-                        cfg.block_size, self.sh_order,
-                    )
-                else:
-                    spectra = _respectra_hoa(
-                        self._amb_cache, orient, self.hrtf_l, self.hrtf_r,
-                        cfg.block_size, self.sh_order,
-                        full_bank=self._full_bank,
-                    )
-            elif self._decoder is not None:
-                spectra = _respectra_speakers(
-                    self._amb_cache, orient, self._decoder, cfg.block_size
-                )
-            else:
-                spectra = _respectra(
-                    self._amb_cache, orient, self.hrtf_l, self.hrtf_r,
-                    cfg.block_size,
-                )
+            spectra = self._respectra_for(self._amb_cache, orient)
         self._swap_spectra(spectra, swap_lock)
+
+    def _respectra_for(self, amb, orient):
+        """Decode (S, C, L_ir) ambisonic IRs at `orient` into this
+        renderer's partitioned spectra — the ONE decode-selection
+        dispatch (HOA/FOA x binaural/speaker-rig, incl. the full-bank
+        plumb). update() and the serving coordinator's per-handle
+        publish (engine/serving.py::_publish_traced) both call this, so
+        batched streams can never decode differently from solo ones."""
+        cfg = self.cfg
+        if self.sh_order is not None:
+            if self._decoder is not None:
+                return _respectra_speakers_hoa(
+                    amb, orient, self._decoder, cfg.block_size,
+                    self.sh_order,
+                )
+            return _respectra_hoa(
+                amb, orient, self.hrtf_l, self.hrtf_r, cfg.block_size,
+                self.sh_order, full_bank=self._full_bank,
+            )
+        if self._decoder is not None:
+            return _respectra_speakers(
+                amb, orient, self._decoder, cfg.block_size
+            )
+        return _respectra(
+            amb, orient, self.hrtf_l, self.hrtf_r, cfg.block_size
+        )
 
     def _swap_spectra(self, spectra, swap_lock=None) -> None:
         """Adopt new partitioned spectra: first call initializes the conv

@@ -102,9 +102,10 @@ class AcousticServer:
 
         sh_order=N serves higher-order-ambisonic acoustics over the
         same wire: the shared trace emits order-N SH moments and each
-        client's lane decodes binaurally through the HOA respectra
-        (still 2-channel s16le frames; excludes render_pump — the
-        coordinator enforces it)."""
+        client's lane decodes binaurally through the HOA respectra —
+        still 2-channel s16le frames, and since binaural HOA cohorts
+        qualify for the stacked respectra, render_pump composes with
+        sh_order too."""
         self.scene = scene
         self.cfg = cfg
         self.n_rays = n_rays

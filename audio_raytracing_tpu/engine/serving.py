@@ -41,6 +41,7 @@ every stream's pose cache.
 
 from __future__ import annotations
 
+import itertools
 import threading
 import time
 
@@ -85,14 +86,14 @@ class _StreamHandle:
     worker thread's lifecycle belongs to the coordinator (`with coord:`),
     not to any single stream."""
 
-    _uid_counter = 0
+    _uid_counter = itertools.count(1)
 
     def __init__(self, coord: "BatchedAcoustics", renderer):
         # monotonic identity for cohort-membership keys (id() can be
         # reused after GC, which would silently skip a respectra
-        # requalification on a leave+join)
-        _StreamHandle._uid_counter += 1
-        self.uid = _StreamHandle._uid_counter
+        # requalification on a leave+join). itertools.count.__next__
+        # is atomic under the GIL — netserve joins run concurrently
+        self.uid = next(_StreamHandle._uid_counter)
         self.coord = coord
         self.r = renderer
         self.lock = threading.Lock()  # spectra swap vs stream read
@@ -122,6 +123,9 @@ class _StreamHandle:
         # this lane's oldest chunk, consumed by the next read
         self._splice = False
         self._last_out = None  # (n_out,) last emitted sample
+        # a per-handle failure (e.g. evicted by the pump-setup join
+        # sweep for a cohort mismatch) — render() raises it
+        self.error: Exception | None = None
 
     def request(self, pos, yaw: float = 0.0, pitch: float = 0.0,
                 t: float = 0.0) -> None:
@@ -585,7 +589,13 @@ class BatchedAcoustics:
                         h.slot = None
                         raise
                     self._pump_slot_handles[h.slot] = h
-        self._handles.append(h)
+                # append INSIDE the cv: _pump_setup_locked's join sweep
+                # snapshots _handles under the same cv, so a join is
+                # either fully visible to the sweep or fully after the
+                # pump fixes (and then took the live-join path above)
+                self._handles.append(h)
+        else:
+            self._handles.append(h)
         return h
 
     def _validate_pump_join(self, r) -> None:
@@ -921,41 +931,16 @@ class BatchedAcoustics:
                 if not dirty[i]:
                     continue
                 pos, yaw, pitch = h._pose
-                # respectra on THIS thread (a device dispatch — never on
-                # the audio thread), swap deferred through the mailbox.
-                # The decode selection mirrors IRStreamRenderer.update
-                # exactly (incl. HOA cohorts — sh_order streams' amb
-                # rows are (n_sh, L_ir) moments)
+                # respectra on THIS thread (a device dispatch — never
+                # on the audio thread), swap deferred through the
+                # mailbox. The decode selection IS the renderer's own
+                # (one shared dispatch — batched streams can never
+                # decode differently from solo ones)
                 j = slots[i]
                 orient = jnp.asarray(quat.quat_from_roll_pitch_yaw(
                     np.float32(pitch), np.float32(yaw), np.float32(0.0)
                 ))
-                if h.r.sh_order is not None:
-                    from .ir_stream import (
-                        _respectra_hoa,
-                        _respectra_speakers_hoa,
-                    )
-
-                    if h.r._decoder is not None:
-                        spectra = _respectra_speakers_hoa(
-                            amb[j], orient, h.r._decoder,
-                            self.cfg.block_size, h.r.sh_order,
-                        )
-                    else:
-                        spectra = _respectra_hoa(
-                            amb[j], orient, h.r.hrtf_l, h.r.hrtf_r,
-                            self.cfg.block_size, h.r.sh_order,
-                            full_bank=h.r._full_bank,
-                        )
-                elif h.r._decoder is not None:
-                    spectra = _respectra_speakers(
-                        amb[j], orient, h.r._decoder, self.cfg.block_size
-                    )
-                else:
-                    spectra = _respectra(
-                        amb[j], orient, h.r.hrtf_l, h.r.hrtf_r,
-                        self.cfg.block_size,
-                    )
+                spectra = h.r._respectra_for(amb[j], orient)
                 h._publish(pos, yaw, pitch, amb[j], spectra)
 
     # -- render pump -----------------------------------------------------------
@@ -1052,10 +1037,14 @@ class BatchedAcoustics:
             h._buf_off = 0
             h._buf_n = 0
         with self._pump_cv:
-            for h in lanes:
-                h._pump_active = True
             slot_handles = [None] * L
             for i, h in enumerate(lanes):
+                if self.capacity is not None and h.slot is None:
+                    # founding lane close()d between the lanes snapshot
+                    # and here — its slot is already freed; skip it
+                    # (indexing with None would TypeError)
+                    continue
+                h._pump_active = True
                 slot_handles[
                     h.slot if self.capacity is not None else i
                 ] = h
@@ -1106,24 +1095,39 @@ class BatchedAcoustics:
                 # single startup underrun exactly there)
                 states = st
                 self._deposit(pcm)
-        if self.capacity is not None:
-            with self._pump_cv:
+        with self._pump_cv:
+            if self.capacity is not None:
                 # sweep in anyone who joined while this setup ran:
                 # stream() saw _pump_states None then, so it neither
                 # validated them nor registered their slot — without
                 # this they would be orphaned (never activate, render()
                 # times out). They stay INACTIVE; a round publish
-                # activates them like any live join.
-                for h in self._handles:
+                # activates them like any live join. stream() appends
+                # to _handles under this same cv, so a join is either
+                # fully visible here or arrives after _pump_states is
+                # set and takes the validated live-join path.
+                for h in list(self._handles):
                     if h in lanes or h.slot is None:
                         continue
-                    self._validate_pump_join(h.r)
+                    try:
+                        self._validate_pump_join(h.r)
+                    except ValueError as e:
+                        # evict the mismatched joiner instead of
+                        # letting its error brick warmup() for the
+                        # whole valid cohort; its render() raises
+                        h.error = e
+                        self._free_slots.append(h.slot)
+                        h.slot = None
+                        self._handles.remove(h)
+                        continue
                     self._pump_slot_handles[h.slot] = h
-        # assign LAST: the pump loop gates on _pump_states, and a
-        # coordinator entered before warmup() has its pump thread live
-        # during this setup (engine/netserve.py start() does exactly
-        # that) — everything above must be consistent before it ticks
-        self._pump_states = states
+            # assign LAST and inside the cv: the pump loop gates on
+            # _pump_states, and a coordinator entered before warmup()
+            # has its pump thread live during this setup
+            # (engine/netserve.py start() does exactly that) —
+            # everything above must be consistent before it ticks,
+            # and no join may land between the sweep and this
+            self._pump_states = states
 
     def _pump_tick(self) -> None:
         """ONE pump iteration: adopt every lane's pending spectra at
@@ -1313,6 +1317,8 @@ class BatchedAcoustics:
         deadline = time.monotonic() + 30.0
         parts = []
         with self._pump_cv:
+            if handle.error is not None:
+                raise handle.error
             handle._want = n  # pump pacing produces past this demand
             try:
                 while handle._buf_n < n:

@@ -855,18 +855,40 @@ def _step_kernel_shard(
     vz_out[...] = vzn
 
 
-def _pick_ytile_divisor(ny_p: int, nz: int) -> int:
-    """Largest y-tile of the form 8*d with d | (ny_p/8) whose
-    (Ty, nz) f32 plane fits the target (8 always divides — the
-    fallback)."""
+def _pick_ytile_divisor(ny_p: int, nz: int,
+                        divisors_only: bool = False) -> int:
+    """Best y-tile under the VMEM target, trading PADDING against TILE
+    COUNT: candidates are exact divisors of ny_p (8*d — zero padding)
+    and padded power-of-two tiles (ny rounds up to the tile). A
+    pure-divisor pick degenerates to Ty=8 when ny_p/8 is prime (e.g.
+    ny=1016 -> 127 8-row tiles, ~16x the per-tile halo/grid overhead),
+    while a pure power-of-two pick pads awkward shapes by up to ~47%
+    dead solid rows. Cost model: computed rows (incl. padding) plus
+    ~24 row-equivalents of halo refetch + grid overhead per tile;
+    minimize, tie-break to the larger tile."""
+    cap_rows = max(8, (_YTILE_TARGET_PLANE_BYTES // (nz * 4)) // 8 * 8)
     m = ny_p // 8
-    best = 8
+    cands = []
     for d in range(1, m + 1):
-        if m % d == 0:
+        if m % d == 0 and 8 * d <= cap_rows:
             ty = 8 * d
-            if ty * nz * 4 <= _YTILE_TARGET_PLANE_BYTES:
-                best = max(best, ty)
-    return best
+            cands.append((ny_p, ty))
+    if not divisors_only:
+        # the single-chip path pads ny up to the tile; the SHARD path
+        # cannot (its ny is fixed by the sharding) and passes
+        # divisors_only=True
+        ty = 8
+        while ty <= cap_rows:
+            cands.append((_round_up(ny_p, ty), ty))
+            ty *= 2
+    best_ty, best_cost = 8, None
+    for padded, ty in cands:
+        cost = padded + 24 * (padded // ty)
+        if best_cost is None or cost < best_cost or (
+            cost == best_cost and ty > best_ty
+        ):
+            best_ty, best_cost = ty, cost
+    return best_ty
 
 
 def make_shard_step(Sx: int, ny: int, nz: int, block: int | None = None,
@@ -900,7 +922,7 @@ def make_shard_step(Sx: int, ny: int, nz: int, block: int | None = None,
     elif ny * nz * 4 <= _YTILE_TARGET_PLANE_BYTES:
         Ty = ny
     else:
-        Ty = _pick_ytile_divisor(ny, nz)
+        Ty = _pick_ytile_divisor(ny, nz, divisors_only=True)
     n_tiles = ny // Ty
     B = block if block is not None else _pick_block_grid(Ty * nz * 4)
     while Sx % B:
